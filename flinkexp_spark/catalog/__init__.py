@@ -1,0 +1,8 @@
+"""Query catalog — importing this package registers every engine query.
+
+Each module maps to a SURVEY.md §2 operator group.
+"""
+
+from flinkexp_spark.catalog import (  # noqa: F401
+    wordcount,
+)

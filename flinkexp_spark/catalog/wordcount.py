@@ -1,0 +1,74 @@
+"""Word count — the reference's exercised program, rebuilt Spark-first.
+
+The reference's only executable query is an unbounded keyed streaming word
+count (reference: study/src/main/scala/group/xc/flink/stream/demo1/
+StreamSocket.scala:13-16):
+
+    socketTextStream -> flatMap(split " ") -> map(x => (x,1)) -> keyBy(0) -> sum(1)
+
+Covered here in *batch replay* over ``documents.text`` (SURVEY §5.2): the
+exercised operators E2 (flatMap/tokenize), E3 (map/project), E4 (keyBy), E5
+(rolling sum — final totals contract, SURVEY §2.1 semantic note).  The live
+streaming form (E1/E6/E7, update mode) lives in
+``flinkexp_spark.streaming`` and is registered by ``streaming_replay``.
+
+Scale notes: ``explode(split(...))`` runs inside whole-stage codegen (no
+Python boundary); the single shuffle is the groupBy hash exchange — exactly
+the reference's one ``keyBy`` network boundary (StreamSocket.scala:15) — and
+Spark applies a map-side partial count before it, so shuffle volume is
+O(distinct words per partition), not O(tokens).  This holds at 100 TB: the
+reduce side only ever sees per-partition partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.registry import register
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """tokenize -> count per word.  E2-E5 as one declarative plan."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "wordcount_batch",
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("E2", "E3", "E4", "E5"),
+)
+def q_wordcount_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch word count over documents.text (reference parity query)."""
+    return word_counts(datasets.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "wordcount_topk",
+    oracle="""
+        SELECT word, cnt FROM (
+            SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+        )
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """,
+    tags=("E2", "E5", "O1", "O2"),
+)
+def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words — adds deterministic global top-k (TakeOrderedAndProject)."""
+    wc = word_counts(datasets.load(spark, sf_dir, "documents"))
+    return wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(20)

@@ -1,0 +1,49 @@
+"""Fixture table loader (driver-generated parquet, TESTDATA.md).
+
+All queries load through here so that scan behavior is uniform: parquet
+columnar scans with Catalyst predicate pushdown and column pruning.  At
+100 TB scale the same code path works against a partitioned table root —
+``spark.read.parquet`` prunes partitions from the directory layout and
+pushes filters into the parquet row-group stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` queries."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
