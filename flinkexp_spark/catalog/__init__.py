@@ -4,5 +4,11 @@ Each module maps to a SURVEY.md §2 operator group.
 """
 
 from flinkexp_spark.catalog import (  # noqa: F401
+    aggregates,
+    joins,
+    projection,
+    scalar_funcs,
+    setops,
+    windows,
     wordcount,
 )

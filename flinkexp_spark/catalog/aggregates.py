@@ -1,0 +1,295 @@
+"""A1-A9: the aggregation surface (SURVEY §2.2).
+
+Reference: the exercised op is the rolling keyed ``sum`` (StreamSocket.scala:15);
+everything else is declared by the Table/SQL envelope (study/pom.xml:149-165).
+
+Scale notes: every grouped agg here compiles to HashAggregateExec
+partial→final — map-side combine before the shuffle, so shuffle volume is
+O(groups per partition), not O(rows).  ``count distinct`` expands to a
+two-phase plan (Expand + two shuffles); where an approximate answer is
+acceptable at 100 TB, ``approx_count_distinct`` (HLL++, constant memory) is
+the scale path and is covered with a tolerance-style oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.catalog._util import davg, dsum, o_davg, o_dsum
+from flinkexp_spark.registry import register
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {o_dsum('l_quantity', 'sum_qty')},
+               {o_dsum('l_extendedprice', 'sum_base_price')},
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               {o_davg('l_quantity', 'avg_qty')},
+               {o_davg('l_extendedprice', 'avg_price')},
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A2"),
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: TPC-H Q1-style pricing summary — count/sum/min/max/avg in one pass."""
+    from flinkexp_spark.catalog._util import dec
+
+    li = datasets.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               {o_dsum('o_totalprice', 'total')},
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+    """,
+    tags=("A2", "A3"),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: global (no-key) aggregation incl. count distinct."""
+    o = datasets.load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice", "total"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_distinct_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("A3",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: multi count-distinct + sum-distinct per group (Expand-based plan)."""
+    li = datasets.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("bigint")).alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+        SELECT l_returnflag, TRUE AS within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A4",),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: approx_count_distinct (HLL++), oracle-checked as a tolerance property.
+
+    HLL sketches aren't reproducible across engines, so the checkable claim
+    is |approx - exact| / exact <= 5% (HLL++ rsd default 0.05); the oracle
+    asserts the property holds for every group.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .select(
+            "l_returnflag",
+            (
+                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT event_type,
+               ROUND(stddev_samp(value), 4) AS sd_samp,
+               ROUND(stddev_pop(value), 4) AS sd_pop,
+               ROUND(var_samp(value), 4) AS v_samp,
+               ROUND(var_pop(value), 4) AS v_pop
+        FROM events GROUP BY event_type
+    """,
+    tags=("A5",),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: stddev/variance (sample + population), rounded for cross-engine float stability."""
+    e = datasets.load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+        F.round(F.var_samp("value"), 4).alias("v_samp"),
+        F.round(F.var_pop("value"), 4).alias("v_pop"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(median(value), 4) AS med
+        FROM events GROUP BY event_type
+    """,
+    tags=("A6",),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact interpolated percentiles + median.
+
+    ``percentile`` (exact) rather than ``percentile_approx`` for the oracle
+    check; the approximate variant is the 100 TB scale path and is exercised
+    in bench.py.
+    """
+    e = datasets.load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.median("value"), 4).alias("med"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT user_id,
+               array_to_string(list_sort(list(event_type)), ',') AS all_types,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_set,
+               min_by(event_id, ts) AS first_event,
+               max_by(event_id, ts) AS last_event
+        FROM events
+        WHERE user_id < 20
+        GROUP BY user_id
+    """,
+    tags=("A7",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect_list/collect_set + deterministic first/last via min_by/max_by.
+
+    Spark's ``first``/``last`` aggregates are order-dependent; the engine's
+    deterministic contract is min_by/max_by on the event-time column.
+    Collections are sorted and joined so the hash is order-insensitive.
+    """
+    e = datasets.load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("all_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_set"),
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.max_by("event_id", "ts").alias("last_event"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+        SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+               COALESCE(l_linestatus, '<all>') AS lstatus,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               COUNT(*) AS n, {o_dsum('l_extendedprice', 'revenue')}
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A8",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: rollup with grouping_id — subtotal + grand-total rows."""
+    li = datasets.load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            dsum("l_extendedprice", "revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "gid",
+            "n",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A8",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: cube — all grouping-set combinations."""
+    o = datasets.load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+        SELECT o_custkey, COUNT(*) AS n_orders, {o_dsum('o_totalprice', 'spend')}
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 15
+    """,
+    tags=("A9",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: HAVING — post-aggregation filter."""
+    o = datasets.load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )

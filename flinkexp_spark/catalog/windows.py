@@ -1,0 +1,192 @@
+"""W1-W5: OVER-clause window functions (SURVEY §2.2).
+
+Reference: declared by the Table/SQL planner envelope (study/pom.xml:149-165).
+
+Scale notes: a window spec compiles to one shuffle on partitionBy + a sort
+within partitions (WindowExec).  Partition keys here (mktsegment, user_id)
+have bounded per-key cardinality, so no single task sees unbounded state.
+Global (un-partitioned) windows — which would serialize on one task at
+100 TB — are deliberately avoided except where semantically required, and
+then only after an aggressive reduction (see setops.order_by_ranked).
+Every orderBy includes a unique tiebreaker column so results are
+deterministic for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.catalog._util import dec
+from flinkexp_spark.registry import register
+
+
+@register(
+    "window_ranking",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ROW_NUMBER() OVER w AS rn,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM customer
+        WHERE c_custkey < 300
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("W1",),
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number / rank / dense_rank / ntile / percent_rank."""
+    c = datasets.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+        SELECT event_id, user_id,
+               COALESCE(LAG(event_id) OVER w, -1) AS prev_event,
+               COALESCE(LEAD(event_id) OVER w, -1) AS next_event,
+               LAG(event_id, 2, -1) OVER w AS prev2_event,
+               FIRST_VALUE(event_id) OVER w AS first_event,
+               LAST_VALUE(event_id) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS last_event
+        FROM events
+        WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W2",),
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead (with default), first_value/last_value over explicit frames."""
+    e = datasets.load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias("next_event"),
+        F.lag("event_id", 2, -1).over(w).alias("prev2_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+    )
+
+
+@register(
+    "window_running_agg",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS running_spend,
+               COUNT(*) OVER w AS running_orders
+        FROM orders
+        WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W3",),
+)
+def q_window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running sum/count over a rows frame (decimal-exact money)."""
+    o = datasets.load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("running_orders"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey, order_day,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY order_day
+                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                   AS orders_last_30d
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS order_day
+              FROM orders WHERE o_custkey < 50) t
+    """,
+    tags=("W4",),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: range frame — trailing 30-day order count per customer.
+
+    The order key is a day number (epoch//86400) so RANGE semantics are
+    identical across engines regardless of timestamp representation.
+    """
+    o = datasets.load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    o = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("order_day"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        F.count("*").over(w).alias("orders_last_30d"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+        SELECT segment, c_custkey, c_acctbal, rn FROM (
+            SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        ) t WHERE rn <= 3
+    """,
+    tags=("W5",),
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: top-3 customers by balance per segment (rank-filter pattern).
+
+    Catalyst rewrites the rn<=k filter into a per-partition top-k
+    (WindowGroupLimit) — no full sort of each partition at scale.
+    """
+    c = datasets.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

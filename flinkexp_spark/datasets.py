@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -36,7 +38,20 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # Runtime-settable; needed even when the caller's session didn't go
+        # through our session factory (e.g. the driver's own session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a raw
+    # nanosecond LongType under spark.sql.legacy.parquet.nanosAsLong (set in
+    # the session factory).  The fixture carries no sub-microsecond digits,
+    # so `div 1000` → timestamp_micros is lossless.  Integer division keeps
+    # exactness (a double would overflow 2^53 for epoch-ns values).
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

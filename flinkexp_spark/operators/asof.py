@@ -1,0 +1,96 @@
+"""As-of join (SURVEY §2.2 J9) — engine helper.
+
+Flink declares temporal-table (as-of) joins in the Table API envelope the
+reference imports (reference: study/pom.xml:149-165); Spark has no native
+as-of join, so the engine ships one.
+
+Algorithm ("union + window", the scalable formulation):
+
+1. Tag right rows side=0, left rows side=1; union by name (missing columns
+   null-padded).
+2. One window pass per key, ordered by (ts, side): ``last(value,
+   ignorenulls=True)`` over ``rowsBetween(unboundedPreceding, current)``
+   carries the most recent right-side values forward onto each left row.
+3. Keep left rows.
+
+Why this scales where a join doesn't: a naive range join materializes every
+candidate pair (O(clicks × views per key)); this is one shuffle + one sort
+per key — O(n log n), state O(1) per row.  It is the batch analog of how a
+temporal join processes a keyed stream: replay in time order, remember the
+latest dim version.  Skewed keys are handled by AQE only at the exchange;
+for a pathologically hot key, pre-salt with a coarse time bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with right_ts <= left_ts.
+
+    Backward-looking, exact matches included; unmatched left rows keep nulls
+    (ASOF LEFT JOIN semantics).  Right columns (except keys) come back
+    prefixed with ``right_prefix``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    right_value_cols = [c for c in right.columns if c not in keys]
+    prefixed = {c: f"{right_prefix}{c}" for c in right_value_cols}
+
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(p) for c, p in prefixed.items()],
+    )
+
+    left_only = [c for c in left.columns if c not in keys]
+
+    def null_as(df_side: DataFrame, name: str, src: DataFrame, src_name: str) -> Column:
+        dtype = src.schema[src_name].dataType
+        return F.lit(None).cast(dtype).alias(name)
+
+    lt_cols = (
+        [F.col(k) for k in keys]
+        + [F.col(c) for c in left_only]
+        + [null_as(left, p, right, c) for c, p in prefixed.items()]
+        + [F.lit(1).alias("__side"), F.col(left_ts).alias("__ord_ts")]
+    )
+    rt_cols = (
+        [F.col(k) for k in keys]
+        + [null_as(rt, c, left, c) for c in left_only]
+        + [F.col(p) for p in prefixed.values()]
+        + [F.lit(0).alias("__side"), F.col(prefixed[right_ts]).alias("__ord_ts")]
+    )
+
+    unioned = left.select(*lt_cols).unionByName(rt.select(*rt_cols))
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ord_ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(p, ignorenulls=True).over(w).alias(f"__m_{p}")
+            for p in prefixed.values()
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in left_only],
+        *[F.col(f"__m_{p}").alias(p) for p in prefixed.values()],
+    )
+    return out

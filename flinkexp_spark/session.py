@@ -72,6 +72,9 @@ def get_session(
         # --- scan sizing: parquet split size tuned so a 100 TB table yields
         #     ~800k splits, not 8M (driver scheduling pressure) -------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type, so read it as a raw long (datasets.load converts).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
