@@ -9,6 +9,8 @@ from flinkexp_spark.catalog import (  # noqa: F401
     projection,
     scalar_funcs,
     setops,
+    sources_io,
+    streaming_replay,
     windows,
     wordcount,
 )

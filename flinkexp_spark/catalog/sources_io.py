@@ -1,0 +1,176 @@
+"""S1-S4 oracle-checked round-trips: file formats through the engine's
+source/sink layer (SURVEY §2.2 sources/sinks).
+
+Each query WRITES a fixture-derived dataset through the engine sink and
+READS it back through the engine source, then aggregates — proving both
+directions of the connector against the oracle, which reads only the
+original parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets, sources
+from flinkexp_spark.catalog._util import o_dsum
+from flinkexp_spark.registry import register
+from flinkexp_spark.streaming.replay import SCRATCH_ROOT
+
+
+def _scratch(tag: str) -> str:
+    path = os.path.join(SCRATCH_ROOT, f"{tag}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("S1", "S10", "E2"),
+)
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: text sink -> text source round-trip; word count over the lines.
+
+    documents.text is written as raw lines (the reference's socket payload
+    shape) and read back via the file text source.
+    """
+    work = _scratch("text")
+    try:
+        docs = datasets.load(spark, sf_dir, "documents").select(
+            F.col("text").alias("value")
+        )
+        docs.write.mode("overwrite").text(os.path.join(work, "lines"))
+        lines = sources.read_text(spark, os.path.join(work, "lines"))
+        out = (
+            lines.select(F.explode(F.split("value", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+        )
+        out = out.localCheckpoint()  # materialize before scratch cleanup
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=f"""
+        SELECT o_orderstatus, COUNT(*) AS n, {o_dsum('o_totalprice', 'total')}
+        FROM orders WHERE o_orderkey < 5000
+        GROUP BY o_orderstatus
+    """,
+    tags=("S3",),
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: CSV sink -> CSV source (declared schema, header) round-trip.
+
+    Timestamps ride as formatted strings: CSV is a textual format, and the
+    engine contract is explicit schemas on read, never inference.
+    """
+    work = _scratch("csv")
+    try:
+        o = (
+            datasets.load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 5000)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            )
+        )
+        path = os.path.join(work, "orders_csv")
+        sources.write_csv(o, path)
+        back = sources.read_csv(
+            spark,
+            path,
+            schema="o_orderkey long, o_orderstatus string, o_totalprice double,"
+            " o_orderdate string",
+        )
+        from flinkexp_spark.catalog._util import dsum
+
+        out = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), dsum("o_totalprice", "total")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(props ->> 'k' AS INT)) AS BIGINT) AS k_sum
+        FROM events WHERE event_id < 5000
+        GROUP BY event_type
+    """,
+    tags=("S4", "F8"),
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: JSON-lines sink -> source round-trip incl. nested JSON parsing."""
+    work = _scratch("json")
+    try:
+        e = (
+            datasets.load(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 5000)
+            .select("event_id", "event_type", "props")
+        )
+        path = os.path.join(work, "events_json")
+        sources.write_json(e, path)
+        back = sources.read_json(
+            spark, path, "event_id long, event_type string, props string"
+        )
+        out = back.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "source_partitioned_parquet",
+    oracle="""
+        SELECT year(l_shipdate) AS ship_year, COUNT(*) AS n
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY 1
+    """,
+    tags=("S2",),
+)
+def q_source_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: hive-partitioned parquet write -> read with PARTITION PRUNING.
+
+    The read filters on the partition column, so only 2 of the year
+    directories are scanned — the layout that makes a 100 TB fact table
+    prunable (verified in tests/test_plans.py).
+    """
+    work = _scratch("pq")
+    try:
+        li = datasets.load(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+        path = os.path.join(work, "lineitem_by_year")
+        sources.write_parquet(li, path, partition_by=["ship_year"])
+        back = sources.read_parquet(spark, path).filter(
+            F.col("ship_year").isin(1996, 1997)
+        )
+        out = back.groupBy("ship_year").agg(F.count("*").alias("n")).select(
+            F.col("ship_year").cast("long").alias("ship_year"), "n"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,471 @@
+"""T1-T10 + E1-E7 streaming parity: Structured Streaming operators in
+bounded replay (SURVEY §2.2 "Streaming-only operators", §5.2 test strategy).
+
+Reference: the exercised streaming word count (StreamSocket.scala:13-16); the
+event-time/window/state envelope declared via flink-streaming-scala
+(study/pom.xml:21), Kafka (study/pom.xml:82), RocksDB keyed state
+(study/pom.xml:72).
+
+Every query here funnels the `events` (or `documents`) fixture through the
+REAL streaming path — ``readStream`` file source, availableNow trigger,
+RocksDB-backed state store — then compares final state against batch SQL
+(the duckdb oracle), per the SURVEY §2.1 contract: final totals match,
+emission cadence is micro-batch.
+
+Scale notes: streaming state is keyed and watermark-bounded — per-key
+windowed state is dropped once the watermark passes, so state size is
+O(active windows × keys), independent of stream length.  That, plus the
+RocksDB provider (spill to disk), is what makes these operators safe on an
+unbounded 100 TB/day stream; the availableNow replay exercises the exact
+same operators and state lifecycle.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.catalog._util import dec
+from flinkexp_spark.registry import register
+from flinkexp_spark.streaming.replay import replay, replay_update_mode
+
+# Tumbling/sliding windows are emitted as formatted start/end strings; the
+# oracle reconstructs them from epoch arithmetic (UTC on both sides).
+_WS = "date_format(window.start, 'yyyy-MM-dd HH:mm:ss')"
+_WE = "date_format(window.end, 'yyyy-MM-dd HH:mm:ss')"
+
+
+def _win_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.expr(_WS).alias("window_start"),
+        F.expr(_WE).alias("window_end"),
+        *[c for c in df.columns if c != "window"],
+    )
+
+
+@register(
+    "stream_wordcount_update",
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("E1", "E2", "E3", "E4", "E5", "E6", "E7", "T9"),
+)
+def q_stream_wordcount_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E7 parity: STREAMING word count in update output mode.
+
+    The reference's exact dataflow (socket -> flatMap -> map -> keyBy -> sum
+    -> print, StreamSocket.scala:13-16) with the socket replaced by the
+    bounded file replay and print by a foreachBatch capture.  Update mode
+    reproduces the per-key "emit current total" semantics at micro-batch
+    granularity (SURVEY §2.1).
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        words = stream.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        ).filter(F.col("word") != "")
+        return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+    batches = replay_update_mode(spark, docs, transform)
+    # Single input file -> one micro-batch -> the updated rows ARE the final
+    # totals.  (Multi-batch cadence is exercised in tests/test_streaming.py.)
+    out = pd.concat(batches) if batches else pd.DataFrame({"word": [], "cnt": []})
+    return spark.createDataFrame(out, schema="word string, cnt long")
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+        SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400 + 86400),
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("T2", "T9"),
+)
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tumbling 1-day event-time windows (complete mode ≡ Table TUMBLE)."""
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+        )
+
+    return _win_cols(replay(spark, events, transform, output_mode="complete"))
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+        SELECT strftime(to_timestamp(w), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(to_timestamp(w + 21600), '%Y-%m-%d %H:%M:%S') AS window_end,
+               COUNT(*) AS n
+        FROM (
+            SELECT floor(epoch(ts) / 10800) * 10800 - 10800 * i.g AS w, epoch(ts) AS e
+            FROM events, (SELECT unnest(range(2)) AS g) i
+        )
+        WHERE e >= w AND e < w + 21600
+        GROUP BY 1, 2
+    """,
+    tags=("T3",),
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: sliding (hop) windows — 6 h length, 3 h slide; each event lands in 2."""
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy(F.window("ts", "6 hours", "3 hours")).agg(
+            F.count("*").alias("n")
+        )
+
+    return _win_cols(replay(spark, events, transform, output_mode="complete"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=("T4",),
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: session windows (30-min gap) per user — Table SESSION equivalent.
+
+    The oracle is the batch gaps-and-islands formulation; Spark's
+    session_window must produce the identical session set.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    out = replay(spark, events, transform, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+@register(
+    "stream_watermark_append",
+    oracle="""
+        SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("T1", "T9"),
+)
+def q_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: event-time watermark + append mode.
+
+    Append emits a window only once the watermark passes its end, so the
+    replay runs as multiple micro-batches (watermarks advance between
+    batches) and a far-future sentinel row closes the final real windows.
+    No late data here (T5 covers drops) — so the final window set equals the
+    batch tumble.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    sentinel = spark.createDataFrame(
+        [(int(-1), datetime(2030, 1, 1), int(-1), "__sentinel__", 0.0, "{}")],
+        schema=events.schema,
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = replay(
+        spark,
+        events,
+        transform,
+        output_mode="append",
+        n_files=4,
+        order_col="ts",
+        sentinel_df=sentinel,
+    )
+    return (
+        _win_cols(out)
+        .filter(F.col("window_start") < "2029-12-01")
+        .select("window_start", "n")
+    )
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+        SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("T5", "T1"),
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: late-data handling — rows behind the watermark whose window was
+    already finalized (emitted + state evicted) are DROPPED.
+
+    Measured Spark 4.1 semantics, pinned by this query + oracle: the replay
+    runs batch0 = first half, batch1 = second half (watermark jumps past all
+    first-half windows, which are emitted and evicted), batch2 = late
+    duplicates of the first two days (arrive after eviction -> dropped),
+    batch3 = far-future sentinel (flushes remaining windows).  The final
+    window set must equal the clean batch tumble — if the late rows had been
+    kept, the first two day-windows would double (verified: they do if the
+    late rows instead arrive in the same batch as the eviction, i.e. while
+    state is still open — Spark's documented "may or may not drop" gray zone
+    within one batch).  Flink-style allowed-lateness side outputs: see
+    flinkexp_spark.streaming.late_data for routing late rows to a side sink.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    first_half = events.filter(F.col("ts") < cutoff)
+    second_half = events.filter(F.col("ts") >= cutoff)
+    # late rows keep their ORIGINAL (old) ts — they arrive out of order,
+    # after the watermark has already passed their windows
+    late = events.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp")).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    sentinel = spark.createDataFrame(
+        [(int(-1), datetime(2030, 1, 1), int(-1), "__sentinel__", 0.0, "{}")],
+        schema=events.schema,
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    # File/batch layout: [first_half, second_half, late, sentinel]
+    out = replay(
+        spark,
+        first_half,
+        transform,
+        output_mode="append",
+        extra_files=[second_half, late, sentinel],
+    )
+    return (
+        _win_cols(out)
+        .filter(F.col("window_start") < "2029-12-01")
+        .select("window_start", "n")
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("T6",),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: streaming dedup — first occurrence per (user_id, event_type).
+
+    Output is the key set (which row is "first" depends on arrival order, so
+    the deterministic contract is the set of distinct keys).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+
+    return replay(spark, events, transform, output_mode="append")
+
+
+@register(
+    "stream_stateful_count",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY user_id
+    """,
+    tags=("T7",),
+)
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: custom stateful per-key process function (Flink KeyedProcessFunction /
+    RocksDB keyed-state analog, study/pom.xml:72) via applyInPandasWithState.
+
+    Keeps (count, cents) per user in GroupState; emits the running totals
+    each batch.  Single-batch replay -> emitted rows are the final totals.
+    Money is summed in integer cents so state arithmetic is exact.
+    """
+    from flinkexp_spark.streaming.stateful import running_totals_transform
+
+    events = datasets.load(spark, sf_dir, "events")
+    return replay(
+        spark,
+        events,
+        running_totals_transform,
+        output_mode="update",
+        use_checkpoint=True,
+    )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+        SELECT a.event_id AS click_id, COUNT(*) AS n_views
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
+         AND b.event_id <> a.event_id
+        WHERE a.event_type = 'click' AND b.event_type = 'view'
+        GROUP BY a.event_id
+    """,
+    tags=("T8", "J7"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8/J7: stream-stream interval join, watermark-bounded state.
+
+    Both sides carry watermarks and the join condition time-bounds b.ts
+    relative to a.ts, so each side's buffered state is evicted once the
+    watermark passes — bounded state on an unbounded stream.  The grouped
+    count runs as a follow-up BATCH aggregation over the join's append
+    output (chained stateful aggregation after a stream-stream join needs
+    Spark's multiple-stateful-operator support; keeping the streaming part
+    to the join is the portable formulation).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        a = (
+            stream.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 hour")
+            .alias("a")
+        )
+        b = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("b_event_id"),
+                F.col("user_id").alias("b_user_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "1 hour")
+            .alias("b")
+        )
+        return a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.b_user_id"))
+            & (F.col("b.b_ts") >= F.col("a.ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("b.b_ts") <= F.col("a.ts"))
+            & (F.col("b.b_event_id") != F.col("a.event_id")),
+            "inner",
+        ).select(F.col("a.event_id").alias("click_id"))
+
+    pairs = replay(spark, events, transform, output_mode="append")
+    return pairs.groupBy("click_id").agg(F.count("*").alias("n_views"))
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT c_mktsegment AS segment, COUNT(*) AS n
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("J8",),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (streaming form): stream-static enrichment join (Flink lookup join,
+    study/pom.xml:105) — the static dim is re-read per micro-batch and
+    broadcast; no state needed."""
+    events = datasets.load(spark, sf_dir, "events")
+    dim = F.broadcast(datasets.load(spark, sf_dir, "customer"))
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == "purchase")
+            .join(dim, F.col("user_id") == dim.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    return replay(spark, events, transform, output_mode="complete")
+
+
+@register(
+    "stream_tumbling_checkpointed",
+    oracle="""
+        SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("T10", "T2"),
+)
+def q_stream_tumbling_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: fault-tolerance plumbing — same windowed agg, run WITH a
+    checkpointLocation (RocksDB state + WAL).  Restart/recovery semantics are
+    exercised in tests/test_streaming.py::test_checkpoint_restart."""
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy(F.window("ts", "6 hours")).agg(
+            F.count("*").alias("n")
+        )
+
+    out = replay(
+        spark, events, transform, output_mode="complete", use_checkpoint=True
+    )
+    return _win_cols(out).select("window_start", "n")

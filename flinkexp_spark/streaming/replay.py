@@ -1,0 +1,181 @@
+"""Bounded-replay rig for streaming operators (SURVEY §5.2).
+
+The reference's program is an unbounded streaming job (StreamSocket.scala:13-16).
+Its operators are made *testable* by replaying a bounded fixture through the
+real Structured Streaming path: fixture rows -> parquet files on disk ->
+``spark.readStream`` -> transform -> sink, driven to completion with the
+``availableNow`` trigger.  Final state is then comparable against batch SQL
+(the DuckDB oracle) — same contract SURVEY §2.1 declares for the rolling
+aggregate: *final* totals match; per-record emission cadence is micro-batch.
+
+Key mechanics:
+
+* ``n_files`` > 1 splits the input into time-ordered files and sets
+  ``maxFilesPerTrigger=1`` so the replay runs as MULTIPLE micro-batches —
+  this is what makes watermark advancement observable (the watermark is
+  recomputed between batches, never within one).  File order is pinned via
+  mtimes (the file source processes oldest-first).
+* ``sentinel`` appends a far-future row as the LAST file so the final
+  watermark passes every real window's end — append-mode windowed aggs then
+  emit all real windows.  Callers filter the sentinel's own window out.
+* Everything (input files, checkpoints, sink) lives under ``.tmp/`` in the
+  repo and is cleaned per run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _scratch(tag: str) -> str:
+    path = os.path.join(SCRATCH_ROOT, f"{tag}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def replay(
+    spark: SparkSession,
+    source_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "append",
+    n_files: int = 1,
+    order_col: str | None = None,
+    sentinel_df: DataFrame | None = None,
+    use_checkpoint: bool = False,
+    extra_files: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Replay ``source_df`` through Structured Streaming; return the sink table.
+
+    The result is materialized to a batch DataFrame (the streaming query has
+    terminated by the time this returns).
+    """
+    work = _scratch("replay")
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir)
+    try:
+        schema = source_df.schema
+
+        parts = []
+        if n_files <= 1:
+            parts = [source_df]
+        else:
+            if order_col is None:
+                raise ValueError("n_files > 1 requires order_col for the time split")
+            # ntile-style split by order_col quantiles (cast to double so
+            # timestamps work), computed driver-side on the bounds only
+            # (fixture scale); keeps files time-ordered.
+            fracs = ",".join(str((i + 1) / n_files) for i in range(n_files - 1))
+            bounds = source_df.selectExpr(
+                f"percentile(cast({order_col} as double), array({fracs})) as b"
+            ).collect()[0]["b"]
+            prev = None
+            from pyspark.sql import functions as F
+
+            ocol = F.col(order_col).cast("double")
+            for i in range(n_files):
+                cond = None
+                if prev is not None:
+                    cond = ocol > F.lit(prev)
+                if i < n_files - 1:
+                    upper = ocol <= F.lit(bounds[i])
+                    cond = upper if cond is None else (cond & upper)
+                    prev = bounds[i]
+                parts.append(source_df if cond is None else source_df.filter(cond))
+
+        if extra_files:
+            parts.extend(extra_files)
+        if sentinel_df is not None:
+            parts.append(sentinel_df)
+
+        for i, p in enumerate(parts):
+            fdir = os.path.join(input_dir, f"f{i:04d}")
+            p.coalesce(1).write.mode("overwrite").parquet(fdir)
+            # one data file per dir; pin mtimes so the file source replays
+            # oldest-first in our intended order
+            ts = time.time() - (len(parts) - i) * 10
+            for root, _, files in os.walk(fdir):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(input_dir, "f*"))
+        )
+        out = transform(reader)
+
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        writer = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if use_checkpoint:
+            writer = writer.option(
+                "checkpointLocation", os.path.join(work, "checkpoint")
+            )
+        q = writer.start()
+        q.awaitTermination()
+        # Materialize before dropping the sink table.
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        if not rows:
+            return spark.createDataFrame([], out.schema)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def replay_update_mode(
+    spark: SparkSession,
+    source_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    n_files: int = 1,
+    order_col: str | None = None,
+) -> list:
+    """Replay in UPDATE output mode via foreachBatch (the memory sink doesn't
+    support update).  Returns the list of per-batch updated-row batches —
+    the reference's per-record emission stream at micro-batch granularity
+    (SURVEY §2.1 semantic note)."""
+    work = _scratch("upd")
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir)
+    try:
+        from pyspark.sql import functions as F  # noqa: F401
+
+        parts = [source_df] if n_files <= 1 else None
+        if parts is None:
+            raise NotImplementedError("multi-file update replay: use replay()")
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(input_dir, f"f{i:04d}")
+            )
+        reader = spark.readStream.schema(source_df.schema).parquet(
+            os.path.join(input_dir, "f*")
+        )
+        out = transform(reader)
+        batches: list = []
+
+        def capture(df: DataFrame, epoch: int) -> None:
+            batches.append(df.toPandas())
+
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "checkpoint"))
+            .start()
+        )
+        q.awaitTermination()
+        return batches
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,65 @@
+"""T7: custom stateful per-key processing (SURVEY §2.2 T7).
+
+Reference analog: Flink's ``KeyedProcessFunction`` with RocksDB keyed state
+(declared via flink-statebackend-rocksdb, study/pom.xml:72).  Spark
+realization: ``applyInPandasWithState`` — Arrow-batched per-key state with
+the streaming state store (RocksDB provider set in the session factory)
+underneath.
+
+Money is accumulated in integer CENTS, not floats: state updates must be
+exact and order-independent (a float running sum would drift per partition
+ordering and break exactly-once replay equivalence).
+
+Every Python function shipped to executors in this package is defined as a
+CLOSURE (nested function), never at module top level: cloudpickle serializes
+module-level functions by reference, which requires ``flinkexp_spark`` to be
+importable on every worker.  Closures serialize by value, so the engine works
+from any driver process without cluster-wide package installation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def running_totals_transform(stream: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    def running_totals(key, pdfs, state):
+        # Per-user running (count, cents) totals; emits current totals per batch.
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,234 @@
+"""Streaming semantics beyond the oracle-checked catalog: multi-batch update
+cadence, checkpoint restart/recovery (T10), late-row side routing (T5
+helper), rate/socket plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from flinkexp_spark.streaming.late_data import LateRowRouter
+from flinkexp_spark.streaming.replay import SCRATCH_ROOT
+
+
+def _work(tag):
+    p = os.path.join(SCRATCH_ROOT, f"{tag}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
+def _write_file(df, d, i, base_time=None):
+    fdir = os.path.join(d, f"f{i:04d}")
+    df.coalesce(1).write.mode("overwrite").parquet(fdir)
+    ts = (base_time or time.time()) + i * 5
+    for root, _, files in os.walk(fdir):
+        for f in files:
+            os.utime(os.path.join(root, f), (ts, ts))
+    return fdir
+
+
+def test_update_mode_multibatch_cadence(spark):
+    """SURVEY §2.1 semantic note: update mode emits the refreshed per-key
+    total each micro-batch — 'a a' yields (a,1) then (a,2) at batch
+    granularity, the reference's rolling-sum cadence."""
+    work = _work("cadence")
+    try:
+        schema = "word string"
+        input_dir = os.path.join(work, "in")
+        os.makedirs(input_dir)
+        _write_file(spark.createDataFrame([("a",), ("b",)], schema), input_dir, 0)
+        _write_file(spark.createDataFrame([("a",), ("a",)], schema), input_dir, 1)
+
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(input_dir, "f*"))
+        )
+        agg = reader.groupBy("word").agg(F.count("*").alias("cnt"))
+        batches = []
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, epoch: batches.append(
+                    sorted((r.word, r.cnt) for r in df.collect())
+                )
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        batches = [b for b in batches if b]
+        assert batches[0] == [("a", 1), ("b", 1)]
+        # second batch: only the changed key re-emits, with the new total
+        assert batches[1] == [("a", 3)]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_checkpoint_restart_resumes_state(spark):
+    """T10: kill the query, add data, restart from the same checkpoint —
+    state (running counts) must carry over, not restart from zero."""
+    work = _work("ckpt")
+    try:
+        schema = "k string"
+        input_dir = os.path.join(work, "in")
+        ckpt = os.path.join(work, "checkpoint")
+        os.makedirs(input_dir)
+        _write_file(spark.createDataFrame([("x",), ("y",)], schema), input_dir, 0)
+
+        def run_once():
+            reader = spark.readStream.schema(schema).parquet(
+                os.path.join(input_dir, "f*")
+            )
+            agg = reader.groupBy("k").agg(F.count("*").alias("cnt"))
+            name = f"ck_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+            res = {r.k: r.cnt for r in spark.table(name).collect()}
+            spark.catalog.dropTempView(name)
+            return res
+
+        first = run_once()
+        assert first == {"x": 1, "y": 1}
+        _write_file(spark.createDataFrame([("x",), ("z",)], schema), input_dir, 1)
+        second = run_once()
+        assert second == {"x": 2, "y": 1, "z": 1}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_late_row_router_side_output(spark):
+    """T5 helper: rows behind the tracked watermark land in the side sink,
+    on-time rows in the main handler."""
+    work = _work("late")
+    try:
+        schema = "id long, ts timestamp"
+        input_dir = os.path.join(work, "in")
+        side = os.path.join(work, "side")
+        os.makedirs(input_dir)
+        _write_file(
+            spark.createDataFrame([(1, datetime(2024, 1, 10, 12, 0))], schema),
+            input_dir,
+            0,
+        )
+        _write_file(
+            spark.createDataFrame(
+                [(2, datetime(2024, 1, 1, 0, 0)), (3, datetime(2024, 1, 10, 13, 0))],
+                schema,
+            ),
+            input_dir,
+            1,
+        )
+        on_time_ids = []
+        router = LateRowRouter(
+            ts_col="ts",
+            delay=timedelta(hours=1),
+            on_time=lambda df, e: on_time_ids.extend(r.id for r in df.collect()),
+            side_path=side,
+        )
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(input_dir, "f*"))
+        )
+        q = (
+            reader.writeStream.foreachBatch(router)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(on_time_ids) == [1, 3]
+        late_ids = [r.id for r in spark.read.parquet(side).collect()]
+        assert late_ids == [2]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_rate_source_smoke(spark):
+    """S11: the synthetic unbounded source produces schema (timestamp, value)."""
+    from flinkexp_spark.sources import connectors
+
+    df = connectors.rate_source(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["timestamp", "value"]
+
+
+def test_socket_wordcount_live(spark):
+    """S9/E1: the reference's actual topology against a real TCP socket
+    (socketTextStream analog, StreamSocket.scala:13)."""
+    import socket
+    import threading
+
+    lines = ["spark flink spark", "flink"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(3)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    from flinkexp_spark.sources import connectors
+
+    stream = connectors.socket_source(spark, "127.0.0.1", port)
+    counts = (
+        stream.select(F.explode(F.split("value", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = f"sock_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        result = {}
+        while time.time() < deadline:
+            q.processAllAvailable()
+            result = {r.word: r.cnt for r in spark.table(name).collect()}
+            if result.get("spark") == 2 and result.get("flink") == 2:
+                break
+            time.sleep(0.5)
+        assert result.get("spark") == 2 and result.get("flink") == 2, result
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+        srv.close()
+
+
+def test_kv_sink_upsert(spark):
+    """S7: foreachBatch KV upsert sink is idempotent per key."""
+    from flinkexp_spark.sources.connectors import kv_sink
+
+    store: dict = {}
+    writer = kv_sink(["k"], ["v"], store)
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    df2 = spark.createDataFrame([("a", 5)], "k string, v long")
+    writer(df1, 0)
+    writer(df2, 1)
+    assert store == {("a",): (5,), ("b",): (2,)}
