@@ -6,11 +6,16 @@ Each module maps to a SURVEY.md §2 operator group.
 from flinkexp_spark.catalog import (  # noqa: F401
     aggregates,
     joins,
+    llm_dedup,
+    llm_multimodal,
+    llm_similarity,
     projection,
     scalar_funcs,
     setops,
     sources_io,
     streaming_replay,
+    text_analysis,
+    udfs,
     windows,
     wordcount,
 )

@@ -1,0 +1,289 @@
+"""X1/X2 deduplication suite over the ``documents`` table: exact, MinHash-LSH,
+SimHash, n-gram Jaccard (SURVEY §2.3).
+
+The reference has no dedup operators (its only text op is the word-count
+split, StreamSocket.scala:15); these are the north-star training-data
+pipeline operators.  Every query here is FULLY oracle-checked — the md5
+hash contract (functions/text.py) makes even the MinHash-LSH banding
+bit-identical between Spark and DuckDB.
+
+Scale design per operator:
+
+* exact: one hash-shuffle on sha256(text) — the canonical 100 TB dedup.
+* MinHash: signatures computed shuffle-free in whole-stage codegen (array
+  lambdas); the only shuffle is the band-key self-join (collision-bounded).
+* SimHash: same — signature is an array fold; candidate pairs via byte-band
+  equality join, then exact hamming filter.
+* n-gram Jaccard: sparse inverted-index join on shingles with a document-
+  frequency cap (drops hot shingles that would otherwise create O(df²)
+  pair blowup — the standard guard at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.registry import register
+
+NGRAM_DF_CAP = 100  # drop shingles appearing in more docs than this
+JACCARD_MIN = 0.5
+HAMMING_MAX = 2
+EST_JACCARD_MIN = 0.5
+
+_MH = [f"mh_{i}" for i in range(T.N_MINHASH)]
+
+# Shared oracle CTE: tokens and shingles per document.
+_O_SHINGLED = f"""
+    t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+    s AS (SELECT doc_id, {T.shingles_sql('toks')} AS sh FROM t)
+"""
+
+_O_SIG = f"""
+    WITH {_O_SHINGLED},
+    m AS (SELECT doc_id, {', '.join(T.minhash_cols_sql('sh'))} FROM s)
+"""
+
+_O_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {T.band_key_sql(b)} AS key FROM m"
+    for b in range(T.BANDS)
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT sha256(text)) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT)
+                   AS n_dropped
+        FROM documents
+    """,
+    tags=("X1",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact content-hash dedup — survivor/drop counts.
+
+    ``sha2(text, 256)`` group keys; at 100 TB this is one shuffle on a
+    64-hex key, and the canonical `dropDuplicates` rewrite.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    h = F.sha2(F.col("text"), 256)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).alias("n_dropped"),
+    )
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=_O_SIG + f"SELECT doc_id, {', '.join(_MH)} FROM m",
+    tags=("X2",),
+)
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (stage 1): 16-component MinHash signature per document.
+
+    Computed entirely with array lambdas inside whole-stage codegen — the
+    signature stage of MinHash dedup is shuffle-free and embarrassingly
+    parallel at any scale.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    return T.minhash_signatures(docs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_O_SIG
+    + f""",
+    b AS ({_O_BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+                              AND a.doc_id < c.doc_id),
+    scored AS (
+        SELECT id_a, id_b,
+               ({' + '.join(f'CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END' for c in _MH)})
+                   / {float(T.N_MINHASH)} AS est_jaccard
+        FROM cand JOIN m x ON cand.id_a = x.doc_id
+                  JOIN m y ON cand.id_b = y.doc_id)
+    SELECT id_a, id_b, est_jaccard FROM scored
+    WHERE est_jaccard >= {EST_JACCARD_MIN}
+    """,
+    tags=("X2",),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash-LSH near-duplicate pairs.
+
+    Band-collision candidates (8 bands × 2 rows), then signature-agreement
+    estimate of Jaccard; pairs with est >= 0.5.  The candidate join shuffles
+    on (band, key) only — never O(n²).
+
+    The signature table is localCheckpoint'ed: it feeds three plan branches
+    (bands, x-side, y-side) and is tiny (17 ints/doc), so materializing once
+    beats recomputing the hash pipeline per branch.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    sig = T.minhash_signatures(docs).localCheckpoint()
+    cand = T.lsh_candidate_pairs(sig)
+    x, y = sig.alias("x"), sig.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
+    )
+    return (
+        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree / float(T.N_MINHASH)).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= EST_JACCARD_MIN)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_O_SHINGLED},
+        d AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        capped AS (SELECT * FROM d WHERE g IN
+                   (SELECT g FROM d GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP})),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                  FROM capped a JOIN capped b
+                    ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_MIN}
+    """,
+    tags=("X2",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact n-gram (3-word shingle) Jaccard via sparse inverted-index
+    join, document-frequency-capped.
+
+    J = |A∩B| / (|A|+|B|-|A∩B|) over the capped shingle sets.  The join is
+    per-shingle (inverted index), so work scales with shared-shingle pairs;
+    the DF cap bounds the worst case.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(T.shingles(T.tokens(F.col("text")))).alias("g"),
+    ).distinct()
+    df_ok = (
+        sh.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= NGRAM_DF_CAP)
+    )
+    capped = sh.join(df_ok.select("g"), "g")
+    sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(j >= JACCARD_MIN)
+        .select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+        m AS (SELECT doc_id, {T.simhash_sql('toks')} AS sim FROM t),
+        b AS (SELECT doc_id, sim, band, (sim >> (8 * band)) & 255 AS key
+              FROM m, (SELECT unnest(range(4)) AS band)),
+        p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                     bit_count(xor(a.sim, c.sim)) AS hamming
+              FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+                               AND a.doc_id < c.doc_id)
+        SELECT id_a, id_b, hamming FROM p WHERE hamming <= {HAMMING_MAX}
+    """,
+    tags=("X2",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash near-dup pairs — 32-bit signatures, byte-band candidate
+    generation, exact hamming-distance filter (<= 2 bits).
+
+    Candidates come from equality on any of the 4 signature bytes (the
+    pigeonhole guarantee: hamming <= 2 over 4 bands forces >= 1 identical
+    band), so no O(n²) pass exists even at full scale.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    sig = T.simhash_table(docs)
+    bands = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("key", F.expr("shiftrightunsigned(sim, 8 * band) & 255"))
+    a, c = bands.alias("a"), bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.key") == F.col("c.key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            T.hamming(F.col("a.sim"), F.col("c.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+@register(
+    "dedup_minhash_keep",
+    oracle=_O_SIG
+    + f""",
+    b AS ({_O_BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+                              AND a.doc_id < c.doc_id),
+    scored AS (
+        SELECT id_a, id_b
+        FROM cand JOIN m x ON cand.id_a = x.doc_id
+                  JOIN m y ON cand.id_b = y.doc_id
+        WHERE ({' + '.join(f'CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END' for c in _MH)})
+              / {float(T.N_MINHASH)} >= {EST_JACCARD_MIN})
+    SELECT COUNT(*) AS n_kept FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM scored)
+    """,
+    tags=("X2",),
+)
+def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (materialized dedup): greedy keep-lowest-id — drop every doc that
+    near-duplicates a lower-id doc; count survivors.
+
+    One anti-join against the LSH dup-pair sink side.  (Full connected-
+    component canonicalization is iterative — see operators/components.py.)
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    sig = T.minhash_signatures(docs).localCheckpoint()
+    cand = T.lsh_candidate_pairs(sig)
+    x, y = sig.alias("x"), sig.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
+    )
+    dups = (
+        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
+        .select("id_b")
+        .distinct()
+    )
+    kept = docs.join(dups, docs.doc_id == dups.id_b, "left_anti")
+    return kept.agg(F.count("*").alias("n_kept"))

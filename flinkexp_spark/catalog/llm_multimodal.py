@@ -1,0 +1,83 @@
+"""X5 multimodal-column queries: binary payloads + metadata through real
+Arrow/mapInPandas plumbing, oracle-checked (SURVEY §2.3 X5).
+
+The md5-derived fake feature extractor makes even the "model inference"
+stage exactly reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import multimodal as M
+from flinkexp_spark.functions.text import P, h64_sql
+from flinkexp_spark.registry import register
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(MIN(ascii(substr(text, 1, 1))) AS BIGINT) AS min_first_byte
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary payload column -> mapInPandas metadata scan -> aggregate.
+
+    Exercises the full multimodal path: attach binary + metadata struct,
+    Arrow-batch the bytes through Python, aggregate the extracted fields.
+    (Payload = utf-8 text bytes, so the oracle mirrors with octet_length.)
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    payloads = M.with_binary_payload(docs)
+    meta = M.extract_binary_metadata(payloads)
+    return (
+        meta.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("first_byte").alias("min_first_byte"),
+        )
+    )
+
+
+def _fake_feature_sql(j: int) -> str:
+    seed = f"concat(md5(text), '-', '{j}')"
+    return f"({h64_sql(seed)} % 1000) / 1000.0 AS f_{j}"
+
+
+_FAKE_FEATURES = ", ".join(_fake_feature_sql(j) for j in range(M.FAKE_FEATURE_DIM))
+
+
+@register(
+    "multimodal_fake_features",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, {_FAKE_FEATURES}
+            FROM documents WHERE doc_id < 100)
+        SELECT doc_id, f_0, f_1, f_2, f_3 FROM f
+    """,
+    tags=("X5", "U1"),
+)
+def q_multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: deterministic "feature extraction" over binary payloads via
+    mapInPandas — the model-inference stage with a reproducible fake model.
+    """
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = M.with_binary_payload(docs)
+    feats = M.fake_feature_extract(payloads)
+    return feats.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("features"), j + 1).alias(f"f_{j}")
+            for j in range(M.FAKE_FEATURE_DIM)
+        ],
+    )

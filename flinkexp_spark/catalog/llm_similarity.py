@@ -1,0 +1,160 @@
+"""X3 similarity search over ``embeddings`` (64-dim ``array<float>``):
+brute-force cosine top-k, LSH-bucketed ANN, and embedding-cosine near-dup
+pairs (SURVEY §2.3).
+
+No reference analog; north-star operators.  Determinism contract is in
+functions/vectors.py: explicitly-ordered double folds on both engines,
+(rounded score, vec_id) ordering, md5-derived literal hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import vectors as V
+from flinkexp_spark.registry import register
+
+N_QUERIES = 20  # vec_id < 20 are the probe set
+TOP_K = 10
+NEARDUP_COS = 0.35
+
+_COS = V.cosine_sql("q.embedding", "c.embedding")
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+        WITH p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   round({_COS}, {V.COS_DECIMALS}) AS score
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM p)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("X3",),
+)
+def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: brute-force cosine top-k (k=10) for 20 probe vectors.
+
+    The probe set is broadcast (it is small by construction); the corpus is
+    scanned once with the dot product evaluated JVM-side via array lambdas —
+    no Python, no shuffle of the corpus.  Top-k per query via ranking window
+    over the (tiny) probe x corpus score set.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    c = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    "sim_search_ann",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {V.lsh_bucket_sql('embedding')} AS bucket
+                   FROM embeddings),
+        p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   round({_COS}, {V.COS_DECIMALS}) AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM p)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("X3",),
+)
+def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: ANN via random-hyperplane LSH — candidates share the
+    probe's 8-bit sign bucket, cutting comparisons ~256x.
+
+    At 100 TB the corpus is written partitioned by bucket so a probe scans
+    one partition; here the bucket equi-join expresses the same pruning.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = F.broadcast(
+        b.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qb"),
+        )
+    )
+    c = b.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        q.join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("match_id")))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
+    "embed_neardup_cosine",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({V.cosine_sql('a.embedding', 'b.embedding')},
+                     {V.COS_DECIMALS}) AS score
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({V.cosine_sql('a.embedding', 'b.embedding')},
+                    {V.COS_DECIMALS}) >= {NEARDUP_COS}
+    """,
+    tags=("X2", "X3"),
+)
+def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: embedding-cosine near-dup pairs, blocked by cluster label.
+
+    The label acts as the IVF coarse quantizer: pairs are only scored
+    within a block, so the pair space is sum-of-block² not corpus² — the
+    standard structure for embedding dedup at scale (cluster first, then
+    pairwise inside cells).
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    score = F.round(V.cosine(F.col("va"), F.col("vb")), V.COS_DECIMALS)
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= NEARDUP_COS)
+    )

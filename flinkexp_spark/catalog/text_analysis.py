@@ -1,0 +1,192 @@
+"""X4 text analysis over ``documents``: token stats, quality scoring,
+language-ID heuristic, document fingerprinting (SURVEY §2.3).
+
+No reference analog (the reference's text processing is one `split`,
+StreamSocket.scala:15); these are north-star training-data operators.
+All pure `pyspark.sql.functions` expressions — whole-stage codegen, no
+Python in the hot path — with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.registry import register
+
+# Marker stopwords per language for the lang-ID heuristic.  The heuristic's
+# CONTRACT is "argmax of marker-word hit counts, ties -> 'und'"; it is
+# deterministic and mirrored exactly in the oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "es": ["el", "los", "de", "y", "una"],
+    "de": ["der", "die", "und", "ein", "zu"],
+}
+
+WORD_RE = "[a-z]+"  # BPE-ish alpha runs; same RE2 semantics in both engines
+
+
+def _marker_count(toks, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _marker_count_sql(toks: str, words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks}, t -> list_contains({lst}, t)))"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {T.tokens_sql('text')} AS toks,
+                          text FROM documents)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(regexp_extract_all(lower(text), '{WORD_RE}')))
+                    AS BIGINT) AS total_words,
+               CAST(MAX(len(toks)) AS BIGINT) AS max_tokens
+        FROM t GROUP BY lang
+    """,
+    tags=("X4",),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token counting — whitespace tokens + regex word runs, per lang."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    return (
+        docs.select("lang", F.size(toks).alias("nt"), F.size(words).alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nw").alias("total_words"),
+            F.max(F.col("nt").cast("long")).alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "text_quality_profile",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, n_chars,
+                          {T.tokens_sql('text')} AS toks FROM documents),
+        q AS (SELECT doc_id, source,
+                     len(toks) AS n_tokens,
+                     round(n_chars * 1.0 / len(toks), 4) AS chars_per_token,
+                     round({_marker_count_sql('toks', LANG_MARKERS['en'])}
+                           * 1.0 / len(toks), 4) AS stopword_ratio
+              FROM t WHERE len(toks) > 0)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               round(AVG(chars_per_token), 4) AS avg_cpt,
+               round(AVG(stopword_ratio), 4) AS avg_stopword_ratio,
+               CAST(SUM(CASE WHEN n_tokens BETWEEN 20 AND 1000
+                             AND stopword_ratio >= 0.01
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        FROM q GROUP BY source
+    """,
+    tags=("X4",),
+)
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: quality scoring — length / stopword-ratio heuristics per source.
+
+    A doc passes the quality gate when 20 <= tokens <= 1000 and the
+    stopword ratio >= 1% (the classic Gopher-style length+stopword rules).
+    Averages of exact 4-dp-rounded ratios keep both engines identical.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = docs.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        _marker_count(toks, LANG_MARKERS["en"]).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    q = base.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("cpt"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("sr"),
+    )
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("cpt"), 4).alias("avg_cpt"),
+        F.round(F.avg("sr"), 4).alias("avg_stopword_ratio"),
+        F.sum(
+            (
+                F.col("n_tokens").between(20, 1000) & (F.col("sr") >= 0.01)
+            ).cast("long")
+        ).alias("n_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {T.tokens_sql('text')} AS toks
+                   FROM documents),
+        sc AS (SELECT doc_id, lang,
+                      {', '.join(f"{_marker_count_sql('toks', ws)} AS s_{lang}" for lang, ws in LANG_MARKERS.items())}
+               FROM t),
+        pred AS (SELECT doc_id, lang,
+                        CASE
+                          {' '.join(f"WHEN s_{lang} > greatest({', '.join('s_' + o for o in LANG_MARKERS if o != lang)}) THEN '{lang}'" for lang in LANG_MARKERS)}
+                          ELSE 'und' END AS predicted
+                 FROM sc)
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM pred GROUP BY lang, predicted
+    """,
+    tags=("X4",),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: language-ID heuristic — argmax of per-language marker-word hits
+    (strict winner, ties -> 'und'), confusion counts vs the labeled lang."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    sc = docs.select(
+        "lang",
+        *[
+            _marker_count(toks, ws).alias(f"s_{lang}")
+            for lang, ws in LANG_MARKERS.items()
+        ],
+    )
+    pred = F.lit("und")
+    expr = None
+    for lang in LANG_MARKERS:
+        others = [F.col(f"s_{o}") for o in LANG_MARKERS if o != lang]
+        cond = F.col(f"s_{lang}") > F.greatest(*others)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("und")
+    return (
+        sc.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents)
+        SELECT doc_id, {T.fingerprint_sql('toks')} AS fp,
+               {T.simhash_sql('toks')} AS simhash
+        FROM t WHERE doc_id < 200
+    """,
+    tags=("X4", "X2"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: document fingerprinting — order-sensitive rolling hash (content
+    identity) + SimHash (near-identity), per doc."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.fingerprint_col(toks).alias("fp"),
+        T.simhash_col(toks).alias("simhash"),
+    )

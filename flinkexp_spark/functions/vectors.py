@@ -1,0 +1,101 @@
+"""Vector math over embedding columns (``array<float>``) — cosine similarity,
+top-k search, and deterministic random-hyperplane LSH bucketing
+(SURVEY §2.3 X3).
+
+**Cross-engine determinism.** Cosine is computed with an explicitly-ordered
+fold (``zip_with`` + ``aggregate`` in Spark; ``list_transform`` +
+``list_reduce`` in the DuckDB oracle) after casting each element to DOUBLE —
+both engines execute the *same* sequence of IEEE-double operations, so the
+results are bitwise identical and a round-to-5-decimals comparison is exact.
+Top-k ordering uses (rounded score DESC, vec_id ASC) on both sides so ties
+are broken identically.
+
+**LSH planes** are ±1 sign vectors derived from ``md5(f"{plane}-{dim}")``
+parity, computed once in Python (``hashlib.md5`` == Spark ``md5`` == DuckDB
+``md5``) and inlined as literals into both engines' expressions — single
+source of truth, no RNG.
+
+**Scale notes.** Brute-force top-k broadcasts the (small) query set and
+scans the corpus once — a broadcast nested-loop join, no shuffle of the big
+side.  The LSH path joins on bucket equality first, turning O(Q·N) into
+O(Q·N/2^planes) comparisons; at 100 TB you shard the corpus by bucket
+(partitioned write) so each probe touches one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from flinkexp_spark.functions.text import P
+
+N_PLANES = 8
+DIM = 64
+COS_DECIMALS = 5
+
+
+def _plane_sign(p: int, d: int) -> int:
+    h = int(hashlib.md5(f"{p}-{d}".encode()).hexdigest()[:15], 16) % P
+    return (h % 2) * 2 - 1
+
+
+# PLANES[p][d] in {-1, +1}; inlined as literals on both engine and oracle side.
+PLANES: list[list[int]] = [
+    [_plane_sign(p, d) for d in range(DIM)] for p in range(N_PLANES)
+]
+
+
+# ---------------------------------------------------------------------------
+# cosine
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float-array columns, as DOUBLE."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH bucket
+# ---------------------------------------------------------------------------
+
+def lsh_bucket(vec: Column) -> Column:
+    """N_PLANES-bit sign bucket of a vector (deterministic planes)."""
+    out = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        proj = F.lit(0.0)
+        for d, s in enumerate(PLANES[p]):
+            term = F.element_at(vec, d + 1).cast("double")
+            proj = proj + (term if s > 0 else -term)
+        out = out + F.shiftleft((proj > 0).cast("long"), p)
+    return out
+
+
+def lsh_bucket_sql(vec: str) -> str:
+    parts = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"{'' if s > 0 else '-'}CAST({vec}[{d + 1}] AS DOUBLE)"
+            for d, s in enumerate(PLANES[p])
+        )
+        parts.append(f"(CAST(({terms}) > 0 AS BIGINT) << {p})")
+    return "(" + " + ".join(parts) + ")"

@@ -1,0 +1,80 @@
+"""Unit tests for the X1-X5 extension operators beyond the oracle gate:
+structural properties of dedup/similarity, multimodal stubs, closure rules.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import multimodal as M
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.functions import vectors as V
+
+
+def test_minhash_detects_planted_neardups(spark, sf_dir):
+    """An exact duplicate must collide on every band; a near-dup on >=1."""
+    docs = datasets.load(spark, sf_dir, "documents").limit(50)
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    sig = T.minhash_signatures(docs.unionByName(clone))
+    pairs = T.lsh_candidate_pairs(sig)
+    hits = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000).collect()
+    }
+    n = docs.count()
+    assert len(hits) == n, "every exact clone must be an LSH candidate"
+
+
+def test_simhash_identical_for_identical_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id", T.simhash_col(T.tokens(F.col("text"))).alias("s")
+    ).collect()
+    by_id = {r.doc_id: r.s for r in rows}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", T.fingerprint_col(T.tokens(F.col("text"))).alias("fp")
+    ).collect()
+    fps = {r.doc_id: r.fp for r in rows}
+    assert fps[1] != fps[2], "rolling hash must depend on token order"
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    emb = datasets.load(spark, sf_dir, "embeddings").limit(10)
+    rows = emb.select(
+        F.round(V.cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert all(abs(r.c - 1.0) < 1e-6 for r in rows)
+
+
+def test_lsh_bucket_is_stable_and_bounded(spark, sf_dir):
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    b = emb.select(V.lsh_bucket(F.col("embedding")).alias("b"))
+    mn, mx = b.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < 2**V.N_PLANES
+
+
+def test_multimodal_stubs_raise(spark, sf_dir):
+    docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(1))
+    for stub in (M.decode_image, M.decode_audio, M.sample_frames):
+        with pytest.raises(NotImplementedError):
+            stub(docs)
+
+
+def test_binary_payload_schema(spark, sf_dir):
+    docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(5))
+    schema = dict(docs.dtypes)
+    assert schema["payload"] == "binary"
+    assert schema["media_meta"].startswith("struct<mime:string,n_bytes:")
