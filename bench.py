@@ -34,6 +34,7 @@ HEADLINE = [
     # relational suite representatives (§2.2): scan-heavy agg, star join,
     # window functions, set ops, scalar-function pipeline
     "agg_pricing_summary",
+    "sql_tpch_q5",
     "join_broadcast_star",
     "join_asof",
     "window_topk_per_group",

@@ -1,0 +1,73 @@
+"""Public engine facade — the user-facing API surface (SURVEY §3 entry
+points).
+
+The reference's single entry point is
+``StreamExecutionEnvironment.getExecutionEnvironment`` + method chaining
+(StreamSocket.scala:12-16).  Our engine exposes the three Spark-native
+entry points documented in SURVEY §3.1:
+
+1. ``engine.sql("SELECT ...")``   — SQL over the registered tables
+2. ``engine.table(name)``          — DataFrame method chaining
+3. ``engine.stream(...)``          — Structured Streaming sources
+
+Example::
+
+    from flinkexp_spark.api import FlinkexpEngine
+
+    eng = FlinkexpEngine.create(data_dir="/data/tables")
+    top = eng.sql("SELECT word, count(*) c FROM docs GROUP BY word")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flinkexp_spark import datasets, sources
+from flinkexp_spark.session import get_session
+
+
+class FlinkexpEngine:
+    """A configured SparkSession + registered table catalog."""
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self.data_dir = data_dir
+        if data_dir is not None:
+            datasets.register_views(spark, data_dir)
+
+    @classmethod
+    def create(
+        cls,
+        app_name: str = "flinkexp_spark",
+        data_dir: str | None = None,
+        **session_kwargs,
+    ) -> "FlinkexpEngine":
+        return cls(get_session(app_name=app_name, **session_kwargs), data_dir)
+
+    # -- entry point 1: SQL -------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Parse/analyze/optimize/execute via Catalyst (SURVEY §3.1.1)."""
+        return self.spark.sql(query)
+
+    # -- entry point 2: DataFrame chaining ---------------------------------
+    def table(self, name: str) -> DataFrame:
+        if self.data_dir is not None:
+            return datasets.load(self.spark, self.data_dir, name)
+        return self.spark.table(name)
+
+    # -- entry point 3: streaming ------------------------------------------
+    def stream_socket(self, host: str, port: int) -> DataFrame:
+        """The reference's source (socketTextStream, StreamSocket.scala:13)."""
+        return sources.socket_source(self.spark, host, port)
+
+    def stream_rate(self, rows_per_second: int = 100) -> DataFrame:
+        return sources.rate_source(self.spark, rows_per_second)
+
+    def read_parquet(self, path: str) -> DataFrame:
+        return sources.read_parquet(self.spark, path)
+
+    def read_csv(self, path: str, schema, header: bool = True) -> DataFrame:
+        return sources.read_csv(self.spark, path, schema, header)
+
+    def read_json(self, path: str, schema) -> DataFrame:
+        return sources.read_json(self.spark, path, schema)

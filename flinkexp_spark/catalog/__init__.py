@@ -13,6 +13,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     scalar_funcs,
     setops,
     sources_io,
+    sql_queries,
     streaming_replay,
     text_analysis,
     udfs,

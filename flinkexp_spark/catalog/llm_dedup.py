@@ -41,15 +41,35 @@ _O_SHINGLED = f"""
     s AS (SELECT doc_id, {T.shingles_sql('toks')} AS sh FROM t)
 """
 
-_O_SIG = f"""
-    WITH {_O_SHINGLED},
+_O_SIG_BODY = f"""
+    {_O_SHINGLED},
     m AS (SELECT doc_id, {', '.join(T.minhash_cols_sql('sh'))} FROM s)
 """
+
+_O_SIG = "WITH " + _O_SIG_BODY
 
 _O_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, {T.band_key_sql(b)} AS key FROM m"
     for b in range(T.BANDS)
 )
+
+_O_AGREE = (
+    "("
+    + " + ".join(f"CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END" for c in _MH)
+    + f") / {float(T.N_MINHASH)}"
+)
+
+# candidate pairs + est-jaccard filter, as a reusable CTE body
+_O_SCORED_BODY = f"""
+    b AS ({_O_BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+                              AND a.doc_id < c.doc_id),
+    scored AS (
+        SELECT id_a, id_b, {_O_AGREE} AS est_jaccard
+        FROM cand JOIN m x ON cand.id_a = x.doc_id
+                  JOIN m y ON cand.id_b = y.doc_id)
+"""
 
 
 @register(
@@ -97,17 +117,9 @@ def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=_O_SIG
-    + f""",
-    b AS ({_O_BANDS}),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-             FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
-                              AND a.doc_id < c.doc_id),
-    scored AS (
-        SELECT id_a, id_b,
-               ({' + '.join(f'CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END' for c in _MH)})
-                   / {float(T.N_MINHASH)} AS est_jaccard
-        FROM cand JOIN m x ON cand.id_a = x.doc_id
-                  JOIN m y ON cand.id_b = y.doc_id)
+    + ","
+    + _O_SCORED_BODY
+    + f"""
     SELECT id_a, id_b, est_jaccard FROM scored
     WHERE est_jaccard >= {EST_JACCARD_MIN}
     """,
@@ -248,19 +260,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_keep",
     oracle=_O_SIG
-    + f""",
-    b AS ({_O_BANDS}),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-             FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
-                              AND a.doc_id < c.doc_id),
-    scored AS (
-        SELECT id_a, id_b
-        FROM cand JOIN m x ON cand.id_a = x.doc_id
-                  JOIN m y ON cand.id_b = y.doc_id
-        WHERE ({' + '.join(f'CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END' for c in _MH)})
-              / {float(T.N_MINHASH)} >= {EST_JACCARD_MIN})
+    + ","
+    + _O_SCORED_BODY
+    + f"""
     SELECT COUNT(*) AS n_kept FROM documents
-    WHERE doc_id NOT IN (SELECT id_b FROM scored)
+    WHERE doc_id NOT IN (SELECT id_b FROM scored
+                         WHERE est_jaccard >= {EST_JACCARD_MIN})
     """,
     tags=("X2",),
 )
@@ -287,3 +292,56 @@ def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.join(dups, docs.doc_id == dups.id_b, "left_anti")
     return kept.agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "dedup_components",
+    oracle="WITH RECURSIVE "
+    + _O_SIG_BODY
+    + ","
+    + _O_SCORED_BODY
+    + f""",
+    e AS (SELECT id_a, id_b FROM scored WHERE est_jaccard >= {EST_JACCARD_MIN}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS node, least(u, MIN(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT component, COUNT(*) AS cluster_size,
+           MIN(node) AS min_doc, MAX(node) AS max_doc
+    FROM comp GROUP BY component
+    """,
+    tags=("X2",),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (canonicalization): connected components over the near-dup pair
+    graph — every doc in a dup cluster labeled with the cluster's min id.
+
+    Iterative min-label propagation (operators/components.py); the oracle is
+    the transitive closure via a recursive CTE.  Output is per-cluster shape
+    (size, id range), i.e. the dedup "survivor groups".
+    """
+    from flinkexp_spark.operators.components import connected_components
+
+    docs = datasets.load(spark, sf_dir, "documents")
+    sig = T.minhash_signatures(docs).localCheckpoint()
+    cand = T.lsh_candidate_pairs(sig)
+    x, y = sig.alias("x"), sig.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
+    )
+    edges = (
+        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("min_doc"),
+        F.max("node").alias("max_doc"),
+    )
