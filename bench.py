@@ -62,6 +62,9 @@ def main() -> None:
         sf = -1.0
 
     spark = get_session(app_name="flinkexp_spark_bench")
+    # Warm up the JVM / codegen / parquet footer caches with one tiny scan so
+    # per-query timings measure the engine, not first-touch session costs.
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     qs = queries()
     suite = [n for n in HEADLINE if n in qs]
     missing = [n for n in HEADLINE if n not in qs]

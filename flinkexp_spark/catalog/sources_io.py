@@ -142,6 +142,64 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_in_memory",
+    oracle="""
+        SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+        FROM (VALUES ('a', 1), ('a', 2), ('b', 3), ('b', 4), ('c', 5))
+             AS t(grp, v)
+        GROUP BY grp
+    """,
+    tags=("S11",),
+)
+def q_source_in_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: in-memory collection source (Table API ``fromCollection``
+    envelope) — ``spark.createDataFrame`` over driver-local rows."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)], "grp string, v int"
+    )
+    return df.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("v").cast("long").alias("total")
+    )
+
+
+@register(
+    "sink_kv_upsert",
+    oracle="""
+        SELECT event_type AS k, COUNT(*) AS n
+        FROM events WHERE event_id < 3000
+        GROUP BY event_type
+    """,
+    tags=("S7",),
+)
+def q_sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: key-value upsert sink (Redis analog, study/pom.xml:65) —
+    streaming counts written per micro-batch via foreachBatch into a
+    dict-like store; the store's final state is the result.
+
+    Upserts are idempotent per key, so checkpoint replay yields
+    exactly-once state in the store — the Kafka/Redis exactly-once
+    envelope (S5) uses the identical writer shape.
+    """
+    from flinkexp_spark import sources
+    from flinkexp_spark.streaming.replay import replay_foreach_batch
+
+    events = datasets.load(spark, sf_dir, "events").filter(
+        F.col("event_id") < 3000
+    )
+    store: dict = {}
+    writer = sources.kv_sink(["event_type"], ["n"], store)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    replay_foreach_batch(
+        spark, events, transform, writer, output_mode="complete"
+    )
+    rows = [(k[0], int(v[0])) for k, v in store.items()]
+    return spark.createDataFrame(rows, "k string, n long")
+
+
+@register(
     "source_partitioned_parquet",
     oracle="""
         SELECT year(l_shipdate) AS ship_year, COUNT(*) AS n

@@ -55,7 +55,7 @@ def _win_cols(df: DataFrame) -> DataFrame:
         WHERE word <> ''
         GROUP BY word
     """,
-    tags=("E1", "E2", "E3", "E4", "E5", "E6", "E7", "T9"),
+    tags=("E1", "E2", "E3", "E4", "E5", "E6", "E7", "T9", "S9"),
 )
 def q_stream_wordcount_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E7 parity: STREAMING word count in update output mode.
@@ -64,7 +64,8 @@ def q_stream_wordcount_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> print, StreamSocket.scala:13-16) with the socket replaced by the
     bounded file replay and print by a foreachBatch capture.  Update mode
     reproduces the per-key "emit current total" semantics at micro-batch
-    granularity (SURVEY §2.1).
+    granularity (SURVEY §2.1).  The LIVE socket source (S9) runs the same
+    transform in tests/test_streaming.py::test_socket_wordcount_live.
     """
     docs = datasets.load(spark, sf_dir, "documents")
 

@@ -135,6 +135,39 @@ def replay(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def replay_foreach_batch(
+    spark: SparkSession,
+    source_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    writer: Callable[[DataFrame, int], None],
+    output_mode: str = "update",
+) -> None:
+    """Replay through a custom ``foreachBatch`` writer (S7 kv-sink shape and
+    any external store: the writer receives each micro-batch DataFrame plus
+    the epoch id and performs its own idempotent upserts)."""
+    work = _scratch("feb")
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir)
+    try:
+        source_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(input_dir, "f0000")
+        )
+        reader = spark.readStream.schema(source_df.schema).parquet(
+            os.path.join(input_dir, "f*")
+        )
+        q = (
+            transform(reader)
+            .writeStream.foreachBatch(writer)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, "checkpoint"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def replay_update_mode(
     spark: SparkSession,
     source_df: DataFrame,
