@@ -29,8 +29,9 @@ from flinkexp_spark.session import get_session  # noqa: E402
 # the registry are skipped (bench never breaks while the catalog evolves);
 # anything present runs.
 HEADLINE = [
-    # batch word count throughput (E2–E5)
+    # batch word count throughput (E2–E5; BASELINE row 1 definition)
     "wordcount_batch",
+    "wordcount_union",
     # relational suite representatives (§2.2): scan-heavy agg, star join,
     # window functions, set ops, scalar-function pipeline
     "agg_pricing_summary",
@@ -62,9 +63,10 @@ def main() -> None:
         sf = -1.0
 
     spark = get_session(app_name="flinkexp_spark_bench")
-    # Warm up the JVM / codegen / parquet footer caches with one tiny scan so
-    # per-query timings measure the engine, not first-touch session costs.
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # Warm up the JVM / codegen / parquet footer+page caches so per-query
+    # timings measure the engine, not first-touch session costs.
+    for t in ("nation", "documents", "events", "lineitem", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     qs = queries()
     suite = [n for n in HEADLINE if n in qs]
     missing = [n for n in HEADLINE if n not in qs]

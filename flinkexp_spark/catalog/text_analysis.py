@@ -97,7 +97,8 @@ def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: quality scoring — length / stopword-ratio heuristics per source.
 
     A doc passes the quality gate when 20 <= tokens <= 1000 and the
-    stopword ratio >= 1% (the classic Gopher-style length+stopword rules).
+    stopword ratio >= 1% — the length+stopword rule family from Rae et al.,
+    "Scaling Language Models: ... Gopher" (2021), Appendix A (public).
     Averages of exact 4-dp-rounded ratios keep both engines identical.
     """
     docs = datasets.load(spark, sf_dir, "documents")

@@ -55,6 +55,36 @@ def q_wordcount_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_union",
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            UNION ALL
+            SELECT unnest(string_split(props, ' ')) AS word FROM events
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("E2", "E3", "E4", "E5", "O3"),
+)
+def q_wordcount_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md throughput query: word count over documents.text UNION ALL
+    events.props (the full fixture line volume).
+
+    Both scans feed one shuffle; partial counts combine per source partition
+    before the exchange, so the union costs no extra stage.
+    """
+    docs = datasets.load(spark, sf_dir, "documents").select(
+        F.col("text").alias("line")
+    )
+    props = datasets.load(spark, sf_dir, "events").select(
+        F.col("props").alias("line")
+    )
+    return word_counts(docs.unionByName(props), text_col="line")
+
+
+@register(
     "wordcount_topk",
     oracle="""
         SELECT word, cnt FROM (

@@ -5,6 +5,14 @@ Reference analog: none exercised (the reference's only text op is the
 word-count split, StreamSocket.scala:15); these are the north-star
 training-data-pipeline operators mandated by BASELINE.json.
 
+Algorithms (public literature): MinHash resemblance + banding LSH follow
+Broder, "On the resemblance and containment of documents" (1997) and the
+banding analysis in Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3; SimHash follows Charikar, "Similarity estimation
+techniques from rounding algorithms" (STOC 2002) with the 2-of-4 byte-band
+pigeonhole trick from Manku/Jain/Sarma, "Detecting near-duplicates for web
+crawling" (WWW 2007); the rolling fingerprint is Karp–Rabin.
+
 **Cross-engine hash contract.** Every hash in this module is derived from
 ``md5`` — the one cryptographic hash Spark and DuckDB both expose with
 identical output — via::

@@ -13,7 +13,10 @@ are broken identically.
 **LSH planes** are ±1 sign vectors derived from ``md5(f"{plane}-{dim}")``
 parity, computed once in Python (``hashlib.md5`` == Spark ``md5`` == DuckDB
 ``md5``) and inlined as literals into both engines' expressions — single
-source of truth, no RNG.
+source of truth, no RNG.  Sign-random-projection hashing per Charikar
+(STOC 2002); the bucket-then-scan layout is the IVF coarse-quantization
+pattern (Jégou et al., "Product quantization for nearest neighbor search",
+2011).
 
 **Scale notes.** Brute-force top-k broadcasts the (small) query set and
 scans the corpus once — a broadcast nested-loop join, no shuffle of the big

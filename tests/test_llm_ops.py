@@ -27,6 +27,15 @@ def test_minhash_detects_planted_neardups(spark, sf_dir):
     assert len(hits) == n, "every exact clone must be an LSH candidate"
 
 
+def test_minhash_short_doc_gets_null_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one two three four")], "doc_id long, text string"
+    )
+    sig = {r.doc_id: r.mh_0 for r in T.minhash_signatures(df).collect()}
+    assert sig[1] is None, "< k tokens -> no shingles -> NULL signature"
+    assert sig[2] is not None
+
+
 def test_simhash_identical_for_identical_text(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "completely different words here")],
