@@ -34,6 +34,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
+# Stateful-operator parallelism for bounded replays.  The shuffle-partition
+# count is baked into a streaming checkpoint at first start and fixes the
+# number of state-store (RocksDB) instances per operator — it should track
+# STATE SIZE, not the session's batch shuffle width.  Fixture replays carry
+# tiny state, and per-instance open/commit overhead dominates: measured at
+# sf0.1, 8 partitions run the windowed replays ~2x faster than 32.  On a
+# real cluster, size this to keep per-instance state in memory
+# (state_bytes / ~1 GB), NOT to the batch width.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
+class _stream_partitions:
+    """Set shuffle partitions for a (synchronous) streaming run, then restore."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
 
 def _scratch(tag: str) -> str:
     path = os.path.join(SCRATCH_ROOT, f"{tag}_{uuid.uuid4().hex[:12]}")
@@ -123,8 +149,9 @@ def replay(
             writer = writer.option(
                 "checkpointLocation", os.path.join(work, "checkpoint")
             )
-        q = writer.start()
-        q.awaitTermination()
+        with _stream_partitions(spark):
+            q = writer.start()
+            q.awaitTermination()
         # Materialize before dropping the sink table.
         rows = spark.table(name).collect()
         spark.catalog.dropTempView(name)
@@ -155,15 +182,16 @@ def replay_foreach_batch(
         reader = spark.readStream.schema(source_df.schema).parquet(
             os.path.join(input_dir, "f*")
         )
-        q = (
-            transform(reader)
-            .writeStream.foreachBatch(writer)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(work, "checkpoint"))
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_partitions(spark):
+            q = (
+                transform(reader)
+                .writeStream.foreachBatch(writer)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "checkpoint"))
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -201,14 +229,15 @@ def replay_update_mode(
         def capture(df: DataFrame, epoch: int) -> None:
             batches.append(df.toPandas())
 
-        q = (
-            out.writeStream.foreachBatch(capture)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(work, "checkpoint"))
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_partitions(spark):
+            q = (
+                out.writeStream.foreachBatch(capture)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "checkpoint"))
+                .start()
+            )
+            q.awaitTermination()
         return batches
     finally:
         shutil.rmtree(work, ignore_errors=True)
