@@ -15,6 +15,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     sources_io,
     sql_queries,
     streaming_replay,
+    subqueries,
     text_analysis,
     udfs,
     windows,

@@ -39,6 +39,49 @@ STATE_SCHEMA = StructType(
 )
 
 
+def running_totals_tws_transform(stream: DataFrame) -> DataFrame:
+    """T7 on the Spark 4 ``transformWithStateInPandas`` API (the successor
+    of applyInPandasWithState): typed per-key ValueState managed by a
+    StatefulProcessor, RocksDB-backed, with timer support.
+
+    Same contract as :func:`running_totals_transform` — per-user
+    (count, cents) running totals emitted each batch.
+
+    ENVIRONMENT-GATED: the state-server IPC needs ``google.protobuf``,
+    absent in this container — the replay test skips when the import fails
+    (tests/test_streaming.py::test_transform_with_state_parity); the
+    registered T7 query uses :func:`running_totals_transform`, which has no
+    extra dependency.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        # defined inside the closure: pickled by value (module doc)
+        def init(self, handle):
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_totals_transform(stream: DataFrame) -> DataFrame:
     import pandas as pd
 

@@ -232,3 +232,25 @@ def test_kv_sink_upsert(spark):
     writer(df1, 0)
     writer(df2, 1)
     assert store == {("a",): (5,), ("b",): (2,)}
+
+
+def test_transform_with_state_parity(spark):
+    """T7 forward path (transformWithStateInPandas): gated on protobuf,
+    which the state-server IPC requires."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from flinkexp_spark.streaming.replay import replay
+    from flinkexp_spark.streaming.stateful import running_totals_tws_transform
+
+    events = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, "click", 1.25, "{}"),
+         (2, datetime(2024, 1, 1), 7, "view", 2.50, "{}"),
+         (3, datetime(2024, 1, 1), 9, "click", 0.75, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = replay(
+        spark, events, running_totals_tws_transform,
+        output_mode="update", use_checkpoint=True,
+    )
+    got = {r.user_id: (r.n_events, r.value_cents) for r in out.collect()}
+    assert got == {7: (2, 375), 9: (1, 75)}
