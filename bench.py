@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_search_topk",
     "text_quality_profile",
+    # composite: quality gate -> exact dedup -> near-dup drop -> stats
+    "pipeline_training_data",
 ]
 
 

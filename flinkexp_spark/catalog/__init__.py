@@ -9,6 +9,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     llm_dedup,
     llm_multimodal,
     llm_similarity,
+    pipeline,
     projection,
     scalar_funcs,
     setops,

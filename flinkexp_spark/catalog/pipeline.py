@@ -1,0 +1,107 @@
+"""Flagship composite: the end-to-end LLM training-data pipeline
+(X4 quality gate -> X1 exact dedup -> X2 MinHash-LSH near-dup drop ->
+corpus stats), as ONE declarative Spark plan with a full DuckDB oracle.
+
+This is the job the engine exists for at 100 TB: each stage is one of the
+already-proven operators, composed so Catalyst plans the whole thing
+together — the quality filter prunes before any hashing, dedup hash-joins
+run only on survivors, and the final stats aggregate is map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.catalog.llm_dedup import EST_JACCARD_MIN
+from flinkexp_spark.catalog.text_analysis import LANG_MARKERS, _marker_count, _marker_count_sql
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.registry import register
+
+_MH = [f"mh_{i}" for i in range(T.N_MINHASH)]
+_AGREE = (
+    "("
+    + " + ".join(f"CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END" for c in _MH)
+    + f") / {float(T.N_MINHASH)}"
+)
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {T.band_key_sql(b)} AS key FROM m"
+    for b in range(T.BANDS)
+)
+
+_ORACLE = f"""
+    WITH t0 AS (SELECT doc_id, lang, text, {T.tokens_sql('text')} AS toks
+                FROM documents),
+    -- X4 quality gate
+    q AS (SELECT doc_id, lang, text, toks FROM t0
+          WHERE len(toks) BETWEEN 20 AND 1000
+            AND round({_marker_count_sql('toks', LANG_MARKERS['en'])}
+                      * 1.0 / len(toks), 4) >= 0.01),
+    -- X1 exact dedup: keep min doc_id per content hash
+    x AS (SELECT * FROM q
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY sha256(text))),
+    -- X2 near-dup drop over the survivors
+    s AS (SELECT doc_id, {T.shingles_sql('toks')} AS sh FROM x),
+    m AS (SELECT doc_id, {', '.join(T.minhash_cols_sql('sh'))} FROM s),
+    b AS ({_BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+                              AND a.doc_id < c.doc_id),
+    dup AS (SELECT DISTINCT id_b FROM cand
+            JOIN m x ON cand.id_a = x.doc_id
+            JOIN m y ON cand.id_b = y.doc_id
+            WHERE {_AGREE} >= {EST_JACCARD_MIN}),
+    kept AS (SELECT * FROM x WHERE doc_id NOT IN (SELECT id_b FROM dup))
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang
+"""
+
+
+@register("pipeline_training_data", oracle=_ORACLE, tags=("X1", "X2", "X4"))
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate -> exact-dedup -> near-dup-drop -> per-lang corpus stats,
+    composed as one lazy plan (only the LSH signature table is
+    checkpointed, as in dedup_minhash_lsh)."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+
+    # X4 quality gate
+    q = docs.select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tokens"),
+        _marker_count(toks, LANG_MARKERS["en"]).alias("n_stop"),
+    ).filter(
+        F.col("n_tokens").between(20, 1000)
+        & (F.round(F.col("n_stop") / F.col("n_tokens"), 4) >= 0.01)
+    )
+
+    # X1 exact dedup: keep the min doc_id per content hash
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    x = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # X2 near-dup drop over survivors (greedy keep-lowest-id)
+    sig = T.minhash_signatures(x).localCheckpoint()
+    cand = T.lsh_candidate_pairs(sig)
+    sx, sy = sig.alias("x"), sig.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
+    )
+    dup = (
+        cand.join(sx, F.col("id_a") == F.col("x.doc_id"))
+        .join(sy, F.col("id_b") == F.col("y.doc_id"))
+        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
+        .select("id_b")
+        .distinct()
+    )
+    kept = x.join(dup, x.doc_id == dup.id_b, "left_anti")
+
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+    )

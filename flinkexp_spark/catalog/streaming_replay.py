@@ -83,6 +83,56 @@ def q_stream_wordcount_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_text_source",
+    oracle="""
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("S1", "E2", "E5"),
+)
+def q_stream_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (streaming form): line-oriented TEXT file streaming source — the
+    socket payload shape (one `value: string` column) read via
+    ``readStream.text``; word count in complete mode."""
+    import os
+    import shutil
+    import uuid
+
+    from flinkexp_spark.streaming.replay import SCRATCH_ROOT, _stream_partitions
+
+    docs = datasets.load(spark, sf_dir, "documents")
+    work = os.path.join(SCRATCH_ROOT, f"txt_{uuid.uuid4().hex[:12]}")
+    try:
+        docs.select(F.col("text").alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(work, "lines"))
+        lines = spark.readStream.text(os.path.join(work, "lines"))
+        out = (
+            lines.select(F.explode(F.split("value", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+        )
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        with _stream_partitions(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, "word string, cnt long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "stream_tumbling_window",
     oracle="""
         SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
