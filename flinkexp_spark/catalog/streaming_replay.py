@@ -495,6 +495,60 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_gapfill_hourly",
+    oracle="""
+        WITH bounds AS (
+            SELECT to_timestamp(floor(epoch(MIN(ts)) / 3600) * 3600) AS lo,
+                   to_timestamp(floor(epoch(MAX(ts)) / 3600) * 3600) AS hi
+            FROM events WHERE event_type = 'purchase'),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds),
+        agg AS (
+            SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS h,
+                   COUNT(*) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+        FROM hours LEFT JOIN agg ON hours.h = agg.h
+    """,
+    tags=("T2", "F3"),
+)
+def q_rollup_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup with GAP FILLING (hypertable-rollup pattern):
+    hourly purchase counts including zero rows for empty hours.
+
+    The dense hour spine is generated with ``sequence()`` from the min/max
+    bounds — O(hours) rows regardless of event volume — then left-joined to
+    the sparse hourly aggregate.  At 100 TB the aggregate side shrinks to
+    one row per hour BEFORE the join (partial agg), so the gap-fill join is
+    spine-sized, not data-sized.
+    """
+    events = datasets.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+@register(
     "stream_tumbling_checkpointed",
     oracle="""
         SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
