@@ -49,6 +49,33 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, strlen(text) AS n, text,
+                   unnest(range(CAST(ceil(strlen(text) / {float(M.FRAME_BYTES)})
+                                     AS BIGINT))) AS i
+            FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+               i AS frame_idx,
+               CAST(least({M.FRAME_BYTES}, n - i * {M.FRAME_BYTES}) AS BIGINT)
+                   AS frame_bytes,
+               CAST(ascii(substr(text, CAST(i * {M.FRAME_BYTES} + 1 AS INT), 1))
+                    AS BIGINT) AS first_byte
+        FROM f
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: frame sampling over binary payloads — the 1->N UDTF shape a video
+    decoder uses, with deterministic byte-window "frames" so every emitted
+    row is oracle-checkable."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = M.with_binary_payload(docs)
+    return M.chunk_payload(payloads)
+
+
 def _fake_feature_sql(j: int) -> str:
     seed = f"concat(md5(text), '-', '{j}')"
     return f"({h64_sql(seed)} % 1000) / 1000.0 AS f_{j}"

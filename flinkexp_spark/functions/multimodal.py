@@ -97,6 +97,46 @@ def fake_feature_extract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(extract, schema="doc_id long, features array<double>")
 
 
+FRAME_BYTES = 64  # fake "frame" stride for chunk_payload
+
+
+def chunk_payload(df: DataFrame, id_col: str = "doc_id", every: int = FRAME_BYTES) -> DataFrame:
+    """1 -> N frame-sampling plumbing: emit one row per ``every``-byte chunk
+    of the payload (the video frame-sample shape, with byte windows standing
+    in for decoded frames).
+
+    Real pattern: a codec (pyav/ffmpeg) yields frames inside the same
+    mapInPandas generator; here the chunking is deterministic so the DuckDB
+    oracle reproduces row counts AND per-chunk contents exactly.
+    """
+
+    def chunks(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sizes, firsts = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i in range(0, len(payload), every):
+                    chunk = payload[i : i + every]
+                    ids.append(doc_id)
+                    idxs.append(i // every)
+                    sizes.append(len(chunk))
+                    firsts.append(chunk[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        chunks,
+        schema="doc_id long, frame_idx long, frame_bytes long, first_byte long",
+    )
+
+
 # --- stubbed codecs (no media libraries in this environment) ---------------
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
