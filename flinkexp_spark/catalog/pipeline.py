@@ -105,3 +105,44 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
     )
+
+
+# Per-lang sampling rates (percent) for the stratified sample below.
+SAMPLE_PCT = {"en": 50, "fr": 100, "es": 100, "de": 100, "zh": 25}
+
+_PCT_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_PCT.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_sampled
+        FROM documents
+        WHERE {T.h64_sql("concat('sample-', CAST(doc_id AS VARCHAR))")} % 100
+              < {_PCT_CASE}
+        GROUP BY lang
+    """,
+    tags=("X4", "P2"),
+)
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling by content-keyed hash — downsample
+    over-represented languages (50% en, 25% zh here), keep the rest.
+
+    ``h64(salt || doc_id) % 100 < rate`` instead of rand(): the sample is a
+    pure function of the row, so it is identical across retries, executors,
+    cluster sizes, and reruns — the only sampling that is exactly-once-safe
+    and auditable at 100 TB.  Changing the salt draws an independent sample
+    (that is also how train/validation splits are carved).
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    pct = F.expr(_PCT_CASE)
+    bucket = T.h64(F.concat(F.lit("sample-"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.filter(bucket < pct)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
