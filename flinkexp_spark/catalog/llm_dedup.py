@@ -184,7 +184,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shingle (inverted index), so work scales with shared-shingle pairs;
     the DF cap bounds the worst case.
     """
-    docs = datasets.load(spark, sf_dir, "documents")
+    from flinkexp_spark.functions.text import _widen
+
+    docs = _widen(datasets.load(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(T.shingles(T.tokens(F.col("text")))).alias("g"),
@@ -192,7 +194,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ok = (
         sh.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= NGRAM_DF_CAP)
     )
-    capped = sh.join(df_ok.select("g"), "g")
+    # capped feeds four plan branches (sizes + both self-join sides);
+    # materialize the inverted index once instead of re-exploding per branch
+    capped = sh.join(df_ok.select("g"), "g").localCheckpoint()
     sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     inter = (

@@ -146,3 +146,38 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+VAL_PCT = 10  # hold out 10% as validation
+
+
+@register(
+    "split_train_val",
+    oracle=f"""
+        SELECT CASE WHEN {T.h64_sql("concat('split-', CAST(doc_id AS VARCHAR))")}
+                         % 100 < {VAL_PCT}
+                    THEN 'val' ELSE 'train' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("X4", "P1"),
+)
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split by content-keyed hash bucket —
+    the companion of sample_stratified_hash: membership never changes
+    across reruns or cluster sizes, and a doc can never leak between
+    splits (the bucket is a pure function of its id + salt)."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    bucket = T.h64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < VAL_PCT, "val").otherwise("train")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
