@@ -232,3 +232,51 @@ def q_source_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+        SELECT o_orderstatus, COUNT(*) AS n_items,
+               {o_dsum('l_extendedprice', 'revenue')}
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    tags=("J1", "S2"),
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over co-bucketed tables — the pay-the-shuffle-once layout.
+
+    Both sides are written bucketed (and sorted) on the join key with the
+    same bucket count, so the sort-merge join reads co-located buckets and
+    plans with NO Exchange on either side (pinned by tests/test_plans.py).
+    At 100 TB this converts the recurring dominant network cost of every
+    lineitem⋈orders run into a one-time write-side shuffle.
+    """
+    from flinkexp_spark.catalog._util import dsum
+    from flinkexp_spark.operators.bucketing import bucketed_tables
+
+    work = _scratch("bucketed")
+    try:
+        li = datasets.load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = datasets.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        with bucketed_tables(
+            spark, {"li": (li, "l_orderkey"), "ord": (orders, "o_orderkey")}, work
+        ) as t:
+            out = (
+                t["li"].hint("merge")
+                .join(t["ord"].hint("merge"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count("*").alias("n_items"),
+                    dsum("l_extendedprice", "revenue"),
+                )
+            )
+            return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

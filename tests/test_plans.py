@@ -99,3 +99,42 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
 def test_sim_search_broadcasts_probe_side(spark, sf_dir):
     plan = plan_of(queries()["sim_search_topk"](spark, sf_dir), "simple")
     assert "Broadcast" in plan, "probe set must broadcast; corpus scans once"
+
+
+def test_bucketed_join_and_agg_are_exchange_free(spark, sf_dir):
+    """Co-bucketed fact tables: SMJ and key-grouped agg plan with NO shuffle.
+
+    This is the pay-the-shuffle-once layout claim in SCALING.md — at 100 TB
+    the recurring join shuffle is the dominant network cost, and bucketing
+    removes it from every run after the write.
+    """
+    from flinkexp_spark import datasets
+    from flinkexp_spark.operators.bucketing import bucketed_tables
+    from flinkexp_spark.streaming.replay import SCRATCH_ROOT
+
+    work = os.path.join(SCRATCH_ROOT, f"bkt_plan_{uuid.uuid4().hex[:10]}")
+    os.makedirs(work, exist_ok=True)
+    li = datasets.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = datasets.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    try:
+        with bucketed_tables(
+            spark, {"li": (li, "l_orderkey"), "ord": (orders, "o_orderkey")}, work
+        ) as t:
+            joined = t["li"].hint("merge").join(
+                t["ord"].hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+            assert "SelectedBucketsCount" in plan
+
+            # groupBy on the bucket key rides the same distribution
+            agg = t["li"].groupBy("l_orderkey").agg(F.sum("l_quantity"))
+            assert "Exchange" not in plan_of(agg)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
