@@ -280,3 +280,39 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=f"""
+        SELECT l_returnflag, COUNT(*) AS n, {o_dsum('l_extendedprice', 'total')}
+        FROM lineitem WHERE l_orderkey < 5000
+        GROUP BY l_returnflag
+    """,
+    tags=("S2",),
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 columnar alternative: ORC sink -> ORC source round-trip.
+
+    Same vectorized-reader guarantees as parquet (pushdown, pruning); the
+    oracle reads only the original parquet, so both connector directions
+    are proven.
+    """
+    work = _scratch("orc")
+    try:
+        li = (
+            datasets.load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") < 5000)
+            .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        )
+        path = os.path.join(work, "lineitem_orc")
+        sources.write_orc(li, path)
+        back = sources.read_orc(spark, path)
+        from flinkexp_spark.catalog._util import dsum
+
+        out = back.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), dsum("l_extendedprice", "total")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

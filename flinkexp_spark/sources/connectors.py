@@ -38,6 +38,19 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S2-adjacent columnar alternative: ORC scan (filter pushdown + column
+    pruning work identically to parquet — Spark's native vectorized reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_text(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
     """S1: line-oriented text (the reference's socket payload shape, one
     ``value: string`` column)."""
