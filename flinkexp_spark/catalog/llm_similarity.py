@@ -158,3 +158,97 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= NEARDUP_COS)
     )
+
+
+IVF_K = 8       # coarse-quantizer cells; "training" = embeddings of vec_id < K
+IVF_NPROBE = 2  # cells probed per query (recall/cost knob)
+
+
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+        WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+                      FROM embeddings WHERE vec_id < {IVF_K}),
+        aff0 AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   round({V.cosine_sql('e.embedding', 'c.centv')},
+                         {V.COS_DECIMALS}) AS cscore
+            FROM embeddings e CROSS JOIN cent c),
+        aff AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cscore DESC, cent_id) AS crnk FROM aff0),
+        cells AS (SELECT vec_id AS match_id, embedding AS cv, cent_id AS cell
+                  FROM aff WHERE crnk = 1),
+        probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
+                   FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {IVF_NPROBE}),
+        p AS (
+            SELECT q.query_id, c.match_id,
+                   round({V.cosine_sql('q.qv', 'c.cv')},
+                         {V.COS_DECIMALS}) AS score
+            FROM probes q JOIN cells c
+              ON q.cell = c.cell AND q.query_id <> c.match_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM p)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """,
+    tags=("X3",),
+)
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF — coarse-quantize the corpus into K cells, probe
+    the nprobe nearest cells per query (Jégou et al. 2011).
+
+    The quantizer here is deterministic (centroids = first K vectors; in
+    production you'd Lloyd-iterate them) so the whole index is
+    oracle-checkable.  Corpus side: ONE pass scoring against K broadcast
+    centroids, argmax by window — then the candidate join touches only
+    nprobe/K of the corpus per query.  At 100 TB the cells are the
+    partition key of the index layout, so a probe reads nprobe partitions
+    instead of the full corpus; recall is tuned by nprobe, cost is
+    nprobe/K of brute force.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
+        )
+    )
+    aff = emb.join(cent).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(V.cosine(F.col("embedding"), F.col("centv")), V.COS_DECIMALS).alias(
+            "cscore"
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cent_id")
+    )
+    ranked = aff.withColumn("crnk", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("crnk") == 1).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("cv"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= IVF_NPROBE)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

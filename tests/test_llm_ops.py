@@ -87,3 +87,22 @@ def test_binary_payload_schema(spark, sf_dir):
     schema = dict(docs.dtypes)
     assert schema["payload"] == "binary"
     assert schema["media_meta"].startswith("struct<mime:string,n_bytes:")
+
+
+def test_ivf_recall_beats_floor(spark, sf_dir):
+    """IVF with nprobe=2 of 8 cells must recover >=50% of the exact top-10.
+
+    (Measured ~0.62-0.67 on the fixtures; the floor guards against a broken
+    quantizer — a random cell assignment would score ~nprobe/K ~ 0.25.)
+    """
+    from flinkexp_spark.registry import queries
+
+    exact = {
+        (r.query_id, r.match_id)
+        for r in queries()["sim_search_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.match_id)
+        for r in queries()["sim_search_ivf"](spark, sf_dir).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
