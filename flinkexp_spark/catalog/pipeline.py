@@ -181,3 +181,67 @@ def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+PACK_CONTEXT = 2048  # token budget per packed training sequence
+PACK_WORKERS = 32    # independent packing streams (the parallel unit)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {T.h64_sql("concat('pack-', CAST(doc_id AS VARCHAR))")}
+                       % {PACK_WORKERS} AS worker,
+                   CAST(len({T.tokens_sql('text')}) AS BIGINT) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, worker, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY worker
+                        ORDER BY doc_id) AS BIGINT) AS cum
+            FROM t)
+        SELECT doc_id, worker,
+               CAST((cum - n_tokens) // {PACK_CONTEXT} AS BIGINT) AS bin,
+               n_tokens
+        FROM c
+    """,
+    tags=("X4", "W3"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic context-window packing: assign each document to a
+    (worker, bin) so every bin holds ~PACK_CONTEXT tokens of contiguous
+    docs — the sequence-packing step that turns a filtered corpus into
+    fixed-budget training examples.
+
+    Structure at 100 TB: the hash-derived ``worker`` is the ONLY shuffle
+    key, so packing runs as PACK_WORKERS independent streams (one window
+    sort each, no global order).  Within a worker, docs are packed greedily
+    in doc_id order by running token count; ``bin = (cum - n) // budget``
+    closes a bin when the budget is crossed (a bin may overflow by at most
+    one document — the standard streaming-packing tradeoff, chosen over
+    first-fit because it needs one window pass, not a sequential scan).
+    Everything is a pure function of doc_id — reruns, retries, and cluster
+    resizes pack identically.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (
+            T.h64(F.concat(F.lit("pack-"), F.col("doc_id").cast("string")))
+            % PACK_WORKERS
+        ).alias("worker"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("worker").orderBy("doc_id")
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "worker",
+            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_CONTEXT)
+            .cast("long")
+            .alias("bin"),
+            "n_tokens",
+        )
+    )
