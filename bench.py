@@ -37,6 +37,7 @@ HEADLINE = [
     "agg_pricing_summary",
     "sql_tpch_q5",
     "join_broadcast_star",
+    "join_bucketed_colocated",
     "join_asof",
     "window_topk_per_group",
     "func_string",
@@ -49,7 +50,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_search_topk",
+    "sim_search_ivf",
     "text_quality_profile",
+    "pack_sequences",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -28,6 +28,7 @@ import uuid
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["write_bucketed", "bucketed_tables"]
 
@@ -39,9 +40,16 @@ def write_bucketed(
 
     The write performs the hash-partition ONCE; all later scans of ``name``
     are pre-shuffled on ``key``.
+
+    ``repartition(buckets, key)`` uses the same murmur3 HashPartitioning as
+    the bucket-id assignment, so each write task holds exactly one bucket —
+    one file per bucket instead of (tasks × buckets) small files.  At
+    100 TB file count is a real scan-planning cost; locally it roughly
+    halves the write.
     """
     (
-        df.write.mode("overwrite")
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(buckets, key)
         .sortBy(key)
