@@ -191,3 +191,74 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint_col(toks).alias("fp"),
         T.simhash_col(toks).alias("simhash"),
     )
+
+
+DUP_TOKEN_MAX = 0.65   # ~p90 on the fixtures; Gopher-style repetition gate
+TOP_BIGRAM_MAX = 0.09  # ~p95: most-frequent-bigram share of all bigrams
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     round(1 - len(list_distinct(toks))
+                               / CAST(len(toks) AS DOUBLE), 6) AS dup_token_frac
+              FROM t WHERE len(toks) > 0),
+        bg AS (SELECT doc_id, unnest({T.shingles_sql('toks', 2)}) AS g FROM s),
+        c AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY doc_id, g),
+        top AS (SELECT doc_id, round(MAX(n) / CAST(SUM(n) AS DOUBLE), 6)
+                       AS top_bigram_frac
+                FROM c GROUP BY doc_id)
+        SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+               COALESCE(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+               (s.dup_token_frac <= {DUP_TOKEN_MAX}
+                AND COALESCE(top.top_bigram_frac, 0.0) <= {TOP_BIGRAM_MAX})
+                   AS keep
+        FROM s LEFT JOIN top USING (doc_id)
+    """,
+    tags=("X4",),
+)
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: repetition-based quality gate (the Gopher/RefinedWeb signal
+    family): per-doc duplicate-token fraction and most-frequent-bigram
+    share, plus the keep/drop verdict.
+
+    Both signals are per-document, so the plan is one scan + one
+    (doc_id, bigram) two-level aggregate — shuffle keyed on doc_id only,
+    map-side combined, no cross-document state; at 100 TB it scales like
+    any grouped agg.  Array-native distinct for the token signal keeps
+    that branch shuffle-free entirely.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct("toks")) / F.size("toks").cast("double"), 6
+        ).alias("dup_token_frac"),
+    )
+    bigrams = base.select("doc_id", F.explode(T.shingles(F.col("toks"), 2)).alias("g"))
+    top = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("n") / F.sum("n").cast("double"), 6).alias("top_bigram_frac"))
+    )
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            (
+                (F.col("dup_token_frac") <= DUP_TOKEN_MAX)
+                & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= TOP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )
