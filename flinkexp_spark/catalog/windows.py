@@ -190,3 +190,77 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_batch",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                             > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                   AS duration_s
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=("T4", "W3"),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min-gap sessions via gaps-and-islands
+    (lag -> boundary flag -> running sum), the batch dual of the streaming
+    session window (T4) with per-session stats the streaming mode can't
+    retrofit (duration, value sum).
+
+    Plan shape: ONE shuffle on user_id serves both window passes and the
+    final per-session aggregate — Catalyst reuses the partitioning, so at
+    100 TB this is a single hash-partition of the events table regardless
+    of session count.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_ord)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id", "event_id", "ts", "value", new_session.alias("new_session")
+        )
+        .withColumn("sid", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+            (
+                F.floor(F.max(F.col("ts").cast("double")))
+                - F.floor(F.min(F.col("ts").cast("double")))
+            )
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .drop("sid")
+    )
