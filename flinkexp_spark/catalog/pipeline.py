@@ -245,3 +245,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+DECON_EVAL_MOD = 97  # docs with doc_id % MOD == 0 act as the held-out benchmark
+DECON_K = 3          # fixture vocab is tiny; production uses 8-13-gram overlap
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+        s AS (SELECT doc_id, {T.shingles_sql('toks', DECON_K)} AS sh FROM t),
+        d AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        ev AS (SELECT DISTINCT g FROM d WHERE doc_id % {DECON_EVAL_MOD} = 0),
+        hits AS (SELECT doc_id, COUNT(*) AS n FROM d JOIN ev USING (g)
+                 WHERE doc_id % {DECON_EVAL_MOD} <> 0 GROUP BY doc_id)
+        SELECT d0.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlap,
+               COALESCE(hits.n, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % {DECON_EVAL_MOD} <> 0) d0
+        LEFT JOIN hits USING (doc_id)
+    """,
+    tags=("X2", "X4"),
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any k-gram with
+    the held-out eval set (the contamination check every LLM data pipeline
+    runs before training; cf. GPT-3 appendix C / PaLM 13-gram overlap).
+
+    The eval set's distinct shingles BROADCAST (an eval benchmark is
+    tiny — MBs — next to a 100 TB corpus), so the check is a map-side
+    semi-join on the corpus scan: no shuffle of the corpus, cost is one
+    pass + one groupBy on doc_id for the overlap counts.  The eval set
+    here is carved deterministically from the fixtures (doc_id %
+    {DECON_EVAL_MOD} == 0) so the whole check is oracle-verifiable.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(T.shingles(T.tokens(F.col("text")), DECON_K)).alias("g"),
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev = F.broadcast(sh.filter(is_eval).select("g").distinct())
+    hits = (
+        sh.filter(~is_eval)
+        .join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ids = docs.filter(~is_eval).select("doc_id")
+    return ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+    )
