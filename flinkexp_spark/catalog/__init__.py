@@ -1,24 +1,40 @@
 """Query catalog — importing this package registers every engine query.
 
 Each module maps to a SURVEY.md §2 operator group.
+
+IMPORT ORDER IS REGISTRATION ORDER, and the driver's correctness gate walks
+the registry in registration order under a finite budget (round 1 stopped at
+50/104 queries).  Modules are therefore ordered by gate priority, NOT
+alphabetically:
+
+1. Modules with no official green row in CORRECTNESS_r01.json register
+   FIRST (cheapest first), so they earn rows even if the gate stops early.
+2. Modules fully green in r01 follow (cheap before expensive; the
+   dedup/similarity/pipeline family — the most expensive oracle runs — go
+   last).
 """
 
 from flinkexp_spark.catalog import (  # noqa: F401
-    aggregates,
-    joins,
-    llm_dedup,
-    llm_multimodal,
-    llm_similarity,
-    pipeline,
-    projection,
-    scalar_funcs,
-    setops,
-    sources_io,
-    sql_queries,
-    streaming_replay,
+    # --- no official r01 row yet: cheap batch groups first ----------------
+    scalar_funcs,  # F1-F9 (func_string was r01's last checked row)
+    setops,  # O1-O5
+    windows,  # W1-W5
     subqueries,
-    text_analysis,
-    udfs,
-    windows,
-    wordcount,
+    wordcount,  # E2-E4 batch parity
+    udfs,  # U1-U4
+    sql_queries,  # TPC-H SQL surface
+    sources_io,  # S1-S11
+    # --- no official r01 row yet: streaming replays (highest fixed cost
+    #     of the unchecked set, so they close that block) ------------------
+    streaming_replay,  # T1-T10, E1-E7
+    # --- green in r01: cheap first ----------------------------------------
+    projection,  # P1-P4
+    joins,  # J1-J9
+    aggregates,  # A1-A9
+    text_analysis,  # X4
+    llm_multimodal,  # X5
+    # --- green in r01: the expensive tail ---------------------------------
+    llm_similarity,  # X3
+    llm_dedup,  # X1, X2
+    pipeline,  # composites
 )

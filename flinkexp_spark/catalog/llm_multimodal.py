@@ -18,11 +18,16 @@ from flinkexp_spark.registry import register
 
 @register(
     "multimodal_metadata",
+    # Byte semantics, not characters: the Spark side reads raw utf-8 payload
+    # bytes, so the oracle extracts true bytes via hex(encode(text)) — byte i
+    # is hex digits [2i+1, 2i+2].  (ascii(substr(...)) would give CODEPOINTS,
+    # which diverge from bytes on any multi-byte text.)
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
                CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
-               CAST(MIN(ascii(substr(text, 1, 1))) AS BIGINT) AS min_first_byte
+               CAST(MIN(CAST(concat('0x', substr(hex(encode(text)), 1, 2))
+                             AS BIGINT)) AS BIGINT) AS min_first_byte
         FROM documents
         GROUP BY source
     """,
@@ -51,9 +56,12 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
+    # Frame boundaries and first_byte are BYTE offsets (hex(encode(...)), 2
+    # hex digits per byte) — matches the Spark side's raw bytes on any text,
+    # not just ASCII.
     oracle=f"""
         WITH f AS (
-            SELECT doc_id, strlen(text) AS n, text,
+            SELECT doc_id, strlen(text) AS n, hex(encode(text)) AS hx,
                    unnest(range(CAST(ceil(strlen(text) / {float(M.FRAME_BYTES)})
                                      AS BIGINT))) AS i
             FROM documents WHERE doc_id < 200)
@@ -61,7 +69,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                i AS frame_idx,
                CAST(least({M.FRAME_BYTES}, n - i * {M.FRAME_BYTES}) AS BIGINT)
                    AS frame_bytes,
-               CAST(ascii(substr(text, CAST(i * {M.FRAME_BYTES} + 1 AS INT), 1))
+               CAST(concat('0x', substr(hx, CAST(i * {2 * M.FRAME_BYTES} + 1 AS BIGINT), 2))
                     AS BIGINT) AS first_byte
         FROM f
     """,

@@ -160,22 +160,128 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_K = 8       # coarse-quantizer cells; "training" = embeddings of vec_id < K
-IVF_NPROBE = 2  # cells probed per query (recall/cost knob)
+IVF_K = 8       # coarse-quantizer cells; seed centroids = embeddings vec_id < K
+# nprobe is THE recall/cost knob: cost ~ nprobe/K of brute force.  Measured
+# recall@10 on the sf0.01 fixture (500 vecs, Lloyd-refined cells): nprobe=2
+# -> 0.63, 3 -> 0.76, 4 -> 0.82.  The fixture corpus is tiny, so the exact
+# top-10 necessarily spans cells (beyond-cluster neighbors) — recall at
+# fixed nprobe is a property of the DATA's neighbor structure, not centroid
+# quality; at production scale (cells >> probes, neighbors concentrated)
+# the same index runs nprobe<<K.  Default 4 = floor-tested recall >=0.8.
+IVF_NPROBE = 4
+IVF_ITERS = 2   # Lloyd refinement rounds (k-means with deterministic seed)
+IVF_FP = 1_000_000  # fixed-point scale for centroid means (see below)
+
+# --- deterministic Lloyd iteration ------------------------------------------
+# Cross-engine exactness: centroid means are computed in FIXED POINT —
+# component -> floor(x * 1e6) as BIGINT, summed per cell (integer addition is
+# order-independent, unlike float sums), mean = floor(sum / n) back at 1e-6
+# resolution.  Both engines therefore build BIT-IDENTICAL centroid arrays,
+# and assignments (rounded cosine + cent_id tiebreak) match exactly.
 
 
-@register(
-    "sim_search_ivf",
-    oracle=f"""
-        WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
-                      FROM embeddings WHERE vec_id < {IVF_K}),
-        aff0 AS (
+def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Rank cells per vector by (rounded cosine DESC, cent_id ASC)."""
+    aff = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(V.cosine(F.col("embedding"), F.col("centv")), V.COS_DECIMALS).alias(
+            "cscore"
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cent_id")
+    )
+    return aff.withColumn("crnk", F.row_number().over(w_assign))
+
+
+def _ivf_centroids_df(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """K seed centroids refined by IVF_ITERS Lloyd rounds (fixed-point means).
+
+    Centroids are materialized driver-side between rounds (K x DIM doubles —
+    the "model state" every distributed k-means broadcasts anyway): each
+    round then starts from a literal centroid table instead of replaying the
+    previous round's whole plan, keeping per-round cost one corpus pass.
+    """
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("centv"),
+    )
+    for _ in range(IVF_ITERS):
+        members = (
+            _ivf_assign_df(emb, cent)
+            .filter(F.col("crnk") == 1)
+            .select("cent_id", "embedding")
+        )
+        comp = members.select(
+            "cent_id", F.posexplode("embedding").alias("pos", "x")
+        ).select(
+            "cent_id",
+            "pos",
+            F.floor(F.col("x").cast("double") * IVF_FP).cast("long").alias("fp"),
+        )
+        mean_fp = comp.groupBy("cent_id", "pos").agg(
+            F.floor(F.sum("fp") / F.count("*")).cast("long").alias("mfp")
+        )
+        cent_rows = (
+            mean_fp.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mfp"))),
+                    lambda s: s["mfp"] / F.lit(float(IVF_FP)),
+                ).alias("centv")
+            )
+            .collect()
+        )
+        cent = spark.createDataFrame(cent_rows, "cent_id long, centv array<double>")
+    return cent
+
+
+def _ivf_oracle_sql() -> str:
+    """Unrolled Lloyd CTE chain mirroring :func:`_ivf_centroids_df` exactly."""
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cent_id, embedding AS centv\n"
+        f"           FROM embeddings WHERE vec_id < {IVF_K})"
+    ]
+    for t in range(IVF_ITERS):
+        cos = V.cosine_sql("e.embedding", "c.centv")
+        ctes.append(
+            f"""assign{t} AS (
             SELECT e.vec_id, e.embedding, c.cent_id,
-                   round({V.cosine_sql('e.embedding', 'c.centv')},
-                         {V.COS_DECIMALS}) AS cscore
-            FROM embeddings e CROSS JOIN cent c),
-        aff AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-                         ORDER BY cscore DESC, cent_id) AS crnk FROM aff0),
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cos}, {V.COS_DECIMALS}) DESC, c.cent_id
+                   ) AS crnk
+            FROM embeddings e CROSS JOIN cent{t} c)"""
+        )
+        ctes.append(
+            f"""comp{t} AS (
+            SELECT cent_id, i.pos,
+                   CAST(floor(SUM(CAST(floor(CAST(embedding[i.pos + 1] AS DOUBLE)
+                                              * {IVF_FP}) AS BIGINT))
+                              / COUNT(*)) AS BIGINT) AS mfp
+            FROM assign{t}, (SELECT unnest(range({V.DIM})) AS pos) i
+            WHERE crnk = 1
+            GROUP BY cent_id, i.pos)"""
+        )
+        ctes.append(
+            f"""cent{t + 1} AS (
+            SELECT cent_id,
+                   array_agg(mfp / {float(IVF_FP)} ORDER BY pos) AS centv
+            FROM comp{t} GROUP BY cent_id)"""
+        )
+    final = f"cent{IVF_ITERS}"
+    cos_final = V.cosine_sql("e.embedding", "c.centv")
+    return f"""
+        WITH {",".join(ctes)},
+        aff AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cos_final}, {V.COS_DECIMALS}) DESC, c.cent_id
+                   ) AS crnk
+            FROM embeddings e CROSS JOIN {final} c),
         cells AS (SELECT vec_id AS match_id, embedding AS cv, cent_id AS cell
                   FROM aff WHERE crnk = 1),
         probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
@@ -190,40 +296,28 @@ IVF_NPROBE = 2  # cells probed per query (recall/cost knob)
                         ORDER BY score DESC, match_id) AS rnk FROM p)
         SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= {TOP_K}
-    """,
-    tags=("X3",),
-)
+    """
+
+
+@register("sim_search_ivf", oracle=_ivf_oracle_sql(), tags=("X3",))
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2: IVF — coarse-quantize the corpus into K cells, probe
     the nprobe nearest cells per query (Jégou et al. 2011).
 
-    The quantizer here is deterministic (centroids = first K vectors; in
-    production you'd Lloyd-iterate them) so the whole index is
-    oracle-checkable.  Corpus side: ONE pass scoring against K broadcast
-    centroids, argmax by window — then the candidate join touches only
-    nprobe/K of the corpus per query.  At 100 TB the cells are the
-    partition key of the index layout, so a probe reads nprobe partitions
-    instead of the full corpus; recall is tuned by nprobe, cost is
-    nprobe/K of brute force.
+    The quantizer is a deterministic k-means: seed centroids = first K
+    vectors, then IVF_ITERS Lloyd rounds with FIXED-POINT centroid means
+    (integer sums are order-independent, so Spark and the oracle build
+    bit-identical centroids — no RNG, no float-sum drift).  Corpus side:
+    each round is one pass scoring K broadcast centroids + one (cell, pos)
+    agg — the standard distributed k-means cost.  Then the candidate join
+    touches only nprobe/K of the corpus per query.  At 100 TB the cells are
+    the partition key of the index layout, so a probe reads nprobe
+    partitions instead of the full corpus; recall is tuned by nprobe, cost
+    is nprobe/K of brute force.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
-    cent = F.broadcast(
-        emb.filter(F.col("vec_id") < IVF_K).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("centv")
-        )
-    )
-    aff = emb.join(cent).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(V.cosine(F.col("embedding"), F.col("centv")), V.COS_DECIMALS).alias(
-            "cscore"
-        ),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cscore"), F.asc("cent_id")
-    )
-    ranked = aff.withColumn("crnk", F.row_number().over(w_assign))
+    cent = _ivf_centroids_df(spark, emb)
+    ranked = _ivf_assign_df(emb, cent)
     cells = ranked.filter(F.col("crnk") == 1).select(
         F.col("vec_id").alias("match_id"),
         F.col("embedding").alias("cv"),

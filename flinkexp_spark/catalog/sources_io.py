@@ -173,8 +173,10 @@ def q_source_in_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: key-value upsert sink (Redis analog, study/pom.xml:65) —
-    streaming counts written per micro-batch via foreachBatch into a
-    dict-like store; the store's final state is the result.
+    streaming counts upserted per micro-batch via foreachBatch ->
+    foreachPartition, one KV client per PARTITION on the executors (no
+    driver-side collect in the write path); the store's final state is the
+    result.
 
     Upserts are idempotent per key, so checkpoint replay yields
     exactly-once state in the store — the Kafka/Redis exactly-once
@@ -186,15 +188,21 @@ def q_sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = datasets.load(spark, sf_dir, "events").filter(
         F.col("event_id") < 3000
     )
-    store: dict = {}
-    writer = sources.kv_sink(["event_type"], ["n"], store)
+    spool = _scratch("kvspool")
+    try:
+        writer = sources.kv_sink(
+            ["event_type"], ["n"], sources.spool_kv_client_factory(spool)
+        )
 
-    def transform(stream: DataFrame) -> DataFrame:
-        return stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        def transform(stream: DataFrame) -> DataFrame:
+            return stream.groupBy("event_type").agg(F.count("*").alias("n"))
 
-    replay_foreach_batch(
-        spark, events, transform, writer, output_mode="complete"
-    )
+        replay_foreach_batch(
+            spark, events, transform, writer, output_mode="complete"
+        )
+        store = sources.read_kv_spool(spool)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
     rows = [(k[0], int(v[0])) for k, v in store.items()]
     return spark.createDataFrame(rows, "k string, n long")
 

@@ -278,12 +278,15 @@ def q_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
+    # 2 data files + sentinel = 3 micro-batches: the minimum that still
+    # observes watermark advancement BETWEEN batches (recomputed per batch,
+    # never within one) while keeping replay fixed costs down.
     out = replay(
         spark,
         events,
         transform,
         output_mode="append",
-        n_files=4,
+        n_files=2,
         order_col="ts",
         sentinel_df=sentinel,
     )

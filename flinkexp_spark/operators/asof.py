@@ -8,9 +8,10 @@ Algorithm ("union + window", the scalable formulation):
 
 1. Tag right rows side=0, left rows side=1; union by name (missing columns
    null-padded).
-2. One window pass per key, ordered by (ts, side): ``last(value,
+2. One window pass per key, ordered by (ts, side): ``last(struct-of-values,
    ignorenulls=True)`` over ``rowsBetween(unboundedPreceding, current)``
-   carries the most recent right-side values forward onto each left row.
+   carries the most recent right-side ROW (atomically, as one struct)
+   forward onto each left row.
 3. Keep left rows.
 
 Why this scales where a join doesn't: a naive range join materializes every
@@ -61,16 +62,24 @@ def asof_join(
         dtype = src.schema[src_name].dataType
         return F.lit(None).cast(dtype).alias(name)
 
+    # The right-side values travel as ONE struct so the match is atomic: if
+    # the as-of row legitimately holds NULL in some value column, the output
+    # preserves that row's NULL instead of stitching columns from different
+    # right rows (per-column last(ignorenulls) would do exactly that —
+    # DuckDB/pandas ASOF JOIN semantics require the matched-row struct).
+    row_struct = F.struct(*[F.col(p) for p in prefixed.values()]).alias("__rv")
+    struct_type = rt.select(row_struct).schema[0].dataType
+
     lt_cols = (
         [F.col(k) for k in keys]
         + [F.col(c) for c in left_only]
-        + [null_as(left, p, right, c) for c, p in prefixed.items()]
+        + [F.lit(None).cast(struct_type).alias("__rv")]
         + [F.lit(1).alias("__side"), F.col(left_ts).alias("__ord_ts")]
     )
     rt_cols = (
         [F.col(k) for k in keys]
         + [null_as(rt, c, left, c) for c in left_only]
-        + [F.col(p) for p in prefixed.values()]
+        + [row_struct]
         + [F.lit(0).alias("__side"), F.col(prefixed[right_ts]).alias("__ord_ts")]
     )
 
@@ -82,15 +91,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(p, ignorenulls=True).over(w).alias(f"__m_{p}")
-            for p in prefixed.values()
-        ],
+        "*", F.last("__rv", ignorenulls=True).over(w).alias("__m")
     )
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col(k) for k in keys],
         *[F.col(c) for c in left_only],
-        *[F.col(f"__m_{p}").alias(p) for p in prefixed.values()],
+        *[F.col(f"__m.{p}").alias(p) for p in prefixed.values()],
     )
     return out

@@ -40,6 +40,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(MAX_ROUNDS):
         # candidate label for each node = min over neighbors' labels
         neighbor_min = (
@@ -68,4 +69,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Never return silently-unconverged labels: a component with
+        # diameter > MAX_ROUNDS would mismatch the transitive-closure oracle.
+        # (Dup clusters converge in 2-4 rounds; hitting this means the edge
+        # set isn't a dedup graph — switch to large-star/small-star, which
+        # converges in O(log n) rounds.)
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} rounds; "
+            "component diameter exceeds the propagation budget"
+        )
     return labels

@@ -16,6 +16,7 @@ are gated on service availability.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -168,21 +169,103 @@ def read_jdbc(
 
 
 def kv_sink(
-    key_cols: list[str], value_cols: list[str], store: dict
+    key_cols: list[str],
+    value_cols: list[str],
+    client_factory: Callable[[int], tuple[Callable, Callable]],
+    batch_size: int = 1000,
 ) -> Callable[[DataFrame, int], None]:
     """S7: key-value (Redis-analog, study/pom.xml:65) upsert sink as a
-    foreachBatch writer.  ``store`` is any dict-like (a real Redis client
-    wrapper in production; a plain dict in tests).  Each micro-batch upserts
-    key tuple -> value tuple — idempotent, so checkpoint replay is
-    exactly-once at the store level."""
+    foreachBatch writer.
+
+    The upserts run ON THE EXECUTORS via ``foreachPartition`` — one client
+    per partition, writes batched ``batch_size`` at a time — so sink
+    throughput scales with the cluster instead of serializing every
+    micro-batch through the driver (a driver-side ``collect()`` here is the
+    classic streaming-sink scale killer).
+
+    ``client_factory(epoch)`` is invoked once per partition on the executor
+    and returns ``(write, close)`` where ``write(items)`` upserts a list of
+    ``(key_tuple, value_tuple)`` pairs (a Redis client would MSET/pipeline
+    them) and ``close()`` releases the connection.  Upserts are idempotent
+    per key, so checkpoint replay is exactly-once at the store level.
+    ``client_factory`` must be a closure (pickled by value — see
+    streaming/stateful.py module doc).
+    """
+    kc, vc = list(key_cols), list(value_cols)
 
     def write_batch(df: DataFrame, epoch: int) -> None:
-        for row in df.select(*key_cols, *value_cols).collect():
-            k = tuple(row[c] for c in key_cols)
-            v = tuple(row[c] for c in value_cols)
-            store[k] = v
+        factory, n = client_factory, batch_size
+
+        def write_partition(rows) -> None:
+            write, close = factory(epoch)
+            buf = []
+            try:
+                for row in rows:
+                    buf.append(
+                        (tuple(row[c] for c in kc), tuple(row[c] for c in vc))
+                    )
+                    if len(buf) >= n:
+                        write(buf)
+                        buf = []
+                if buf:
+                    write(buf)
+            finally:
+                close()
+
+        df.select(*kc, *vc).foreachPartition(write_partition)
 
     return write_batch
+
+
+def spool_kv_client_factory(spool_dir: str) -> Callable[[int], tuple[Callable, Callable]]:
+    """Filesystem-backed KV client for tests/demos: each partition spools its
+    upserts as JSON lines (one file per partition per epoch); ``read_kv_spool``
+    folds the spool into final store state (later epochs win).  Stands in for
+    a real Redis/keyvalue client where no store service exists — the write
+    path shape (per-partition client, batched upserts) is identical.
+    """
+
+    def factory(epoch: int):
+        # closure: pickled by value; runs on the executor
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        path = _os.path.join(
+            spool_dir, f"epoch{epoch:06d}-{_uuid.uuid4().hex}.jsonl"
+        )
+        f = open(path, "w")
+
+        def write(items) -> None:
+            for k, v in items:
+                f.write(
+                    _json.dumps({"k": list(k), "v": list(v)}, default=str) + "\n"
+                )
+
+        def close() -> None:
+            f.close()
+
+        return write, close
+
+    return factory
+
+
+def read_kv_spool(spool_dir: str) -> dict:
+    """Driver-side merge of a :func:`spool_kv_client_factory` spool into the
+    final store state: {key_tuple: value_tuple}, later epochs winning (within
+    an epoch each key lands in exactly one partition, so file order within an
+    epoch is irrelevant)."""
+    import json
+
+    store: dict = {}
+    for fname in sorted(os.listdir(spool_dir)):
+        if not fname.endswith(".jsonl"):
+            continue
+        with open(os.path.join(spool_dir, fname)) as f:
+            for line in f:
+                rec = json.loads(line)
+                store[tuple(rec["k"])] = tuple(rec["v"])
+    return store
 
 
 # S8 (HBase wide-column) is declared out of t2 scope (SURVEY §2.2 S8): the

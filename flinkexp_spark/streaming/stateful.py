@@ -62,10 +62,16 @@ def running_totals_tws_transform(stream: DataFrame) -> DataFrame:
             self._state = handle.getValueState("totals", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                # half-away-from-zero (oracle round(v*100, 0) semantics), not
+                # pandas' banker's rounding — values are non-negative amounts
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+                )
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
@@ -86,6 +92,8 @@ def running_totals_transform(stream: DataFrame) -> DataFrame:
     import pandas as pd
 
     def running_totals(key, pdfs, state):
+        import numpy as np
+
         # Per-user running (count, cents) totals; emits current totals per batch.
         if state.exists:
             n, cents = state.get
@@ -93,7 +101,11 @@ def running_totals_transform(stream: DataFrame) -> DataFrame:
             n, cents = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # half-away-from-zero, mirroring the oracle's round(v*100, 0)
+            # (pandas .round() is banker's half-even — diverges on .5 cases)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}

@@ -90,10 +90,12 @@ def test_binary_payload_schema(spark, sf_dir):
 
 
 def test_ivf_recall_beats_floor(spark, sf_dir):
-    """IVF with nprobe=2 of 8 cells must recover >=50% of the exact top-10.
+    """IVF (Lloyd-refined cells, nprobe=4 of 8) must recover >=80% of the
+    exact top-10.
 
-    (Measured ~0.62-0.67 on the fixtures; the floor guards against a broken
-    quantizer — a random cell assignment would score ~nprobe/K ~ 0.25.)
+    (Measured 0.82 at sf0.01 / higher at sf0.001; a random cell assignment
+    would score ~nprobe/K = 0.5, a broken quantizer well below that plus a
+    broken candidate join near zero.)
     """
     from flinkexp_spark.registry import queries
 
@@ -105,4 +107,29 @@ def test_ivf_recall_beats_floor(spark, sf_dir):
         (r.query_id, r.match_id)
         for r in queries()["sim_search_ivf"](spark, sf_dir).collect()
     }
-    assert len(exact & approx) / len(exact) >= 0.5
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_ivf_lloyd_reduces_quantization_error(spark, sf_dir):
+    """The Lloyd rounds must strictly improve the coarse quantizer: mean
+    cosine of each vector to its assigned centroid rises vs. the raw seed
+    centroids (recall at fixed nprobe is data-bound, so THIS is the metric
+    that proves the k-means works)."""
+    from flinkexp_spark.catalog import llm_similarity as S
+
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < S.IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("centv"),
+    )
+    refined = S._ivf_centroids_df(spark, emb)
+
+    def mean_assigned_cos(cent):
+        return (
+            S._ivf_assign_df(emb, cent)
+            .filter(F.col("crnk") == 1)
+            .agg(F.avg("cscore"))
+            .first()[0]
+        )
+
+    assert mean_assigned_cos(refined) > mean_assigned_cos(seed)

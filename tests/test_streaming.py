@@ -221,17 +221,36 @@ def test_socket_wordcount_live(spark):
         srv.close()
 
 
-def test_kv_sink_upsert(spark):
-    """S7: foreachBatch KV upsert sink is idempotent per key."""
-    from flinkexp_spark.sources.connectors import kv_sink
+def test_kv_sink_upsert(spark, tmp_path):
+    """S7: foreachPartition KV upsert sink is idempotent per key, with later
+    epochs winning."""
+    from flinkexp_spark.sources.connectors import (
+        kv_sink,
+        read_kv_spool,
+        spool_kv_client_factory,
+    )
 
-    store: dict = {}
-    writer = kv_sink(["k"], ["v"], store)
+    spool = str(tmp_path / "kvspool")
+    os.makedirs(spool)
+    writer = kv_sink(["k"], ["v"], spool_kv_client_factory(spool), batch_size=1)
     df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
     df2 = spark.createDataFrame([("a", 5)], "k string, v long")
     writer(df1, 0)
     writer(df2, 1)
-    assert store == {("a",): (5,), ("b",): (2,)}
+    assert read_kv_spool(spool) == {("a",): (5,), ("b",): (2,)}
+
+
+def test_kv_sink_no_driver_collect():
+    """S7 scale guard: the KV write path must not serialize batches through
+    the driver — no collect()/toPandas()/toLocalIterator in kv_sink."""
+    import inspect
+
+    from flinkexp_spark.sources import connectors
+
+    src = inspect.getsource(connectors.kv_sink)
+    for banned in (".collect(", ".toPandas(", ".toLocalIterator("):
+        assert banned not in src, f"{banned} found in kv_sink write path"
+    assert ".foreachPartition(" in src
 
 
 def test_transform_with_state_parity(spark):
