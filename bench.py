@@ -7,10 +7,15 @@ see SURVEY.md §6).  Env knobs:
 
 * ``SPARK_GRAFT_SF_DIR``  — fixture dir (default /root/testdata/sf0.1)
 * ``SPARK_GRAFT_CPUS``    — local core count (default 32)
+* ``SPARK_GRAFT_BENCH_REPEATS`` — runs per query (default 3)
 
-Each query runs once cold (includes its own scan); the headline metric is
-total wall seconds over the suite.  Every query is drained with a count()
-so the full result is computed but rows never collect to the driver.
+NOISE CONTROL: the host carries outside-container load that swings single
+runs up to 7x, so each query runs REPEATS times and reports its MEDIAN;
+the headline value is the sum of medians and per-query min/median are both
+emitted (``queries`` = medians, ``queries_min`` = best-of).  Regression
+calls between rounds should compare medians, falling back to mins when the
+medians disagree wildly.  Every query is drained with a count() so the full
+result is computed but rows never collect to the driver.
 """
 
 from __future__ import annotations
@@ -78,22 +83,35 @@ def main() -> None:
     if missing:
         print(f"# bench: skipping unregistered queries: {missing}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in suite:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        medians[name] = round(runs[len(runs) // 2], 3)
+        mins[name] = round(runs[0], 3)
+        print(
+            f"# {name}: median={medians[name]:.2f}s min={mins[name]:.2f}s "
+            f"max={runs[-1]:.2f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": mins,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

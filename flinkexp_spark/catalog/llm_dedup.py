@@ -21,6 +21,9 @@ Scale design per operator:
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,6 +73,45 @@ _O_SCORED_BODY = f"""
         FROM cand JOIN m x ON cand.id_a = x.doc_id
                   JOIN m y ON cand.id_b = y.doc_id)
 """
+
+
+# --- shared signature table -------------------------------------------------
+# Three queries (LSH pairs, keep, components) all start from the SAME
+# 17-ints/doc MinHash signature table, and each uses it on 3+ plan branches.
+# Materialize it ONCE per (session, sf_dir) and reuse:
+#
+# * mode "checkpoint" (default): localCheckpoint + in-process cache — right
+#   at fixture scale, where the table fits an executor.
+# * mode "bucketed" (SPARK_GRAFT_SIG_MATERIALIZE=bucketed): write-once
+#   bucketed parquet table (bucketBy doc_id) — the 100 TB shape: the
+#   signature side of every downstream doc_id equi-join reads pre-hashed
+#   buckets (no Exchange on that side, SelectedBucketsCount in the plan),
+#   and the table survives the session for reuse across jobs.
+_SIG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def signature_table(spark: SparkSession, sf_dir: str, mode: str | None = None) -> DataFrame:
+    mode = mode or os.environ.get("SPARK_GRAFT_SIG_MATERIALIZE", "checkpoint")
+    key = (spark.sparkContext.applicationId, sf_dir, mode)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sig = T.minhash_signatures(datasets.load(spark, sf_dir, "documents"))
+    if mode == "bucketed":
+        name = f"minhash_sig_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        (
+            sig.repartition(16, "doc_id")  # one file per bucket (same murmur3)
+            .write.bucketBy(16, "doc_id")
+            .sortBy("doc_id")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        sig = spark.table(name)
+    else:
+        sig = sig.localCheckpoint()
+    _SIG_CACHE[key] = sig
+    return sig
 
 
 @register(
@@ -132,12 +174,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate of Jaccard; pairs with est >= 0.5.  The candidate join shuffles
     on (band, key) only — never O(n²).
 
-    The signature table is localCheckpoint'ed: it feeds three plan branches
-    (bands, x-side, y-side) and is tiny (17 ints/doc), so materializing once
-    beats recomputing the hash pipeline per branch.
+    The signature table comes from :func:`signature_table` — materialized
+    once per (session, sf_dir) and shared with `dedup_minhash_keep` /
+    `dedup_components`; it feeds three plan branches (bands, x-side,
+    y-side), so one materialization replaces nine hash-pipeline runs.
     """
-    docs = datasets.load(spark, sf_dir, "documents")
-    sig = T.minhash_signatures(docs).localCheckpoint()
+    sig = signature_table(spark, sf_dir)
     cand = T.lsh_candidate_pairs(sig)
     x, y = sig.alias("x"), sig.alias("y")
     agree = sum(
@@ -281,7 +323,7 @@ def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     component canonicalization is iterative — see operators/components.py.)
     """
     docs = datasets.load(spark, sf_dir, "documents")
-    sig = T.minhash_signatures(docs).localCheckpoint()
+    sig = signature_table(spark, sf_dir)
     cand = T.lsh_candidate_pairs(sig)
     x, y = sig.alias("x"), sig.alias("y")
     agree = sum(
@@ -330,8 +372,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flinkexp_spark.operators.components import connected_components
 
-    docs = datasets.load(spark, sf_dir, "documents")
-    sig = T.minhash_signatures(docs).localCheckpoint()
+    sig = signature_table(spark, sf_dir)
     cand = T.lsh_candidate_pairs(sig)
     x, y = sig.alias("x"), sig.alias("y")
     agree = sum(

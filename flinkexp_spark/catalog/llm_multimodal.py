@@ -84,6 +84,38 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.chunk_payload(payloads)
 
 
+@register(
+    "multimodal_decode_meta",
+    # Oracle mirrors the PPM construction arithmetically: dimensions from the
+    # row, pixel bytes cycling (md5_byte0 + i) % 256 — so the DECODED header
+    # fields and pixel-sum are exactly checkable without a decoder.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) % {M.PPM_MAX_DIM} + 1 AS w,
+                   doc_id % {M.PPM_MAX_DIM} + 1 AS h,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        px AS (SELECT doc_id, w, h, s, unnest(range(w * h * 3)) AS g FROM m)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h * 3 AS BIGINT) AS n_px_bytes,
+               CAST(SUM((s + g) % 256) AS BIGINT) AS px_sum
+        FROM px GROUP BY 1, 2, 3, 4
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL image decode through the multimodal seam — encode each doc as
+    an actual P6 PPM (header + RGB buffer), then decode by parsing the bytes
+    in mapInPandas.  Proves the codec seam end-to-end: binary in parquet ->
+    Arrow batch -> header parse -> pixel walk -> typed rows, the exact
+    plumbing a PIL/ffmpeg decoder drops into."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.decode_ppm(M.with_ppm_payload(docs))
+
+
 def _fake_feature_sql(j: int) -> str:
     seed = f"concat(md5(text), '-', '{j}')"
     return f"({h64_sql(seed)} % 1000) / 1000.0 AS f_{j}"

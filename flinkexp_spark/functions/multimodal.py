@@ -137,6 +137,89 @@ def chunk_payload(df: DataFrame, id_col: str = "doc_id", every: int = FRAME_BYTE
     )
 
 
+# --- real codec: PPM (P6) ---------------------------------------------------
+# One modality seam is exercised END-TO-END with an actual decoder: PPM is
+# a real image format (netpbm) simple enough to encode/decode in pure
+# Python, so the full pipeline — binary payload in parquet -> Arrow batch ->
+# parse header -> walk pixel buffer -> typed rows out — runs for real.  The
+# PIL/opencv/ffmpeg seams below stay stubbed (no codec libs here); swapping
+# them in changes only the closure body, exactly like decode_ppm.
+
+PPM_MAX_DIM = 16  # fixture images are (strlen%16+1) x (doc_id%16+1)
+
+
+def with_ppm_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL image payload: a P6 PPM whose dimensions derive from the
+    row and whose RGB bytes cycle from md5(text)'s first byte — deterministic,
+    so the decoded metadata is oracle-checkable."""
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import pandas as pd
+
+        def ppm(doc_id: int, text: str) -> bytes:
+            w = len(text.encode("utf-8")) % PPM_MAX_DIM + 1
+            h = doc_id % PPM_MAX_DIM + 1
+            start = hashlib.md5(text.encode("utf-8")).digest()[0]
+            body = bytes((start + i) % 256 for i in range(w * h * 3))
+            return f"P6\n{w} {h}\n255\n".encode() + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        ppm(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode over binary payloads: parse the P6 header (magic,
+    dimensions, maxval), then walk the pixel buffer -> (width, height,
+    n_px_bytes, px_sum).  The mapInPandas shape is identical to what a
+    PIL/opencv decoder would use."""
+
+    def decode(batches):
+        import pandas as pd
+
+        def meta(payload: bytes):
+            # P6 header: b"P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes
+            if payload[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            parts = payload.split(b"\n", 3)
+            w, h = (int(x) for x in parts[1].split())
+            maxval = int(parts[2])
+            if maxval != 255:
+                raise ValueError(f"unsupported maxval {maxval}")
+            px = parts[3]
+            if len(px) != w * h * 3:
+                raise ValueError("truncated pixel buffer")
+            return w, h, len(px), sum(px)
+
+        for pdf in batches:
+            rows = [meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "height": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "n_px_bytes": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "px_sum": pd.Series([r[3] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        schema="doc_id long, width long, height long, n_px_bytes long, px_sum long",
+    )
+
+
 # --- stubbed codecs (no media libraries in this environment) ---------------
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:

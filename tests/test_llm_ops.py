@@ -110,6 +110,32 @@ def test_ivf_recall_beats_floor(spark, sf_dir):
     assert len(exact & approx) / len(exact) >= 0.8
 
 
+def test_bucketed_signature_table_matches_checkpoint(spark, sf_dir):
+    """The 100 TB signature materialization (bucketed parquet) must yield the
+    same rows as the fixture-scale localCheckpoint, and downstream doc_id
+    joins must read it as a bucketed scan."""
+    import contextlib
+    import io
+
+    from flinkexp_spark.catalog.llm_dedup import _SIG_CACHE, signature_table
+
+    ck = signature_table(spark, sf_dir, mode="checkpoint")
+    bk = signature_table(spark, sf_dir, mode="bucketed")
+    try:
+        a = sorted(map(tuple, ck.collect()))
+        b = sorted(map(tuple, bk.collect()))
+        assert a == b
+        probe = spark.createDataFrame([(0,), (1,)], "doc_id long")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bk.join(probe.hint("merge"), "doc_id").explain("formatted")
+        assert "Bucketed: true" in buf.getvalue()
+    finally:
+        _SIG_CACHE.pop(
+            (spark.sparkContext.applicationId, sf_dir, "bucketed"), None
+        )
+
+
 def test_ivf_lloyd_reduces_quantization_error(spark, sf_dir):
     """The Lloyd rounds must strictly improve the coarse quantizer: mean
     cosine of each vector to its assigned centroid rises vs. the raw seed

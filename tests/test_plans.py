@@ -101,6 +101,118 @@ def test_sim_search_broadcasts_probe_side(spark, sf_dir):
     assert "Broadcast" in plan, "probe set must broadcast; corpus scans once"
 
 
+def test_aqe_splits_skewed_join(spark):
+    """Manufactured hot-key join: AQE's skew-join split must fire, replanning
+    the hot partition into parallel sub-joins — the runtime half of the
+    100x-scale skew story (the compile-time half is operators/salting.py,
+    green via `agg_salted_skew`).
+
+    Thresholds are lowered to make fixture-scale skew visible; the detection
+    logic (hot partition > threshold AND > factor x median) is the same one
+    that fires at 100 TB with production defaults.
+    """
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        # ~2/3 of 300k rows land on key 7; the rest spread over 50 keys
+        left = (
+            spark.range(300_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 3 != 0, F.lit(7)).otherwise(F.col("id") % 50),
+            )
+            .withColumn("pad", F.md5(F.col("id").cast("string")))
+        )
+        right = (
+            spark.range(50).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 2)
+        )
+        joined = left.join(right, "k")
+        joined.collect()  # materialize so AQE pins the final physical plan
+        plan = plan_of(joined, "simple")
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE must split the hot partition"
+        assert "skewed" in plan, "AQEShuffleRead must mark the skewed side"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_kafka_source_builds_streaming_plan(spark):
+    """S5 structural contract: the Kafka reader builds a STREAMING DataFrame
+    with the connector's canonical schema — verifiable without a broker
+    (.load() only binds options; no connection happens until start())."""
+    import pytest
+
+    from flinkexp_spark.sources.connectors import kafka_sink_writer, kafka_source
+
+    try:
+        df = kafka_source(spark, "broker:9092", "events_topic")
+    except Exception as e:  # pragma: no cover - jar genuinely absent
+        pytest.skip(f"kafka connector jars not on classpath: {e}")
+    assert df.isStreaming
+    cols = dict(df.dtypes)
+    assert cols["key"] == "binary" and cols["value"] == "binary"
+    assert "topic" in cols and "partition" in cols and "offset" in cols
+
+    writer = kafka_sink_writer(
+        df.selectExpr("CAST(value AS STRING) AS v"),
+        "broker:9092",
+        "out_topic",
+        "/tmp/ckpt-never-started",
+    )
+    # unstarted DataStreamWriter with the kafka format bound
+    assert writer is not None
+
+
+def test_jdbc_reader_wires_partitioned_options(spark):
+    """S6 structural contract: the JDBC reader must wire partitionColumn +
+    bounds so the scan parallelizes (a single-threaded JDBC read is the
+    classic ingest bottleneck).  No DB in the container, so assert on the
+    reader's option wiring rather than a round-trip."""
+    from flinkexp_spark.sources.connectors import read_jdbc
+
+    captured: dict = {}
+
+    class SpyReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def load(self):
+            return None
+
+    class SpySpark:
+        read = SpyReader()
+
+    read_jdbc(
+        SpySpark(),
+        "jdbc:mysql://db:3306/x",
+        "orders",
+        partition_column="o_orderkey",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=1_000_000,
+        fetchsize="10000",
+    )
+    assert captured["format"] == "jdbc"
+    assert captured["partitionColumn"] == "o_orderkey"
+    assert captured["numPartitions"] == "16"
+    assert captured["lowerBound"] == "0"
+    assert captured["upperBound"] == "1000000"
+    assert captured["fetchsize"] == "10000"
+
+
 def test_bucketed_join_and_agg_are_exchange_free(spark, sf_dir):
     """Co-bucketed fact tables: SMJ and key-grouped agg plan with NO shuffle.
 
