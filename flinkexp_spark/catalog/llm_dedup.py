@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -99,6 +100,18 @@ def signature_table(spark: SparkSession, sf_dir: str, mode: str | None = None) -
     sig = T.minhash_signatures(datasets.load(spark, sf_dir, "documents"))
     if mode == "bucketed":
         name = f"minhash_sig_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        # The metastore is per-session but the warehouse dir persists; a
+        # location left behind by a killed session makes saveAsTable fail
+        # with LOCATION_ALREADY_EXISTS even in overwrite mode (the table
+        # isn't in THIS session's catalog).  Clear both sides first.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+                "file:"
+            ),
+            name,
+        )
+        shutil.rmtree(loc, ignore_errors=True)
         (
             sig.repartition(16, "doc_id")  # one file per bucket (same murmur3)
             .write.bucketBy(16, "doc_id")

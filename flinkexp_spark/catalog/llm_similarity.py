@@ -234,7 +234,9 @@ def _ivf_centroids_df(spark: SparkSession, emb: DataFrame) -> DataFrame:
             )
             .collect()
         )
-        cent = spark.createDataFrame(cent_rows, "cent_id long, centv array<double>")
+        cent = datasets.local_df(
+            spark, cent_rows, "cent_id long, centv array<double>"
+        )
     return cent
 
 

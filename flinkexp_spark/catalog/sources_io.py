@@ -154,8 +154,8 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_in_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: in-memory collection source (Table API ``fromCollection``
     envelope) — ``spark.createDataFrame`` over driver-local rows."""
-    df = spark.createDataFrame(
-        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)], "grp string, v int"
+    df = datasets.local_df(
+        spark, [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)], "grp string, v int"
     )
     return df.groupBy("grp").agg(
         F.count("*").alias("n"), F.sum("v").cast("long").alias("total")
@@ -204,7 +204,7 @@ def q_sink_kv_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(spool, ignore_errors=True)
     rows = [(k[0], int(v[0])) for k, v in store.items()]
-    return spark.createDataFrame(rows, "k string, n long")
+    return datasets.local_df(spark, rows, "k string, n long")
 
 
 @register(

@@ -127,7 +127,7 @@ def q_stream_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         rows = spark.table(name).collect()
         spark.catalog.dropTempView(name)
-        return spark.createDataFrame(rows, "word string, cnt long")
+        return datasets.local_df(spark, rows, "word string, cnt long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -266,9 +266,10 @@ def q_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch tumble.
     """
     events = datasets.load(spark, sf_dir, "events")
-    sentinel = spark.createDataFrame(
+    sentinel = datasets.local_df(
+        spark,
         [(int(-1), datetime(2030, 1, 1), int(-1), "__sentinel__", 0.0, "{}")],
-        schema=events.schema,
+        events.schema,
     )
 
     def transform(stream: DataFrame) -> DataFrame:
@@ -333,9 +334,10 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = events.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp")).withColumn(
         "event_id", F.col("event_id") + 10_000_000
     )
-    sentinel = spark.createDataFrame(
+    sentinel = datasets.local_df(
+        spark,
         [(int(-1), datetime(2030, 1, 1), int(-1), "__sentinel__", 0.0, "{}")],
-        schema=events.schema,
+        events.schema,
     )
 
     def transform(stream: DataFrame) -> DataFrame:
@@ -345,13 +347,18 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
-    # File/batch layout: [first_half, second_half, late, sentinel]
+    # File/batch layout: [first_half, second_half, late+sentinel].  The late
+    # rows and the sentinel share the final micro-batch: dropping uses the
+    # watermark computed at the END of the previous batch (already past the
+    # late rows' windows), while the sentinel only advances the watermark
+    # AFTER this batch — so the drop decision is unaffected and the replay
+    # saves one full micro-batch of fixed cost.
     out = replay(
         spark,
         first_half,
         transform,
         output_mode="append",
-        extra_files=[second_half, late, sentinel],
+        extra_files=[second_half, late.unionAll(sentinel)],
     )
     return (
         _win_cols(out)

@@ -54,6 +54,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Small driver-local DataFrame in ONE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes to defaultParallelism
+    pickled-RDD slices (32 here); any downstream single-task action —
+    ``coalesce(1).write``, a replay sentinel file, a tiny groupBy — then
+    pays one Python-worker round trip PER SLICE (~150 ms x 32 ≈ 5 s
+    measured for a 1-row write).  One slice makes it one round trip.
+    Empty row lists skip the RDD path entirely (Spark requires a
+    non-empty RDD to infer nothing from, and an empty LocalRelation is
+    what callers want anyway).
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

@@ -82,13 +82,21 @@ def cosine_sql(a: str, b: str) -> str:
 # ---------------------------------------------------------------------------
 
 def lsh_bucket(vec: Column) -> Column:
-    """N_PLANES-bit sign bucket of a vector (deterministic planes)."""
+    """N_PLANES-bit sign bucket of a vector (deterministic planes).
+
+    Each plane projection is one ``aggregate(zip_with(vec, signs, x*s))``
+    fold — a flat array literal + small lambda — instead of 64 nested
+    binary adds per plane.  The nested form produced a ~512-leaf tree that
+    Catalyst re-walked (and duplicated into join/filter conditions), costing
+    seconds of analysis per query; the fold keeps the same left-to-right
+    IEEE sum order (0.0 + s1*x1 + s2*x2 + ...; (-1.0)*x == -x exactly), so
+    buckets are bit-identical to the oracle's literal sum.
+    """
     out = F.lit(0).cast("long")
     for p in range(N_PLANES):
-        proj = F.lit(0.0)
-        for d, s in enumerate(PLANES[p]):
-            term = F.element_at(vec, d + 1).cast("double")
-            proj = proj + (term if s > 0 else -term)
+        signs = F.array(*[F.lit(float(s)) for s in PLANES[p]])
+        prods = F.zip_with(vec, signs, lambda x, s: x.cast("double") * s)
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         out = out + F.shiftleft((proj > 0).cast("long"), p)
     return out
 

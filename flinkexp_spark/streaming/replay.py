@@ -186,9 +186,9 @@ def replay(
         # Materialize before dropping the sink table.
         rows = spark.table(name).collect()
         spark.catalog.dropTempView(name)
-        if not rows:
-            return spark.createDataFrame([], out.schema)
-        return spark.createDataFrame(rows, out.schema)
+        from flinkexp_spark.datasets import local_df
+
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
