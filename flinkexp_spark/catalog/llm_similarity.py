@@ -348,3 +348,95 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+# Max-abs symmetric quantization: q_d = half_up(x_d * 127 / scale) with
+# scale = max(|x_d|).  half_up = floor(v + 0.5) on both engines (Spark
+# round() and DuckDB round() differ on negative halves, so neither is used).
+QUANT_DECIMALS = 6
+
+
+@register(
+    "embed_quantize_int8",
+    oracle=f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_reduce(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE))),
+                               (a, b) -> greatest(a, b)) AS scale
+            FROM embeddings),
+        q AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                                 AS BIGINT)) AS qv,
+                   embedding
+            FROM s)
+        SELECT vec_id,
+               round(scale, {QUANT_DECIMALS}) AS scale_r,
+               CAST(list_reduce(qv, (a, b) -> greatest(a, b)) AS BIGINT)
+                   AS q_max,
+               CAST(list_reduce(qv, (a, b) -> least(a, b)) AS BIGINT) AS q_min,
+               round(list_reduce(list_prepend(0.0,
+                         list_transform(range({V.DIM}),
+                             i -> abs(CAST(embedding[i+1] AS DOUBLE)
+                                      - qv[i+1] * scale / 127.0))),
+                         (a, b) -> a + b) / {V.DIM}, {QUANT_DECIMALS})
+                   AS mean_abs_err
+        FROM q
+        ORDER BY vec_id
+        LIMIT 100
+    """,
+    tags=("X3",),
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: int8 scalar quantization of the embedding column — 4x memory cut
+    for the ANN candidate stage (the standard serving trick: coarse search
+    on int8, rescore survivors on float32).
+
+    Pure array lambdas: per-vector max-abs scale, half-up quantize, and an
+    explicitly-ordered reconstruction-error fold — narrow map over the
+    corpus, no shuffle, bit-identical on both engines (integer quantized
+    values; the error fold uses the same left-to-right order as the oracle).
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    xd = lambda c: c.cast("double")  # noqa: E731
+    scale = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(xd(x))),
+        F.lit(float("-inf")).cast("double"),
+        lambda a, b: F.greatest(a, b),
+    )
+    s = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(xd(x) * 127.0 / F.col("scale") + 0.5).cast("long"),
+    )
+    q = s.select("vec_id", "scale", qv.alias("qv"), "embedding")
+    err_terms = F.zip_with(
+        F.col("embedding"),
+        F.col("qv"),
+        lambda x, qx: F.abs(xd(x) - qx * F.col("scale") / 127.0),
+    )
+    mean_err = (
+        F.aggregate(err_terms, F.lit(0.0), lambda a, b: a + b) / V.DIM
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.round(F.col("scale"), QUANT_DECIMALS).alias("scale_r"),
+            F.aggregate(
+                F.col("qv"), F.lit(-(1 << 62)), lambda a, b: F.greatest(a, b)
+            )
+            .cast("long")
+            .alias("q_max"),
+            F.aggregate(
+                F.col("qv"), F.lit(1 << 62), lambda a, b: F.least(a, b)
+            )
+            .cast("long")
+            .alias("q_min"),
+            F.round(mean_err, QUANT_DECIMALS).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )

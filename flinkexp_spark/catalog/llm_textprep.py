@@ -1,0 +1,199 @@
+"""X4+ training-data text preparation: document chunking, BPE-ish token
+counting, and URL/e-mail (PII) extraction+redaction over ``documents``.
+
+No reference analog; north-star operators for the 100 TB training-data
+pipeline (chunk -> tokenize -> redact feeds pack_sequences in
+catalog/pipeline.py).  All pure ``pyspark.sql.functions`` expressions —
+array lambdas, regexes, no explode until the final chunk fan-out and no
+Python in the hot path — with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.registry import register
+
+# Chunking contract: fixed-size token windows with overlap.  Starts are the
+# multiples of STEP below n_tokens (always at least the 0 chunk); the last
+# chunk may be short.  Deterministic, so the oracle mirrors it exactly.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+CHUNK_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+# BPE-ish pre-tokenizer: alpha runs | single digits | single non-alnum
+# non-space.  Same semantics under Java regex (Spark) and RE2 (DuckDB) —
+# no lookarounds, no \p classes.
+BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+URL_RE = "https?://[^ ]+"
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks), 1), {CHUNK_STEP}))
+                         AS start
+              FROM t)
+        SELECT doc_id,
+               CAST(start / {CHUNK_STEP} AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, start + 1, start + {CHUNK_TOKENS}))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                   list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    tags=("X4",),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: fixed-size token chunking with overlap ({CHUNK}=32, overlap=8).
+
+    The chunk fan-out is the only explode — tokenization, start generation
+    and slicing are array lambdas on the unexploded row, so the operator
+    adds no shuffle: at 100 TB it is a narrow map over the corpus whose
+    output feeds pack_sequences / embedding stages partition-locally.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("toks")) - 1, F.lit(0)),
+        F.lit(CHUNK_STEP),
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STEP).cast("long").alias("chunk_id"),
+            F.size(F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "text_tokens_bpe",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}')))
+                    AS BIGINT) AS bpe_tokens,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+               round(CAST(SUM(strlen(text)) AS DOUBLE)
+                     / SUM(len(regexp_extract_all(text, '{BPE_RE}'))), 4)
+                   AS chars_per_token
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("X4",),
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: BPE-ish pre-tokenizer counts — alpha runs / digits / punctuation
+    as separate tokens, plus the chars-per-token compression ratio (the
+    standard budget metric for training-data sizing)."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0)))
+    return (
+        docs.select("lang", n_bpe.alias("nb"), F.length("text").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").cast("long").alias("bpe_tokens"),
+            F.sum("nc").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("nb"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+# PII extraction is exercised on deterministically AUGMENTED text (the
+# synthetic corpus contains no contact strings): docs with doc_id % 7 == 0
+# get an e-mail, % 11 == 0 a URL.  The augmentation is part of the query
+# text on BOTH engines, so extraction and redaction run against real
+# matches, not just the no-match path.
+_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' see https://docs.example.org/page' || CAST(doc_id AS STRING)
+            ELSE '' END
+"""
+
+
+@register(
+    "text_extract_redact_pii",
+    oracle=f"""
+        WITH aug AS (SELECT doc_id, {_AUG_SQL} AS atext FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(atext, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(atext, '{URL_RE}')) AS BIGINT)
+                   AS n_urls,
+               regexp_replace(
+                   regexp_replace(atext, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{URL_RE}', '<URL>', 'g') AS redacted
+        FROM aug
+        WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+    tags=("X4",),
+)
+def q_text_extract_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: URL / e-mail detection and redaction — the PII-scrub pass every
+    training-data pipeline runs before packing.  Counts via
+    regexp_extract_all, scrub via regexp_replace; both whole-stage codegen.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    atext = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://docs.example.org/page"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", atext.alias("atext"))
+        .filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("atext"), F.lit(EMAIL_RE), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("atext"), F.lit(URL_RE), F.lit(0)))
+            .cast("long")
+            .alias("n_urls"),
+            F.regexp_replace(
+                F.regexp_replace(F.col("atext"), EMAIL_RE, "<EMAIL>"),
+                URL_RE,
+                "<URL>",
+            ).alias("redacted"),
+        )
+    )

@@ -159,3 +159,54 @@ def test_ivf_lloyd_reduces_quantization_error(spark, sf_dir):
         )
 
     assert mean_assigned_cos(refined) > mean_assigned_cos(seed)
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Every token index lands in >=1 chunk; consecutive chunks overlap by
+    CHUNK_OVERLAP except a short tail; chunk 0 always exists (empty docs
+    included)."""
+    from flinkexp_spark.catalog import llm_textprep as X
+    from flinkexp_spark.registry import queries
+
+    docs = datasets.load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    )
+    chunks = (
+        queries()["chunk_documents"](spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").alias("tok_incl_overlap"),
+            F.max("chunk_id").alias("last_chunk"),
+            F.count("*").alias("n_chunks"),
+        )
+    )
+    joined = docs.join(chunks, "doc_id")
+    # coverage: sum of chunk sizes >= n (overlap re-counts), and the last
+    # chunk's start (last_chunk * STEP) is < n, so the tail is covered.
+    bad = joined.filter(
+        (F.col("tok_incl_overlap") < F.col("n"))
+        | (F.col("last_chunk") * X.CHUNK_STEP >= F.greatest(F.col("n"), F.lit(1)))
+        | (F.col("n_chunks") != F.col("last_chunk") + 1)
+    )
+    assert bad.count() == 0
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
+    """Quantized values stay in [-127, 127] and reconstruction error is
+    below half a quantization step on average."""
+    from flinkexp_spark.registry import queries
+
+    q = queries()["embed_quantize_int8"](spark, sf_dir)
+    row = q.agg(
+        F.max("q_max").alias("qmax"),
+        F.min("q_min").alias("qmin"),
+        F.max("mean_abs_err").alias("err"),
+        F.min("scale_r").alias("smin"),
+    ).collect()[0]
+    assert row["qmax"] <= 127 and row["qmin"] >= -127
+    assert row["smin"] > 0
+    # mean |x - q*scale/127| <= (scale/127)/2 for max-abs quantization
+    worst_step = q.select(
+        F.max(F.col("mean_abs_err") / (F.col("scale_r") / 127.0)).alias("r")
+    ).collect()[0]["r"]
+    assert worst_step <= 0.5 + 1e-6
