@@ -1,0 +1,100 @@
+"""Changelog -> snapshot compaction: Flink's upsert/dynamic-table view.
+
+Reference parity: Flink materializes a keyed changelog stream into a table
+whose value per key is the latest row (upsert-kafka source,
+ChangelogNormalize operator; the planner envelope at study/pom.xml:149-165
+declares the Table API where every keyed stream IS such a dynamic table).
+Spark has no changelog table type, so the engine expresses the same
+semantics two ways:
+
+* batch: one window pass — row_number() per key by (ts, event_id) DESC,
+  keep rn=1.  One shuffle on the key; at 100 TB this is the standard
+  compaction job shape (and is how a lakehouse MERGE materializes a CDC
+  feed).
+* streaming: a replayed aggregation ``max_by(payload, (ts, event_id))`` per
+  key — per-key state is ONE struct (the current winner), exactly
+  ChangelogNormalize's state, bounded by key cardinality not stream length.
+
+The `events` fixture acts as the changelog: key = user_id, version order =
+(ts, event_id), payload = (event_type, value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.registry import register
+from flinkexp_spark.streaming.replay import replay
+
+_SNAPSHOT_ORACLE = """
+    SELECT user_id,
+           CAST(ts AS STRING) AS ts_s,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) v
+    WHERE rn = 1
+"""
+
+
+@register("changelog_compact", oracle=_SNAPSHOT_ORACLE, tags=("W1", "J8"))
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch changelog compaction: latest row per key, (ts, event_id) as the
+    version vector.  Single shuffle on user_id; no join, no explode."""
+    events = datasets.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("string").alias("ts_s"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register("stream_changelog_upsert", oracle=_SNAPSHOT_ORACLE, tags=("T7", "T9"))
+def q_stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert materialization: the same snapshot produced by the
+    REAL streaming path — groupBy(key).max_by(payload, version) in complete
+    mode over a two-batch replay, so the second batch's rows overwrite the
+    first's per key exactly like Flink's upsert view.
+
+    max_by keeps one struct per key (current winner) — state is O(keys),
+    and the version tiebreak (ts, event_id) makes the winner deterministic
+    under any batch interleaving.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("last")
+        )
+
+    out = replay(
+        spark,
+        events,
+        transform,
+        output_mode="complete",
+        n_files=2,
+        order_col="ts",
+    )
+    return out.select(
+        "user_id",
+        F.col("last.ts").cast("string").alias("ts_s"),
+        F.col("last.event_type").alias("last_type"),
+        F.col("last.value").alias("last_value"),
+    )

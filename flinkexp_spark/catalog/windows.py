@@ -264,3 +264,74 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("sid")
     )
+
+
+@register(
+    "window_cumulate",
+    oracle="""
+        WITH steps AS (SELECT unnest(range(1, 5)) AS s),
+        hits AS (
+            SELECT floor(epoch(ts) / 86400) * 86400 AS day_start,
+                   day_start + 21600 * s.s AS win_end,
+                   value
+            FROM events, steps s
+            WHERE epoch(ts) < day_start + 21600 * s.s
+        )
+        SELECT strftime(to_timestamp(day_start), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               strftime(to_timestamp(win_end), '%Y-%m-%d %H:%M:%S')
+                   AS window_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM hits
+        GROUP BY 1, 2
+    """,
+    tags=("T2", "T3"),
+)
+def q_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CUMULATE window TVF analog (FLIP-145): expanding windows from
+    each day start in 6 h steps — [00:00,06:00), [00:00,12:00), ...,
+    [00:00,24:00).  An event lands in every step window whose end is after
+    its timestamp (early partial results that converge to the day total —
+    the dashboard-refresh window Flink added because sliding windows
+    over-count and tumbling windows arrive late).
+
+    Spark has no native CUMULATE; the expansion is an explode over the
+    step multiples that cover the event — at most 4 rows per event
+    (bounded, like a hop window's overlap factor), then one shuffle on the
+    (day, step) key.  State at scale = O(open windows), identical to hop.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+    # keep only step windows that cover the event
+    hits = (
+        events.select("ts", "value", day.alias("day_start"))
+        .select(
+            "ts",
+            "value",
+            "day_start",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("s"),
+        )
+        .filter(
+            F.unix_timestamp("ts")
+            < F.col("day_start") + 21600 * F.col("s")
+        )
+        .select(
+            "day_start",
+            (F.col("day_start") + 21600 * F.col("s")).alias("win_end"),
+            "value",
+        )
+    )
+    return hits.groupBy("day_start", "win_end").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("total"),
+    ).select(
+        F.date_format(F.timestamp_seconds("day_start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format(F.timestamp_seconds("win_end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        "n",
+        "total",
+    )
