@@ -287,6 +287,188 @@ Q22_SALES_OPPORTUNITY = """
 """
 
 
+# Q2 adapted: no partsupp table, so supply cost is derived from sales —
+# unit_cost(part, supplier) = MIN(l_extendedprice / l_quantity).  Keeps the
+# original's shape: region-scoped multi-join + correlated MIN subquery
+# (decorrelated by Catalyst into an aggregate + join) + top-100.
+Q2_MIN_COST_SUPPLIER = """
+    WITH partcost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(MIN(l_extendedprice / l_quantity) AS DOUBLE) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM part
+    JOIN partcost ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size <= 15
+      AND p_type = 'ECONOMY'
+      AND r_name = 'ASIA'
+      AND unit_cost = (
+          SELECT MIN(pc.unit_cost)
+          FROM partcost pc
+          JOIN supplier s2 ON s2.s_suppkey = pc.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE pc.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# Q9 adapted: profit cost term uses 0.6 * p_retailprice as the unit-cost
+# proxy (no ps_supplycost); keeps the part-name LIKE filter, the 5-way
+# join, and the nation x year rollup.
+Q9_PRODUCT_TYPE_PROFIT = """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+# Q11 adapted: "stock value" per part = revenue held by suppliers of one
+# nation (no partsupp availqty); keeps the scalar-subquery fraction
+# threshold over a reused CTE.
+Q11_IMPORTANT_STOCK = """
+    WITH holdings AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, value
+    FROM holdings
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          * 0.001
+                   FROM holdings)
+    ORDER BY value DESC, ps_partkey
+"""
+
+# Q12 adapted: priority-class line counts keyed by returnflag instead of
+# shipmode, lateness = shipped >30 days after ordering (no receiptdate).
+Q12_SHIPPING_PRIORITY_CLASS = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'N')
+      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+# Q16 adapted: supplier diversity per (brand, type, size) counted from the
+# lineitem pairing (no partsupp); the excluded-supplier predicate is a
+# negative account balance instead of a complaints comment LIKE.
+Q16_PART_SUPPLIER_COUNT = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# Q19 adapted: the OR-of-ANDs disjunct uses brand x size x quantity bands
+# (no container/shipmode/shipinstruct columns); keeps the canonical
+# "disjunctive join predicate still pushes a partial filter" shape.
+Q19_DISCOUNTED_REVENUE = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# Q20 adapted: "has excess stock to promote" = supplier sold more than half
+# of a red part's 1997 volume (no partsupp availqty); keeps the nested
+# semi-join chain with a per-part share threshold.
+Q20_POTENTIAL_PROMOTION = """
+    WITH part_sales AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+        SELECT l_partkey, SUM(qty) AS total_qty
+        FROM part_sales
+        GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (SELECT ps.l_suppkey
+                        FROM part_sales ps
+                        JOIN part_total pt ON ps.l_partkey = pt.l_partkey
+                        WHERE CAST(ps.qty AS DOUBLE)
+                              > 0.5 * CAST(pt.total_qty AS DOUBLE))
+    ORDER BY s_name
+"""
+
+# Q21 adapted: "kept the order waiting" = only supplier on a finished
+# multi-supplier order to ship >60 days after ordering (no
+# commit/receipt dates); keeps the EXISTS + NOT EXISTS pair.
+Q21_WAITING_SUPPLIER = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
 @register("sql_tpch_q1", oracle=Q1_PRICING_SUMMARY, tags=("A1", "O1"))
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: full-scan pricing summary — the canonical map-side partial
@@ -367,3 +549,62 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (adapted): sales opportunity — uncorrelated scalar subquery
     threshold + NOT EXISTS anti join."""
     return _sql_query(spark, sf_dir, Q22_SALES_OPPORTUNITY)
+
+
+@register("sql_tpch_q2", oracle=Q2_MIN_COST_SUPPLIER, tags=("J1", "J6", "A1", "O2"))
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): min-cost supplier per region-scoped part — the
+    correlated MIN subquery decorrelates into a per-part aggregate joined
+    back (one extra shuffle, not a per-row probe)."""
+    return _sql_query(spark, sf_dir, Q2_MIN_COST_SUPPLIER)
+
+
+@register("sql_tpch_q9", oracle=Q9_PRODUCT_TYPE_PROFIT, tags=("J1", "J6", "A1", "F4"))
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): product-type profit by nation x year — 5-way
+    join with all three dims broadcast, fact-side partial aggregation."""
+    return _sql_query(spark, sf_dir, Q9_PRODUCT_TYPE_PROFIT)
+
+
+@register("sql_tpch_q11", oracle=Q11_IMPORTANT_STOCK, tags=("A1", "O1"))
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): important-stock fraction threshold — one CTE
+    consumed twice (group rows + their grand total); the scalar subquery
+    runs as its own stage and broadcasts the threshold."""
+    return _sql_query(spark, sf_dir, Q11_IMPORTANT_STOCK)
+
+
+@register("sql_tpch_q12", oracle=Q12_SHIPPING_PRIORITY_CLASS, tags=("J1", "A1", "F4"))
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted): late-shipment priority classes — join with a
+    non-equi lateness predicate plus conditional CASE sums."""
+    return _sql_query(spark, sf_dir, Q12_SHIPPING_PRIORITY_CLASS)
+
+
+@register("sql_tpch_q16", oracle=Q16_PART_SUPPLIER_COUNT, tags=("A3", "J4"))
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): supplier diversity per part class — distinct
+    aggregation (two-phase shuffle) with a NOT IN anti-join exclusion."""
+    return _sql_query(spark, sf_dir, Q16_PART_SUPPLIER_COUNT)
+
+
+@register("sql_tpch_q19", oracle=Q19_DISCOUNTED_REVENUE, tags=("J1", "A2", "P2"))
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted): OR-of-ANDs disjunctive join predicate — the
+    brand/size/quantity bands partially push down to both scans while the
+    residual disjunct evaluates post-join."""
+    return _sql_query(spark, sf_dir, Q19_DISCOUNTED_REVENUE)
+
+
+@register("sql_tpch_q20", oracle=Q20_POTENTIAL_PROMOTION, tags=("J3", "A1"))
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): nested semi-join chain — IN over a share
+    threshold derived from two stacked aggregations."""
+    return _sql_query(spark, sf_dir, Q20_POTENTIAL_PROMOTION)
+
+
+@register("sql_tpch_q21", oracle=Q21_WAITING_SUPPLIER, tags=("J3", "J4", "A1"))
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): waiting suppliers — EXISTS (semi) + NOT EXISTS
+    (anti) against the same fact with an outer-correlated date predicate."""
+    return _sql_query(spark, sf_dir, Q21_WAITING_SUPPLIER)
