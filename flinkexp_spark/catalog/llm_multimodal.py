@@ -116,6 +116,44 @@ def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_ppm(M.with_ppm_payload(docs))
 
 
+@register(
+    "multimodal_decode_wav",
+    # Oracle mirrors the PCM synthesis arithmetically: rate and sample count
+    # from the row, sample_i = (md5_byte0*257 + i*9973) % 65536 - 32768 — so
+    # the DECODED container fields and waveform sum are exactly checkable.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   {M.WAV_BASE_RATE} + (doc_id % 3) * {M.WAV_RATE_STEP}
+                       AS sample_rate,
+                   strlen(text) % {M.WAV_MAX_SAMPLES} + 8 AS n_samples,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        sm AS (SELECT doc_id, sample_rate, n_samples, s,
+                      unnest(range(n_samples)) AS i
+               FROM m)
+        SELECT doc_id,
+               CAST(sample_rate AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(SUM((s * 257 + i * 9973) % 65536 - 32768) AS BIGINT)
+                   AS amp_sum,
+               CAST(floor(n_samples * 1000.0 / sample_rate) AS BIGINT)
+                   AS duration_ms
+        FROM sm GROUP BY 1, 2, 3, 4, 6
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL audio decode through the multimodal seam — encode each doc as
+    an actual 16-bit PCM WAV (stdlib ``wave`` writer: RIFF header, fmt
+    chunk, frame buffer), then decode by parsing the container back in
+    mapInPandas.  Second live codec beside PPM (multimodal_decode_meta);
+    mp3/ogg seams stay stubbed (functions/multimodal.py decode_audio)."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.decode_wav(M.with_wav_payload(docs))
+
+
 def _fake_feature_sql(j: int) -> str:
     seed = f"concat(md5(text), '-', '{j}')"
     return f"({h64_sql(seed)} % 1000) / 1000.0 AS f_{j}"

@@ -220,6 +220,105 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# --- real codec: WAV (RIFF PCM) ---------------------------------------------
+# Second modality exercised END-TO-END: 16-bit mono PCM WAV, written and
+# parsed with the stdlib ``wave`` module — a true container encode/decode
+# (RIFF chunks, fmt block, frame buffer), not byte arithmetic.  Sample
+# values are deterministic so the decoded waveform stats are
+# oracle-checkable.
+
+WAV_BASE_RATE = 8000
+WAV_RATE_STEP = 4000  # sample_rate = 8000 + (doc_id % 3) * 4000
+WAV_MAX_SAMPLES = 48  # n_samples = byte_len % 48 + 8
+
+
+def with_wav_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL audio payload: a 16-bit mono PCM WAV written by the
+    stdlib ``wave`` encoder.  sample_rate and waveform derive from the row
+    (md5-seeded), so decoded stats are exactly reproducible."""
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+        import io
+        import struct
+        import wave as wave_mod
+
+        import pandas as pd
+
+        def wav(doc_id: int, text: str) -> bytes:
+            rate = WAV_BASE_RATE + (doc_id % 3) * WAV_RATE_STEP
+            n = len(text.encode("utf-8")) % WAV_MAX_SAMPLES + 8
+            s = hashlib.md5(text.encode("utf-8")).digest()[0]
+            samples = [(s * 257 + i * 9973) % 65536 - 32768 for i in range(n)]
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{n}h", *samples))
+            return buf.getvalue()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        wav(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAVE container with the stdlib
+    ``wave`` reader (fmt chunk -> rate/channels/width, data chunk -> PCM
+    frames), unpack the samples, emit waveform stats.  Identical mapInPandas
+    shape to a soundfile/librosa decoder."""
+
+    def decode(batches):
+        import io
+        import struct
+        import wave as wave_mod
+
+        import pandas as pd
+
+        def meta(payload: bytes):
+            with wave_mod.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                n = w.getnframes()
+                frames = w.readframes(n)
+            if ch != 1 or width != 2:
+                raise ValueError(f"unsupported WAV layout ch={ch} width={width}")
+            samples = struct.unpack(f"<{n}h", frames)
+            return rate, ch, n, sum(samples), n * 1000 // rate
+
+        for pdf in batches:
+            rows = [meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "n_channels": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "n_samples": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "amp_sum": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "duration_ms": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, n_samples long, "
+            "amp_sum long, duration_ms long"
+        ),
+    )
+
+
 # --- stubbed codecs (no media libraries in this environment) ---------------
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -235,10 +334,13 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: decode audio bytes -> (sample_rate, n_samples, duration_s)."""
+    """STUB: decode compressed audio bytes -> (sample_rate, n_samples,
+    duration_s).  Uncompressed PCM WAV is handled for real by
+    :func:`decode_wav`; compressed formats (mp3/ogg/flac) need
+    soundfile/librosa — wire them into the same mapInPandas closure."""
     raise NotImplementedError(
-        "audio decode requires soundfile/librosa; wire the codec into a "
-        "mapInPandas closure exactly like extract_binary_metadata()"
+        "compressed audio decode requires soundfile/librosa; wire the codec "
+        "into a mapInPandas closure exactly like decode_wav()"
     )
 
 
