@@ -196,14 +196,26 @@ def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return aff.withColumn("crnk", F.row_number().over(w_assign))
 
 
-def _ivf_centroids_df(spark: SparkSession, emb: DataFrame) -> DataFrame:
+_CENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_centroids_df(
+    spark: SparkSession, emb: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """K seed centroids refined by IVF_ITERS Lloyd rounds (fixed-point means).
 
     Centroids are materialized driver-side between rounds (K x DIM doubles —
     the "model state" every distributed k-means broadcasts anyway): each
     round then starts from a literal centroid table instead of replaying the
     previous round's whole plan, keeping per-round cost one corpus pass.
+
+    ``cache_key`` (the sf_dir) memoizes the refined table per session —
+    sim_search_ivf and dedup_semantic share one quantizer, exactly like the
+    shared MinHash signature table (llm_dedup.signature_table).
     """
+    key = (spark.sparkContext.applicationId, cache_key or "")
+    if cache_key is not None and key in _CENT_CACHE:
+        return _CENT_CACHE[key]
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").cast("array<double>").alias("centv"),
@@ -237,11 +249,17 @@ def _ivf_centroids_df(spark: SparkSession, emb: DataFrame) -> DataFrame:
         cent = datasets.local_df(
             spark, cent_rows, "cent_id long, centv array<double>"
         )
+    if cache_key is not None:
+        _CENT_CACHE[key] = cent
     return cent
 
 
-def _ivf_oracle_sql() -> str:
-    """Unrolled Lloyd CTE chain mirroring :func:`_ivf_centroids_df` exactly."""
+def _lloyd_ctes() -> tuple[list[str], str]:
+    """Unrolled Lloyd CTE chain mirroring :func:`_ivf_centroids_df` exactly.
+
+    Returns (cte_list, final_centroid_cte_name); shared by every oracle that
+    needs the deterministic cell assignment (sim_search_ivf, dedup_semantic).
+    """
     ctes = [
         f"cent0 AS (SELECT vec_id AS cent_id, embedding AS centv\n"
         f"           FROM embeddings WHERE vec_id < {IVF_K})"
@@ -273,7 +291,11 @@ def _ivf_oracle_sql() -> str:
                    array_agg(mfp / {float(IVF_FP)} ORDER BY pos) AS centv
             FROM comp{t} GROUP BY cent_id)"""
         )
-    final = f"cent{IVF_ITERS}"
+    return ctes, f"cent{IVF_ITERS}"
+
+
+def _ivf_oracle_sql() -> str:
+    ctes, final = _lloyd_ctes()
     cos_final = V.cosine_sql("e.embedding", "c.centv")
     return f"""
         WITH {",".join(ctes)},
@@ -318,7 +340,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is nprobe/K of brute force.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids_df(spark, emb)
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
     ranked = _ivf_assign_df(emb, cent)
     cells = ranked.filter(F.col("crnk") == 1).select(
         F.col("vec_id").alias("match_id"),
@@ -439,4 +461,81 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
         .limit(100)
+    )
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------------
+SEMDEDUP_COS = 0.35  # within-cell cosine above this => duplicate
+
+
+def _semdedup_oracle_sql() -> str:
+    ctes, final = _lloyd_ctes()
+    cos_final = V.cosine_sql("e.embedding", "c.centv")
+    cos_pair = V.cosine_sql("a.cv", "b.cv")
+    return f"""
+        WITH {",".join(ctes)},
+        aff AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cos_final}, {V.COS_DECIMALS}) DESC, c.cent_id
+                   ) AS crnk
+            FROM embeddings e CROSS JOIN {final} c),
+        cells AS (SELECT vec_id, embedding AS cv, cent_id AS cell
+                  FROM aff WHERE crnk = 1),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({cos_pair}, {V.COS_DECIMALS}) >= {SEMDEDUP_COS})
+        SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+               (d.vec_id IS NULL) AS keep
+        FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle_sql(), tags=("X2", "X3"))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: SemDeDup-style semantic deduplication (Abbas et al. 2023) —
+    cluster the corpus with the deterministic k-means quantizer, score
+    pairwise cosine ONLY within each cell, keep the lowest vec_id of every
+    duplicate group.
+
+    The scale structure is the point: the pair space is sum-of-cell², never
+    corpus² — identical to the label-blocked near-dup but with LEARNED
+    blocks, which is what you run when no label exists.  At 100 TB: cells
+    are the partition key (each executor deduplicates its own cells; no
+    cross-cell shuffle after assignment), and K grows with corpus size to
+    hold cell width roughly constant.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    cells = (
+        _ivf_assign_df(emb, cent)
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", F.col("embedding").alias("cv"), F.col("cent_id").alias("cell"))
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("cv").alias("va"), F.col("cell").alias("ca")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"), F.col("cell").alias("cb")
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(
+            F.round(V.cosine(F.col("va"), F.col("vb")), V.COS_DECIMALS)
+            >= SEMDEDUP_COS
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
     )

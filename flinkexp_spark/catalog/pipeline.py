@@ -302,3 +302,103 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
         (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# --- data-mixture rebalancing ------------------------------------------------
+# Training corpora are assembled to a TARGET language/domain mix; the engine
+# computes per-group sampling weights from the observed distribution.
+MIX_DECIMALS = 6
+
+
+@register(
+    "mix_rebalance_weights",
+    oracle=f"""
+        WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+                          CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+                   FROM documents GROUP BY lang),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                     COUNT(*) AS n_groups FROM c)
+        SELECT lang, n_docs, n_bytes,
+               round(n_docs * 1.0 / t.total, {MIX_DECIMALS}) AS observed_frac,
+               round(1.0 / t.n_groups, {MIX_DECIMALS}) AS target_frac,
+               round((1.0 / t.n_groups) / (n_docs * 1.0 / t.total),
+                     {MIX_DECIMALS}) AS sample_weight
+        FROM c, t
+    """,
+    tags=("X4", "A1"),
+)
+def q_mix_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: per-language observed fraction vs a uniform
+    target, emitting the sampling weight (target/observed) each group needs
+    to hit the target mix — the control table a weighted sampler (e.g.
+    sample_stratified_hash with per-group rates) consumes.
+
+    One groupBy + a broadcast scalar total: the group table is tiny (one
+    row per language/domain) at any corpus size, so the plan is a single
+    fact-scan shuffle regardless of scale.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("n_bytes"),
+    )
+    t = c.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_groups")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "n_bytes",
+        F.round(F.col("n_docs") / F.col("total"), MIX_DECIMALS).alias("observed_frac"),
+        F.round(F.lit(1.0) / F.col("n_groups"), MIX_DECIMALS).alias("target_frac"),
+        F.round(
+            (F.lit(1.0) / F.col("n_groups")) / (F.col("n_docs") / F.col("total")),
+            MIX_DECIMALS,
+        ).alias("sample_weight"),
+    )
+
+
+# --- deterministic output sharding -------------------------------------------
+N_SHARDS = 16
+
+
+@register(
+    "shard_assign",
+    oracle=f"""
+        WITH s AS (SELECT doc_id,
+                          {T.h64_sql("CAST(doc_id AS VARCHAR)")} % {N_SHARDS}
+                              AS shard_id,
+                          strlen(text) AS n_bytes
+                   FROM documents)
+        SELECT shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM s GROUP BY shard_id
+    """,
+    tags=("X4", "S2"),
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: every document maps to one of N_SHARDS
+    training shards by content-independent hash of its id (md5 contract, so
+    the mapping is stable across engines and runs — a re-run reshards
+    identically, which is what makes checkpoint/resume of a data pipeline
+    safe).  Emits the shard manifest (doc count, byte size, id range).
+
+    At 100 TB this IS the writer layout: df.repartition(N, hash).write —
+    the manifest aggregation here verifies balance before paying the write.
+    The md5 spread keeps shards within ~1% of even at production N.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        (T.h64(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard_id"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
