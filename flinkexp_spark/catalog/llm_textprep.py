@@ -10,7 +10,7 @@ Python in the hot path — with exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -196,4 +196,139 @@ def q_text_extract_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "<URL>",
             ).alias("redacted"),
         )
+    )
+
+
+# --- vocabulary build + id encoding ------------------------------------------
+VOCAB_SIZE = 1000  # top tokens by (count DESC, token ASC); rest -> OOV (-1)
+ENCODE_DOCS = 50   # docs encoded in the checked output
+
+
+@register(
+    "vocab_encode_ids",
+    oracle=f"""
+        WITH t0 AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                    FROM documents),
+        w AS (SELECT unnest(toks) AS token FROM t0),
+        c AS (SELECT token, COUNT(*) AS cnt FROM w GROUP BY token),
+        v AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1
+                          AS BIGINT) AS token_id
+              FROM c
+              QUALIFY row_number() OVER (ORDER BY cnt DESC, token)
+                      <= {VOCAB_SIZE}),
+        d AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+              FROM t0 WHERE doc_id < {ENCODE_DOCS}),
+        e AS (SELECT doc_id, pos, toks[pos + 1] AS token FROM d)
+        SELECT e.doc_id, e.pos, COALESCE(v.token_id, -1) AS token_id
+        FROM e LEFT JOIN v ON e.token = v.token
+    """,
+    tags=("X4", "E2"),
+)
+def q_vocab_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style id encoding: build a frequency-ranked vocabulary over
+    the corpus (top VOCAB_SIZE tokens; deterministic (count DESC, token)
+    rank), then encode documents as (pos, token_id) with OOV -> -1.
+
+    Scale shape: the vocab is a count-shuffle over distinct tokens (Zipf:
+    tiny vs corpus) + one global sort of that SMALL table; encoding is a
+    broadcast hash join of the vocab against the exploded corpus — no
+    corpus-side shuffle at any size.  This is exactly how a production
+    tokenizer id-maps with a frozen vocab.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    c = (
+        t0.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    v = (
+        c.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+        .filter(F.col("token_id") < VOCAB_SIZE)
+        .select("token", "token_id")
+    )
+    e = (
+        t0.filter(F.col("doc_id") < ENCODE_DOCS)
+        .select("doc_id", F.posexplode("toks").alias("pos", "token"))
+    )
+    return (
+        e.join(F.broadcast(v), "token", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(-1)).alias("token_id"),
+        )
+    )
+
+
+# --- TF-IDF keyword extraction -----------------------------------------------
+# Fixed-point, log-free IDF: idf_fp = floor(1e6 * N / df).  A monotone
+# transform of N/df, so rankings match classic tf-idf at equal tf; chosen
+# over ln() because JVM Math.log and libm log can differ in the last ulp —
+# integer outputs make the oracle exact instead of tolerance-based.
+TFIDF_TOPK = 3
+TFIDF_FP = 1_000_000
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+        WITH t0 AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                    FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS token FROM t0),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM e
+               GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM e
+               GROUP BY token),
+        n AS (SELECT COUNT(*) AS n FROM t0),
+        s AS (SELECT tf.doc_id, tf.token,
+                     CAST(tf.tf * CAST(floor({TFIDF_FP}.0 * n.n / df.df)
+                                       AS BIGINT) AS BIGINT) AS tfidf_fp
+              FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+              WHERE tf.doc_id < {ENCODE_DOCS}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf_fp DESC, token) AS rnk FROM s)
+        SELECT doc_id, token, tfidf_fp, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TFIDF_TOPK}
+    """,
+    tags=("X4", "A1"),
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 distinguishing terms per document.
+
+    The document-frequency table is another Zipf-small aggregate broadcast
+    against per-doc term counts; the per-doc top-k is a bounded ranking
+    window.  At 100 TB: tf shuffles on (doc, token) — prunable by doc
+    partitioning — df is corpus-wide but tiny, and nothing ever holds more
+    than one doc's terms in a window frame.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    e = t0.select("doc_id", F.explode("toks").alias("token"))
+    tf = e.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = e.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = t0.agg(F.count("*").alias("n"))
+    s = (
+        tf.filter(F.col("doc_id") < ENCODE_DOCS)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.floor(F.lit(float(TFIDF_FP)) * F.col("n") / F.col("df")).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("tfidf_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_fp"), F.asc("token"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
     )
