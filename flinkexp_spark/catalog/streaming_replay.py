@@ -584,3 +584,89 @@ def q_stream_tumbling_checkpointed(spark: SparkSession, sf_dir: str) -> DataFram
         spark, events, transform, output_mode="complete", use_checkpoint=True
     )
     return _win_cols(out).select("window_start", "n")
+
+
+@register(
+    "stream_temporal_join",
+    # Oracle: DuckDB native ASOF JOIN — each event against the order version
+    # (per customer, by o_orderdate) valid at event time.
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN v.o_totalprice IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_matched,
+               CAST(SUM(CAST(floor(COALESCE(v.o_totalprice, 0) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS price_cents
+        FROM events e
+        ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, o_totalprice
+                        FROM orders) v
+          ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate
+        GROUP BY event_type
+    """,
+    tags=("T8", "J9", "J8"),
+)
+def q_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink temporal table join (FOR SYSTEM_TIME AS OF, the Table-API
+    planner envelope study/pom.xml:149-165): each streaming event joins the
+    dimension VERSION valid at its event time — here the customer's latest
+    order at-or-before the event, versioned by o_orderdate.
+
+    Spark has no native streaming temporal join; the engine runs the
+    standard shape: foreachBatch + batch as-of join (operators/asof.py)
+    against the versioned dim per micro-batch, appending enriched rows to
+    a sink table.  Row-local semantics make this exactly equal to the
+    all-at-once temporal join — and it is how production Spark pipelines
+    express FOR SYSTEM_TIME AS OF today (the dim is re-snapshotted per
+    micro-batch, so late dim updates take effect at the next batch, same
+    as Flink's processing-time temporal join).  State cost: zero (the
+    as-of window runs inside each micro-batch; nothing carries over).
+    """
+    import shutil
+
+    from flinkexp_spark.operators.asof import asof_join
+    from flinkexp_spark.streaming.replay import _scratch, replay_foreach_batch
+
+    events = datasets.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    versions = datasets.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("vts"),
+        "o_totalprice",
+    )
+    outdir = _scratch("temporal_out")
+    try:
+
+        def writer(batch_df: DataFrame, epoch: int) -> None:
+            enriched = asof_join(
+                batch_df,
+                versions,
+                on="user_id",
+                left_ts="ts",
+                right_ts="vts",
+                right_prefix="v_",
+            )
+            enriched.write.mode("append").parquet(outdir)
+
+        replay_foreach_batch(
+            spark, events, lambda s: s, writer, output_mode="append"
+        )
+        out = spark.read.parquet(outdir)
+        return (
+            out.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("v_o_totalprice").isNull(), 0).otherwise(1)
+                ).alias("n_matched"),
+                F.sum(
+                    F.floor(
+                        F.coalesce(F.col("v_o_totalprice"), F.lit(0.0)) * 100
+                        + 0.5
+                    ).cast("long")
+                ).alias("price_cents"),
+            )
+            .localCheckpoint()  # materialize before the scratch dir vanishes
+        )
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
