@@ -41,6 +41,7 @@ HEADLINE = [
     # window functions, set ops, scalar-function pipeline
     "agg_pricing_summary",
     "sql_tpch_q5",
+    "sql_tpch_q9",
     "join_broadcast_star",
     "join_bucketed_colocated",
     "join_asof",
@@ -51,12 +52,15 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_session_window",
     "stream_interval_join",
+    "stream_temporal_join",
     # LLM-pipeline extensions (X1–X5)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_semantic",
     "sim_search_topk",
     "sim_search_ivf",
     "text_quality_profile",
+    "vocab_encode_ids",
     "pack_sequences",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
