@@ -26,6 +26,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     sources_io,  # S1-S11
     llm_textprep,  # X4+ chunk/tokenize/redact (new in r2: no official row)
     changelog,  # upsert/dynamic-table parity (new in r2: no official row)
+    patterns,  # CEP/MATCH_RECOGNIZE analogs (new in r2: no official row)
     # --- no official r01 row yet: streaming replays (highest fixed cost
     #     of the unchecked set, so they close that block) ------------------
     streaming_replay,  # T1-T10, E1-E7

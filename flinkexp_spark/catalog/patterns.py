@@ -1,0 +1,198 @@
+"""Event-pattern analytics: the Flink CEP / SQL MATCH_RECOGNIZE surface
+re-expressed as declarative Spark plans.
+
+Reference parity: Flink ships CEP ("A followed-by B within T", absence
+patterns) and MATCH_RECOGNIZE in the Table API envelope (the planner
+dependency at study/pom.xml:149-165).  Spark has neither; the engine
+expresses the same event-sequence semantics with bounded interval joins +
+ranking windows — the canonical batch/at-scale funnel formulation:
+
+* followed-by  -> interval join (user equi-key + time-range predicate),
+  rank 1 per trigger = "first B after A within T".
+* not-followed-by (absence) -> the same interval join as LEFT ANTI.
+* cohort retention -> first-touch cohort day per key + day-offset join.
+
+Scale notes: every pattern is an equi-join on the entity key with a
+BOUNDED time predicate — state/shuffle is O(events in window), never
+O(pairs).  The per-trigger rank window is bounded by matches within T.
+These are exactly the plans a funnel warehouse (Amplitude-style) runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.registry import register
+
+FUNNEL_WINDOW_S = 3600  # "within 1 hour"
+RETENTION_MAX_OFFSET = 7
+
+
+@register(
+    "pattern_funnel",
+    oracle=f"""
+        WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        j AS (
+            SELECT v.event_id AS view_id, v.user_id, v.ts AS vts,
+                   c.event_id AS click_id, c.ts AS cts,
+                   row_number() OVER (PARTITION BY v.event_id
+                                      ORDER BY c.ts, c.event_id) AS rn
+            FROM v JOIN c
+              ON v.user_id = c.user_id
+             AND c.ts > v.ts
+             AND c.ts <= v.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND)
+        SELECT view_id, user_id, click_id,
+               -- per-timestamp floor mirrors Spark's unix_timestamp()
+               -- second-truncation (fixture ts carries sub-second parts)
+               CAST(floor(epoch(cts)) - floor(epoch(vts)) AS BIGINT)
+                   AS secs_to_click
+        FROM j WHERE rn = 1
+    """,
+    tags=("J7", "W1"),
+)
+def q_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP "A followed-by B within T": for every view, the FIRST click by
+    the same user within the next hour (Flink `A -> B within 1h`,
+    MATCH_RECOGNIZE `PATTERN (A B)` with a range guard).
+
+    Interval join (user equi-key + bounded range) then rank-1 per trigger —
+    no unbounded pair space, no per-event Python.  At scale the range
+    predicate keeps the join's state bounded by the window, exactly like
+    the streaming interval join (stream_interval_join) this mirrors.
+    """
+    e = datasets.load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("vts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    j = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") > F.col("vts"))
+        & (
+            F.col("cts")
+            <= F.col("vts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
+        ),
+    )
+    w = Window.partitionBy("view_id").orderBy(F.asc("cts"), F.asc("click_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "view_id",
+            "user_id",
+            "click_id",
+            (F.unix_timestamp("cts") - F.unix_timestamp("vts"))
+            .cast("long")
+            .alias("secs_to_click"),
+        )
+    )
+
+
+@register(
+    "pattern_absence",
+    oracle=f"""
+        WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        c AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT CAST(CAST(v.ts AS DATE) AS STRING) AS day,
+               COUNT(*) AS n_unconverted
+        FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = v.user_id
+              AND c.ts > v.ts
+              AND c.ts <= v.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND)
+        GROUP BY 1
+    """,
+    tags=("J4", "J7"),
+)
+def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence pattern ("A NOT followed-by B within T"): views with no
+    same-user click inside the next hour, counted per day — Flink's
+    `notFollowedBy` / timeout pattern, the alerting shape ("cart abandoned",
+    "no heartbeat after request").
+
+    LEFT ANTI interval join: same bounded-range equi-join as the funnel,
+    with the anti flag replacing the rank.  In streaming this is the
+    watermark-timeout emission of stream_late_data; in batch one join.
+    """
+    e = datasets.load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    unconverted = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") > F.col("vts"))
+        & (
+            F.col("cts")
+            <= F.col("vts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
+        ),
+        "left_anti",
+    )
+    return (
+        unconverted.groupBy(
+            F.col("vts").cast("date").cast("string").alias("day")
+        ).agg(F.count("*").alias("n_unconverted"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+        WITH first_touch AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        SELECT CAST(f.cohort_day AS STRING) AS cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                   AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN first_touch f ON a.user_id = f.user_id
+        WHERE date_diff('day', f.cohort_day, a.day)
+              BETWEEN 0 AND {RETENTION_MAX_OFFSET}
+        GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("A3", "J1"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    again at each day offset 0..7 — the standard product-analytics rollup
+    (and the aggregate a MATCH_RECOGNIZE `PATTERN (FIRST ANY*)` feeds).
+
+    Two shuffles total: first-touch min per user, then the distinct
+    (user, day) activity joined back on user_id (co-partitioned by the
+    same key, so AQE plans it without a third exchange) and aggregated on
+    the tiny (cohort, offset) grid.
+    """
+    e = datasets.load(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    j = activity.join(first_touch, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
+    )
+    return (
+        j.filter(F.col("day_offset").between(0, RETENTION_MAX_OFFSET))
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
