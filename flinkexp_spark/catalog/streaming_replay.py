@@ -670,3 +670,86 @@ def q_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+        SELECT a.event_id AS click_id,
+               CAST(COUNT(b.event_id) AS BIGINT) AS n_views
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_type = 'view'
+         AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts
+         AND b.event_id <> a.event_id
+        WHERE a.event_type = 'click'
+        GROUP BY a.event_id
+    """,
+    tags=("T8", "J7", "J2"),
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 outer variant: stream-stream LEFT OUTER interval join — clicks
+    with no view in their 10-minute lookback still emit (NULL-padded), the
+    Flink outer interval join / left temporal semantics.
+
+    The outer side can only emit "no match" once the watermark proves no
+    matching view can still arrive, so unmatched rows surface on watermark
+    advancement — a far-future sentinel pair (one row per branch: each
+    filtered branch tracks its own event-time watermark, and the GLOBAL
+    watermark is their min, so both branches must see the flush) closes
+    the tail that would otherwise stay buffered at stream end.  State is
+    still time-bounded: buffered rows drop as the watermark passes.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    sentinel = datasets.local_df(
+        spark,
+        [
+            (int(-1), datetime(2030, 1, 1), int(-1), "click", 0.0, "{}"),
+            (int(-2), datetime(2030, 1, 1), int(-1), "view", 0.0, "{}"),
+        ],
+        events.schema,
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        a = (
+            stream.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 hour")
+            .alias("a")
+        )
+        b = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("b_event_id"),
+                F.col("user_id").alias("b_user_id"),
+                F.col("ts").alias("b_ts"),
+            )
+            .withWatermark("b_ts", "1 hour")
+            .alias("b")
+        )
+        return a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.b_user_id"))
+            & (F.col("b.b_ts") >= F.col("a.ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("b.b_ts") <= F.col("a.ts"))
+            & (F.col("b.b_event_id") != F.col("a.event_id")),
+            "left_outer",
+        ).select(
+            F.col("a.event_id").alias("click_id"),
+            F.col("b.b_event_id").alias("matched_view"),
+        )
+
+    pairs = replay(
+        spark,
+        events,
+        transform,
+        output_mode="append",
+        n_files=2,
+        order_col="ts",
+        sentinel_df=sentinel,
+    )
+    return (
+        pairs.filter(F.col("click_id") >= 0)
+        .groupBy("click_id")
+        .agg(F.count("matched_view").alias("n_views"))
+    )
