@@ -25,7 +25,7 @@ import hashlib
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -402,4 +402,76 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cluster_size"),
         F.min("node").alias("min_doc"),
         F.max("node").alias("max_doc"),
+    )
+
+
+# --- line-level (segment) exact dedup ----------------------------------------
+# C4-style sub-document dedup (Raffel et al. 2020 dropped duplicate three-
+# sentence spans corpus-wide): the fixture text has no sentence boundaries,
+# so "lines" are deterministic 8-token segments; the keep rule is C4's —
+# first occurrence corpus-wide by (doc_id, position), all later copies drop.
+SEG_TOKENS = 8
+SEG_REPORT_DOCS = 200
+
+
+@register(
+    "dedup_lines",
+    oracle=f"""
+        WITH t0 AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                    FROM documents),
+        segs AS (
+            SELECT doc_id, i AS seg_idx,
+                   array_to_string(
+                       toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}],
+                       ' ') AS seg
+            FROM t0, (SELECT unnest(range(200)) AS i)
+            WHERE i < CAST(floor(len(toks) / {SEG_TOKENS}) AS BIGINT)),
+        ranked AS (
+            SELECT doc_id, seg_idx,
+                   row_number() OVER (PARTITION BY seg
+                                      ORDER BY doc_id, seg_idx) AS rn
+            FROM segs)
+        SELECT doc_id,
+               COUNT(*) AS n_segments,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM ranked
+        WHERE doc_id < {SEG_REPORT_DOCS}
+        GROUP BY doc_id
+    """,
+    tags=("X1", "X2"),
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 at sub-document granularity: corpus-wide LINE dedup (the C4 move:
+    drop any repeated span no matter which document it appears in, keep the
+    first occurrence in (doc_id, position) order).
+
+    One hash shuffle on the segment text — identical structure to exact doc
+    dedup, just a finer key.  At 100 TB: segment -> md5 before the shuffle
+    (16-byte keys instead of text), and the first-occurrence rank becomes
+    min_by over the (doc_id, seg_idx) pair — both map-side combinable; the
+    report aggregation re-shuffles only per-doc counters.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    n_seg = F.floor(F.size("toks") / SEG_TOKENS).cast("int")
+    seg_list = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i * SEG_TOKENS + 1, SEG_TOKENS)),
+    )
+    segs = (
+        t0.filter(n_seg > 0)
+        .select("doc_id", F.posexplode(seg_list).alias("seg_idx", "seg"))
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("doc_id") < SEG_REPORT_DOCS)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
     )
