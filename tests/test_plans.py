@@ -282,3 +282,37 @@ def test_tpch_q18_semi_joins_the_having_subquery(spark, sf_dir):
     quadratic on hot orders at scale."""
     plan = plan_of(queries()["sql_tpch_q18"](spark, sf_dir))
     assert "LeftSemi" in plan or "SemiJoin" in plan.replace(" ", "")
+
+
+def test_pattern_funnel_is_not_cartesian(spark, sf_dir):
+    """CEP followed-by must plan as an equi-join on the entity key (the
+    time range rides as a post-join filter), never a cartesian pair space."""
+    plan = plan_of(queries()["pattern_funnel"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_only_within_cells(spark, sf_dir):
+    """SemDeDup pair scoring must stay inside cells: the corpus x corpus
+    pairing is an EQUI-join on the cell id (SortMergeJoin), never a
+    cartesian.  (The one BroadcastNestedLoopJoin in the plan is the
+    K-centroid scoring pass — an intentional broadcast of K=8 rows against
+    the corpus, the distributed k-means assignment shape.)"""
+    plan = plan_of(queries()["dedup_semantic"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [ca" in plan or "ShuffledHashJoin [ca" in plan, (
+        "within-cell pair join must be an equi-join on the cell id"
+    )
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
+    """Id-encoding must broadcast the Zipf-small vocab against the exploded
+    corpus — the corpus side must not shuffle for the join."""
+    plan = plan_of(queries()["vocab_encode_ids"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_lines_combines_map_side(spark, sf_dir):
+    """Per-doc segment report must partial-aggregate before its exchange."""
+    plan = plan_of(queries()["dedup_lines"](spark, sf_dir), "simple")
+    assert "partial_count" in plan or "partial" in plan
