@@ -324,3 +324,115 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "source_jdbc_roundtrip",
+    oracle="""
+        SELECT n_regionkey, COUNT(*) AS n,
+               CAST(MIN(n_nationkey) AS BIGINT) AS min_key
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("S6",),
+)
+def q_source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 LIVE: real JDBC round-trip through Spark's jdbc source against the
+    EMBEDDED Derby engine on the classpath (no external DB needed) —
+    write `nation` to a Derby table via the JDBC writer, read it back
+    through :func:`flinkexp_spark.sources.connectors.read_jdbc` WITH the
+    partition-bounds API (partitionColumn/lower/upper/numPartitions), so
+    the read plans as parallel range scans — the exact ingest shape for
+    MySQL at scale (flink-jdbc analog, study/pom.xml:105).
+    """
+    db = os.path.join(SCRATCH_ROOT, f"derby_{uuid.uuid4().hex[:10]}")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = datasets.load(spark, sf_dir, "nation")
+    try:
+        (
+            nation.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "nation")
+            .option("driver", driver)
+            .mode("overwrite")
+            .save()
+        )
+        hi = nation.agg(F.max("n_nationkey")).first()[0]
+        back = sources.read_jdbc(
+            spark,
+            url,
+            "nation",
+            partition_column="n_nationkey",
+            num_partitions=4,
+            lower_bound=0,
+            upper_bound=int(hi) + 1,
+            driver=driver,
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("n_nationkey").cast("long").alias("min_key"),
+            )
+            .localCheckpoint()  # materialize before the Derby dir vanishes
+        )
+    finally:
+        shutil.rmtree(db, ignore_errors=True)
+
+
+@register(
+    "sink_wide_column",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        WHERE event_id < 3000
+        GROUP BY user_id
+    """,
+    tags=("S8", "S7"),
+)
+def q_sink_wide_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: wide-column (HBase-analog, study/pom.xml:126-140) sink — the one
+    declared reference connector previously without code.  Streaming per-user
+    aggregates are MELTED into cells (row_key=user_id, family='stats',
+    qualifiers n/cents) and upserted cell-by-cell via foreachBatch ->
+    foreachPartition on the executors, later epochs winning per cell like
+    HBase timestamps.  The store's final scan is the result.
+    """
+    from flinkexp_spark.streaming.replay import replay_foreach_batch
+
+    events = datasets.load(spark, sf_dir, "events").filter(
+        F.col("event_id") < 3000
+    )
+    spool = os.path.join(SCRATCH_ROOT, f"wc_spool_{uuid.uuid4().hex[:10]}")
+    os.makedirs(spool, exist_ok=True)
+    try:
+        writer = sources.wide_column_sink(
+            "user_id",
+            "stats",
+            ["n", "cents"],
+            sources.spool_kv_client_factory(spool),
+        )
+
+        def transform(stream: DataFrame) -> DataFrame:
+            return stream.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+
+        replay_foreach_batch(
+            spark, events, transform, writer, output_mode="complete"
+        )
+        store = sources.read_wide_column_spool(spool)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    rows = [
+        (int(rk), int(cells[("stats", "n")]), int(cells[("stats", "cents")]))
+        for rk, cells in store.items()
+    ]
+    return datasets.local_df(spark, rows, "user_id long, n long, cents long")

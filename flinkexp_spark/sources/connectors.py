@@ -270,3 +270,66 @@ def read_kv_spool(spool_dir: str) -> dict:
 
 # S8 (HBase wide-column) is declared out of t2 scope (SURVEY §2.2 S8): the
 # pattern is identical to kv_sink via foreachBatch + the connector's client.
+
+
+# --- S8: wide-column (HBase-analog) sink -------------------------------------
+
+
+def wide_column_cells(
+    df: DataFrame, row_key: str, family: str, qualifiers: list[str]
+) -> DataFrame:
+    """Melt a relational row into wide-column CELLS — the HBase data model
+    (flink-hbase envelope, study/pom.xml:126-140): one output row per
+    (row_key, family, qualifier, value).  A put against HBase writes exactly
+    these cells; the melt is the schema bridge between a DataFrame and a
+    wide-column store.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("qualifier"),
+                F.col(q).cast("string").alias("value"),
+            )
+            for q in qualifiers
+        ]
+    )
+    return df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.lit(family).alias("family"),
+        F.explode(pairs).alias("cell"),
+    ).select("row_key", "family", "cell.qualifier", "cell.value")
+
+
+def wide_column_sink(
+    row_key: str,
+    family: str,
+    qualifiers: list[str],
+    client_factory: Callable[[int], tuple[Callable, Callable]],
+    batch_size: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """S8: wide-column upsert sink as a foreachBatch writer — cell-level
+    puts via the same executor-side foreachPartition path as the KV sink
+    (one client per partition, batched), with later epochs winning per cell
+    exactly like HBase timestamps.  Swap the spool client for an
+    happybase/asynchbase client and this IS the HBase writer.
+    """
+    cell_writer = kv_sink(
+        ["row_key", "family", "qualifier"], ["value"], client_factory, batch_size
+    )
+
+    def write_batch(df: DataFrame, epoch: int) -> None:
+        cell_writer(wide_column_cells(df, row_key, family, qualifiers), epoch)
+
+    return write_batch
+
+
+def read_wide_column_spool(spool_dir: str) -> dict:
+    """Driver-side merge of a wide-column spool into final store state:
+    {row_key: {(family, qualifier): value}} with later epochs winning —
+    the scan-side view of the store for tests."""
+    rows: dict = {}
+    for (rk, fam, qual), (val,) in read_kv_spool(spool_dir).items():
+        rows.setdefault(rk, {})[(fam, qual)] = val
+    return rows
