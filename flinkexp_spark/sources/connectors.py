@@ -2,7 +2,8 @@
 
 Reference declarations: HDFS/posix files (study/pom.xml:40-57), Kafka
 (study/pom.xml:82-88), Redis sink (study/pom.xml:65), JDBC/MySQL
-(study/pom.xml:105), HBase (study/pom.xml:126-140, out of t2 scope), JSON
+(study/pom.xml:105, live via embedded Derby), HBase (study/pom.xml:126-140,
+wide-column cell sink), JSON
 format (study/pom.xml:172), socket source (StreamSocket.scala:13), print
 sink (StreamSocket.scala:15).
 
