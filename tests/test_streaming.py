@@ -240,6 +240,40 @@ def test_kv_sink_upsert(spark, tmp_path):
     assert read_kv_spool(spool) == {("a",): (5,), ("b",): (2,)}
 
 
+def test_wide_column_sink_cell_versioning(spark, tmp_path):
+    """S8: rows melt into (row_key, family, qualifier, value) cells and the
+    store keeps the latest epoch per CELL — HBase timestamp semantics,
+    including partial-row updates that leave sibling cells intact."""
+    from flinkexp_spark.sources.connectors import (
+        read_wide_column_spool,
+        spool_kv_client_factory,
+        wide_column_cells,
+        wide_column_sink,
+    )
+
+    spool = str(tmp_path / "wcspool")
+    os.makedirs(spool)
+
+    cells = wide_column_cells(
+        spark.createDataFrame([(1, 10, 100)], "rk long, a long, b long"),
+        "rk",
+        "fam",
+        ["a", "b"],
+    )
+    assert sorted(cells.columns) == ["family", "qualifier", "row_key", "value"]
+    assert cells.count() == 2
+
+    writer = wide_column_sink(
+        "rk", "fam", ["a", "b"], spool_kv_client_factory(spool), batch_size=1
+    )
+    writer(spark.createDataFrame([(1, 10, 100), (2, 20, 200)], "rk long, a long, b long"), 0)
+    writer(spark.createDataFrame([(1, 11, 100)], "rk long, a long, b long"), 1)
+    store = read_wide_column_spool(spool)
+    assert store["1"][("fam", "a")] == "11", "epoch-1 cell must win"
+    assert store["1"][("fam", "b")] == "100", "sibling cell intact"
+    assert store["2"][("fam", "a")] == "20"
+
+
 def test_kv_sink_no_driver_collect():
     """S7 scale guard: the KV write path must not serialize batches through
     the driver — no collect()/toPandas()/toLocalIterator in kv_sink."""
