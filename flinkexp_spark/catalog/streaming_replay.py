@@ -753,3 +753,65 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("click_id")
         .agg(F.count("matched_view").alias("n_views"))
     )
+
+
+@register(
+    "stream_session_timers",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                   AS duration_s
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=("T7", "T4", "T5"),
+)
+def q_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 with TIMERS: custom per-key sessionization through
+    ``applyInPandasWithState`` + EventTimeTimeout — the Flink
+    KeyedProcessFunction pairing of keyed state AND event-time timers
+    (`ctx.timerService().registerEventTimeTimer`), which the native
+    session_window operator (stream_session_window) hides.  Sessions close
+    in-band on a gap-exceeding event or by timer when the watermark passes
+    the gap horizon; a far-future sentinel fires the final timers.  Output
+    matches the batch gaps-and-islands oracle exactly (946 sessions at
+    sf0.001).
+    """
+    from flinkexp_spark.streaming.stateful import stateful_sessionize
+
+    events = datasets.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sentinel = datasets.local_df(
+        spark,
+        [(int(-1), datetime(2030, 1, 1), int(-1), 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = replay(
+        spark,
+        events,
+        stateful_sessionize,
+        output_mode="append",
+        n_files=2,
+        order_col="ts",
+        sentinel_df=sentinel,
+    )
+    return out.filter(F.col("user_id") >= 0)

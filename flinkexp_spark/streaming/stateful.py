@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -117,4 +118,129 @@ def running_totals_transform(stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- T7 with TIMERS: per-key sessionization via EventTimeTimeout -------------
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cents", LongType()),
+        StructField("duration_s", LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+SESSION_GAP_S = 1800
+
+
+def stateful_sessionize(stream: DataFrame) -> DataFrame:
+    """T7 with event-time TIMERS: gap-based sessionization through
+    ``applyInPandasWithState`` + ``EventTimeTimeout`` — the full Flink
+    ``KeyedProcessFunction`` surface (keyed state AND registered timers,
+    the part NoTimeout operators don't exercise).
+
+    Sessions close two ways, both exercised: in-band (a new event arrives
+    after the gap -> emit the closed session immediately) and by TIMER (the
+    watermark passes last_event + gap with no new data -> ``hasTimedOut``
+    fires and flushes the open session).  State per key is one 4-long
+    struct; the timeout timestamp re-arms on every update, so state never
+    outlives gap + lateness — O(active keys), stream-length independent.
+    """
+
+    def sessions(key, pdfs, state):
+        # closure: pickled by value (see module doc)
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def emit(s_ns, e_ns, n, cents):
+            start = pd.Timestamp(s_ns)
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start.strftime("%Y-%m-%d %H:%M:%S")],
+                    "n_events": [n],
+                    "cents": [cents],
+                    "duration_s": [
+                        math.floor(e_ns / 1e9) - math.floor(s_ns / 1e9)
+                    ],
+                }
+            )
+
+        if state.hasTimedOut:
+            s_ns, e_ns, n, cents = state.get
+            state.remove()
+            yield emit(s_ns, e_ns, n, cents)
+            return
+        cur = state.get if state.exists else None
+        out = []
+        gap_ns = SESSION_GAP_S * 1_000_000_000
+        # One key's batch arrives as multiple Arrow chunks in ARRIVAL order,
+        # not time order — concat + one sort, else chunk boundaries split
+        # or merge sessions nondeterministically.  Memory = this key's rows
+        # in this batch (bounded by batch size, not stream length).
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in ([whole] if len(whole) else []):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            t = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            # vectorized gaps-and-islands within the batch; the carried
+            # state stitches across batches
+            brk = np.empty(len(t), dtype=bool)
+            brk[0] = cur is None or (t[0] - cur[1]) > gap_ns
+            brk[1:] = (t[1:] - t[:-1]) > gap_ns
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(t))
+            if brk[0] and cur is not None:
+                # batch's first row exceeds the gap: the carried session
+                # closes NOW (the row loop's "emit then open" first branch)
+                out.append(emit(*cur))
+                cur = None
+            if not brk[0]:
+                # rows [0, first break) continue the carried session
+                cont = int(starts[0]) if len(starts) else len(t)
+                cur = (
+                    cur[0],
+                    max(cur[1], int(t[cont - 1])),  # chunks can arrive
+                    # time-interleaved within a batch; last must not regress
+                    cur[2] + cont,
+                    cur[3] + int(c[:cont].sum()),
+                )
+                if len(starts):  # a later break closes the carried session
+                    out.append(emit(*cur))
+                    cur = None
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                span = (int(t[s]), int(t[e - 1]), int(e - s), int(c[s:e].sum()))
+                if i < len(starts) - 1:
+                    out.append(emit(*span))
+                else:
+                    cur = span  # last span stays open for the next batch
+        state.update(cur)
+        # re-arm the event-time timer: fire when the watermark passes the
+        # session's gap horizon (ms epoch, per the GroupState API)
+        state.setTimeoutTimestamp(cur[1] // 1_000_000 + SESSION_GAP_S * 1000)
+        for o in out:
+            yield o
+
+    return (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
