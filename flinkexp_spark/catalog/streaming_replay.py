@@ -815,3 +815,66 @@ def q_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel_df=sentinel,
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_cumulate_window",
+    # Same construction as the batch analog (windows.q_window_cumulate):
+    # expanding day-anchored windows in 6 h steps.
+    oracle="""
+        WITH steps AS (SELECT unnest(range(1, 5)) AS s),
+        hits AS (
+            SELECT floor(epoch(ts) / 86400) * 86400 AS day_start,
+                   day_start + 21600 * s.s AS win_end,
+                   value
+            FROM events, steps s
+            WHERE epoch(ts) < day_start + 21600 * s.s
+        )
+        SELECT strftime(to_timestamp(day_start), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               strftime(to_timestamp(win_end), '%Y-%m-%d %H:%M:%S')
+                   AS window_end,
+               COUNT(*) AS n
+        FROM hits
+        GROUP BY 1, 2
+    """,
+    tags=("T2", "T3"),
+)
+def q_stream_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CUMULATE window TVF (FLIP-145) in its STREAMING form: the
+    step-explode runs stateless inside the micro-batch and the (day, step)
+    aggregation carries streaming state — early partials per refresh step
+    that converge to the day total, which is CUMULATE's entire purpose.
+    State = O(open step windows), the same bound as a hop window.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        day = (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+        hits = (
+            stream.select("ts", day.alias("day_start"))
+            .select(
+                "ts",
+                "day_start",
+                F.explode(F.sequence(F.lit(1), F.lit(4))).alias("s"),
+            )
+            .filter(
+                F.unix_timestamp("ts") < F.col("day_start") + 21600 * F.col("s")
+            )
+            .select(
+                "day_start",
+                (F.col("day_start") + 21600 * F.col("s")).alias("win_end"),
+            )
+        )
+        return hits.groupBy("day_start", "win_end").agg(F.count("*").alias("n"))
+
+    out = replay(spark, events, transform, output_mode="complete")
+    return out.select(
+        F.date_format(
+            F.timestamp_seconds("day_start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        F.date_format(F.timestamp_seconds("win_end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        "n",
+    )
