@@ -463,14 +463,26 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0.filter(n_seg > 0)
         .select("doc_id", F.posexplode(seg_list).alias("seg_idx", "seg"))
     )
-    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    ranked = segs.withColumn("rn", F.row_number().over(w))
+    # First occurrence via min(struct) — MAP-SIDE COMBINABLE, so a hot
+    # segment ("click here to subscribe" x 10^8 at corpus scale) reduces to
+    # one row per partition before the shuffle; a rank window over seg
+    # would instead sort the entire hot group in one task.
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first")
+    )
+    flagged = segs.join(firsts, "seg").select(
+        "doc_id",
+        (
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.seg_idx") == F.col("seg_idx"))
+        ).alias("is_first"),
+    )
     return (
-        ranked.filter(F.col("doc_id") < SEG_REPORT_DOCS)
+        flagged.filter(F.col("doc_id") < SEG_REPORT_DOCS)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_segments"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
         )
