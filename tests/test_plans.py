@@ -316,3 +316,20 @@ def test_dedup_lines_combines_map_side(spark, sf_dir):
     """Per-doc segment report must partial-aggregate before its exchange."""
     plan = plan_of(queries()["dedup_lines"](spark, sf_dir), "simple")
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_sql_join_hints_respected(spark, sf_dir):
+    """The SQL entry point must honor join-strategy hints (Flink SQL ships
+    the same hint surface): MERGE forces sort-merge where broadcast would
+    win, BROADCAST forces the build side."""
+    datasets.register_views(spark, sf_dir)
+    merged = spark.sql(
+        "SELECT /*+ MERGE(nation) */ n_name, r_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    )
+    assert "SortMergeJoin" in plan_of(merged, "simple")
+    bcast = spark.sql(
+        "SELECT /*+ BROADCAST(region) */ n_name, r_name FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey"
+    )
+    assert "BroadcastHashJoin" in plan_of(bcast, "simple")
