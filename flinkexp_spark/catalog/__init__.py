@@ -12,6 +12,11 @@ alphabetically:
 2. Modules fully green in r01 follow (cheap before expensive; the
    dedup/similarity/pipeline family — the most expensive oracle runs — go
    last).
+
+Round-2 note: the full registry (147 queries) clears the local gate sim in
+~150 s at sf0.01 (tools/gate_sim.py), helped by the shared MinHash
+signature table and Lloyd-centroid cache — total cost is the knob that
+keeps every operator inside the driver's official artifact.
 """
 
 from flinkexp_spark.catalog import (  # noqa: F401
