@@ -487,3 +487,84 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="WITH RECURSIVE "
+    + _O_SIG_BODY
+    + ","
+    + _O_SCORED_BODY
+    + f""",
+    e AS (SELECT id_a, id_b FROM scored WHERE est_jaccard >= {EST_JACCARD_MIN}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM e
+            UNION SELECT id_b, id_a FROM e),
+    reach(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS node, least(u, MIN(v)) AS component
+             FROM reach GROUP BY u),
+    sized AS (SELECT c.component, c.node,
+                     len({T.tokens_sql('d.text')}) AS n_tokens
+              FROM comp c JOIN documents d ON c.node = d.doc_id),
+    ranked AS (SELECT component, node, n_tokens,
+                      row_number() OVER (PARTITION BY component
+                                         ORDER BY n_tokens DESC, node) AS rn
+               FROM sized)
+    SELECT component,
+           node AS winner_doc,
+           CAST(n_tokens AS BIGINT) AS winner_tokens,
+           (SELECT COUNT(*) FROM comp c2
+            WHERE c2.component = ranked.component) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("X2", "X4"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 canonical selection with a QUALITY policy: within each near-dup
+    cluster keep the RICHEST document (most tokens; doc_id tiebreak) — the
+    production dedup policy (keep the longest/highest-quality copy), vs
+    keep-first (`dedup_minhash_keep`) which discards content when the first
+    copy is a truncated variant.
+
+    Structure: components labeling (shared signature table) + one
+    max_by(struct) per cluster — map-side combinable, no per-cluster sort.
+    """
+    from flinkexp_spark.operators.components import connected_components
+
+    sig = signature_table(spark, sf_dir)
+    cand = T.lsh_candidate_pairs(sig)
+    x, y = sig.alias("x"), sig.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
+    )
+    edges = (
+        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    docs = datasets.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    sized = comp.join(docs, "node")
+    return sized.groupBy("component").agg(
+        F.max_by(
+            F.struct(
+                F.col("n_tokens").cast("long").alias("winner_tokens"),
+                F.col("node").alias("winner_doc"),
+            ),
+            # policy order: tokens DESC then doc_id ASC -> maximize
+            # (n_tokens, -node)
+            F.struct(F.col("n_tokens"), (-F.col("node")).alias("neg")),
+        ).alias("w"),
+        F.count("*").alias("cluster_size"),
+    ).select(
+        "component",
+        F.col("w.winner_doc").alias("winner_doc"),
+        F.col("w.winner_tokens").alias("winner_tokens"),
+        "cluster_size",
+    )
