@@ -262,3 +262,68 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --- corpus-statistics fluency score -----------------------------------------
+# Language-model-style quality signal without a model: a document whose
+# bigrams are common across the corpus reads as natural text; one full of
+# rare bigrams is noise/boilerplate-mangled.  Score = mean corpus document
+# frequency of the doc's bigrams, in fixed point (x1000, integer floor) so
+# both engines produce identical BIGINTs — no log()/float-mean drift.
+FLUENCY_REPORT_DOCS = 100
+FLUENCY_FP = 1000
+
+
+@register(
+    "text_bigram_fluency",
+    oracle=f"""
+        WITH t0 AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bigram
+            FROM t0, (SELECT unnest(range(2000)) AS i)
+            WHERE i < len(toks) - 1),
+        df AS (SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM bg
+               GROUP BY bigram),
+        scored AS (
+            SELECT bg.doc_id, df.df
+            FROM bg JOIN df ON bg.bigram = df.bigram
+            WHERE bg.doc_id < {FLUENCY_REPORT_DOCS})
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(floor(SUM(df) * {FLUENCY_FP}.0 / COUNT(*)) AS BIGINT)
+                   AS fluency_fp
+        FROM scored GROUP BY doc_id
+    """.format(toks=T.tokens_sql("text")),
+    tags=("X4", "A1"),
+)
+def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus-statistics fluency scoring — mean bigram document
+    frequency per document, the model-free analog of a perplexity filter
+    (rare-bigram documents rank low, like high-perplexity ones).
+
+    Scale shape: the bigram DF table is Zipf-compact and broadcasts against
+    the per-doc bigram stream; the per-doc mean is one map-side-combinable
+    aggregation.  The corpus is exploded once and never shuffled on text.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    bg = (
+        t0.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    df = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
+    scored = bg.filter(F.col("doc_id") < FLUENCY_REPORT_DOCS).join(
+        F.broadcast(df), "bigram"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.sum("df") * float(FLUENCY_FP) / F.count("*"))
+        .cast("long")
+        .alias("fluency_fp"),
+    )
