@@ -301,9 +301,11 @@ def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency per document, the model-free analog of a perplexity filter
     (rare-bigram documents rank low, like high-perplexity ones).
 
-    Scale shape: the bigram DF table is Zipf-compact and broadcasts against
-    the per-doc bigram stream; the per-doc mean is one map-side-combinable
-    aggregation.  The corpus is exploded once and never shuffled on text.
+    Scale shape: the bigram DF table is Zipf-shaped but grows with corpus
+    (unlike the unigram vocab), so the join is left UNHINTED — AQE
+    broadcasts it while it fits the threshold and falls back to a hash
+    join on the bigram key beyond that.  The per-doc mean is one
+    map-side-combinable aggregation.
     """
     docs = datasets.load(spark, sf_dir, "documents")
     t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
@@ -318,9 +320,7 @@ def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("bigram"))
     )
     df = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
-    scored = bg.filter(F.col("doc_id") < FLUENCY_REPORT_DOCS).join(
-        F.broadcast(df), "bigram"
-    )
+    scored = bg.filter(F.col("doc_id") < FLUENCY_REPORT_DOCS).join(df, "bigram")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.floor(F.sum("df") * float(FLUENCY_FP) / F.count("*"))
