@@ -330,3 +330,64 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_col="event_id",
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           COUNT(*) AS n
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("A8", "A1"))
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (explicit form): GROUPING SETS with GROUPING() markers — the
+    user-chosen aggregation lattice that rollup/cube special-case, via the
+    one-string SQL contract (same text runs on both engines).
+
+    Plan shape: Spark expands the sets with a single Expand node feeding one
+    partial+final aggregate — rows are scanned once regardless of how many
+    sets the lattice has.
+    """
+    datasets.register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+        SELECT source,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT)"
+                   f" AS {lg}" for lg in PIVOT_LANGS)}
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("A1", "P1"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: languages to columns per source (`df.groupBy.pivot(values)`).
+
+    The VALUES ARE DECLARED, which is the scale-relevant part: undeclared
+    pivot first runs a distinct scan to discover columns (an extra job over
+    100 TB) and can explode the schema; declared values pivot in the same
+    single partial+final aggregate as any groupBy (conditional counts, one
+    pass).  The oracle is the canonical CASE-sum expansion.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .count()
+        .select(
+            "source",
+            *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(lg) for lg in PIVOT_LANGS],
+        )
+    )
