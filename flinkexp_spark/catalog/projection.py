@@ -111,3 +111,75 @@ def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "sql_lateral_explode",
+    # Spark side runs LATERAL VIEW (HiveQL-lineage syntax DuckDB lacks);
+    # the oracle is the equivalent unnest.
+    oracle="""
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(MIN(strlen(tok)) AS BIGINT) AS min_len
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 100)
+        WHERE tok <> ''
+        GROUP BY doc_id
+    """,
+    tags=("P1", "E2", "F1"),
+)
+def q_sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function via the SQL surface: LATERAL VIEW explode —
+    Flink SQL's UNNEST/cross join lateral counterpart, planned as the same
+    Generate node the DataFrame explode produces (codegen'd 1->N, no
+    Python, no shuffle until the aggregate).
+    """
+    datasets.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(MIN(length(tok)) AS BIGINT) AS min_len
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE tok <> '' AND doc_id < 100
+        GROUP BY doc_id
+        """
+    )
+
+
+@register(
+    "project_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                   l_quantity AS val
+            FROM lineitem WHERE l_orderkey < 100
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount', l_discount
+            FROM lineitem WHERE l_orderkey < 100
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax', l_tax
+            FROM lineitem WHERE l_orderkey < 100)
+    """,
+    tags=("P1", "P3"),
+)
+def q_project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt): three measure columns become
+    (measure, val) rows via the native `unpivot` operator — the inverse of
+    agg_pivot and the standard reshape before a generic per-measure
+    aggregation.  Planned as an Expand node (rows scanned once, 3x output),
+    not a self-union (3 scans) like the SQL expansion the oracle uses.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
