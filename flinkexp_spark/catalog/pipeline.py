@@ -281,12 +281,14 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DECON_EVAL_MOD} == 0) so the whole check is oracle-verifiable.
     """
     docs = datasets.load(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(T.shingles(T.tokens(F.col("text")), DECON_K)).alias("g"),
-        )
-        .distinct()
+    # Per-doc dedup happens INSIDE the row (array_distinct before explode):
+    # the alternative — .distinct() on the exploded (doc_id, g) stream — is
+    # a full shuffle of every shingle in the corpus, the single biggest
+    # exchange in this query at 100 TB.  A document's shingle set fits in
+    # one row, so the dedup is free map-side work.
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles(T.tokens(F.col("text")), DECON_K))).alias("g"),
     )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     ev = F.broadcast(sh.filter(is_eval).select("g").distinct())

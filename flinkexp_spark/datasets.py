@@ -38,19 +38,32 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
+    # Runtime-settable confs, applied here (not only in the session factory)
+    # because the driver's correctness gate calls queries() with ITS OWN
+    # session.  Fixture timestamps are tz-naive parquet TIMESTAMP(MICROS) (or
+    # TIMESTAMP(NANOS) in older generations); the engine contract is that
+    # they denote UTC instants, matching the DuckDB oracle's naive-UTC
+    # reading.  inferTimestampNTZ=false makes Spark read naive micros as
+    # TimestampType (LTZ) instead of TIMESTAMP_NTZ — NTZ forbids epoch
+    # casts (CAST(ts AS DOUBLE)) and silently changes window/date_format
+    # semantics vs session tz.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime-settable; needed even when the caller's session didn't go
-        # through our session factory (e.g. the driver's own session).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a raw
-    # nanosecond LongType under spark.sql.legacy.parquet.nanosAsLong (set in
-    # the session factory).  The fixture carries no sub-microsecond digits,
-    # so `div 1000` → timestamp_micros is lossless.  Integer division keeps
-    # exactness (a double would overflow 2^53 for epoch-ns values).
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # TIMESTAMP(NANOS) generation read as raw ns longs under
+            # nanosAsLong; no sub-microsecond digits, so `div 1000` →
+            # timestamp_micros is lossless (integer division — a double
+            # would overflow 2^53 for epoch-ns values).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Belt-and-braces if inferTimestampNTZ couldn't be applied:
+            # NTZ→LTZ cast interprets the naive value in the session tz,
+            # which the line above pinned to UTC — an exact reinterpretation.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -75,6 +75,10 @@ def get_session(
         # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no ns
         # timestamp type, so read it as a raw long (datasets.load converts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture timestamps are tz-naive TIMESTAMP(MICROS) denoting UTC
+        # instants; read them as TimestampType (LTZ), not TIMESTAMP_NTZ,
+        # so epoch arithmetic and window() work (see datasets.load).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
