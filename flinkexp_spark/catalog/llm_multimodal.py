@@ -154,6 +154,44 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_wav(M.with_wav_payload(docs))
 
 
+@register(
+    "multimodal_video_frames",
+    # Oracle mirrors the Y4M construction arithmetically: dimensions and
+    # frame count from the row, frame f filled with (md5_byte0 + 7f) % 256 —
+    # so each SAMPLED frame's byte-sum is exactly checkable without a
+    # demuxer.  strlen() is DuckDB's BYTE length, matching the encoder's
+    # len(text.encode('utf-8')).
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) % {M.Y4M_MAX_DIM} + 2 AS w,
+                   doc_id % {M.Y4M_MAX_DIM} + 2 AS h,
+                   doc_id % {M.Y4M_MAX_FRAMES} + 2 AS nf,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        f AS (SELECT doc_id, w, h, s, unnest(range(nf)) AS fi FROM m)
+        SELECT doc_id,
+               fi AS frame_idx,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h * 3 AS BIGINT) AS frame_bytes,
+               CAST(w * h * 3 * ((s + {M.Y4M_FRAME_STEP} * fi) % 256) AS BIGINT)
+                   AS byte_sum
+        FROM f WHERE fi % 2 = 0
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL video demux through the multimodal seam — encode each doc as
+    an actual YUV4MPEG2 stream (text header + FRAME-delimited raw planes),
+    then parse the container back in mapInPandas, sampling every 2nd frame
+    (1->N rows, the U2 UDTF shape).  Third live codec beside PPM and WAV;
+    the compressed mp4/h264 seam stays stubbed
+    (functions/multimodal.py sample_frames)."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.sample_y4m_frames(M.with_y4m_payload(docs), every_n=2)
+
+
 def _fake_feature_sql(j: int) -> str:
     seed = f"concat(md5(text), '-', '{j}')"
     return f"({h64_sql(seed)} % 1000) / 1000.0 AS f_{j}"

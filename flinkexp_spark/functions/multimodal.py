@@ -345,9 +345,131 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: sample every-Nth video frame -> one row per sampled frame."""
+    """STUB: sample every-Nth frame from COMPRESSED video (mp4/h264).
+
+    Uncompressed Y4M streams are handled for real by
+    :func:`sample_y4m_frames`; compressed containers need ffmpeg/pyav —
+    wire the demuxer into the same 1->N mapInPandas closure."""
     raise NotImplementedError(
-        "video frame sampling requires ffmpeg/pyav; emit one row per frame "
-        "from a mapInPandas closure (1->N rows is the UDTF shape, see "
-        "catalog/udfs.py U2)"
+        "compressed video demux requires ffmpeg/pyav; emit one row per frame "
+        "from a mapInPandas closure exactly like sample_y4m_frames()"
+    )
+
+
+# --- real codec: Y4M (YUV4MPEG2) --------------------------------------------
+# Third modality exercised END-TO-END: YUV4MPEG2 is the uncompressed video
+# interchange format ffmpeg/mjpegtools speak — a text header
+# (``YUV4MPEG2 W.. H.. F25:1 .. C444\n``) followed by ``FRAME\n`` +
+# raw-plane bytes per frame.  Simple enough to encode/decode in pure
+# Python, so the video path — multi-frame container in parquet -> Arrow
+# batch -> header parse -> frame walk -> every-Nth sample -> one row per
+# sampled frame (the 1->N UDTF shape) — runs for real.  The compressed
+# (mp4/h264) seam above stays stubbed.
+
+Y4M_MAX_DIM = 8     # w = byte_len%8+2, h = doc_id%8+2
+Y4M_MAX_FRAMES = 6  # n_frames = doc_id%6+2
+Y4M_FRAME_STEP = 7  # frame f is filled with (md5_byte0 + 7*f) % 256
+
+
+def with_y4m_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL video payload: a YUV4MPEG2 (C444) stream whose
+    dimensions/frame-count derive from the row and whose plane bytes are
+    constant per frame (md5-seeded), so sampled-frame stats are exactly
+    reproducible."""
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import pandas as pd
+
+        def y4m(doc_id: int, text: str) -> bytes:
+            w = len(text.encode("utf-8")) % Y4M_MAX_DIM + 2
+            h = doc_id % Y4M_MAX_DIM + 2
+            nf = doc_id % Y4M_MAX_FRAMES + 2
+            start = hashlib.md5(text.encode("utf-8")).digest()[0]
+            out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+            for f in range(nf):
+                out.append(b"FRAME\n")
+                out.append(bytes([(start + Y4M_FRAME_STEP * f) % 256]) * (w * h * 3))
+            return b"".join(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        y4m(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def sample_y4m_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling: parse the YUV4MPEG2 header (W/H/C tags),
+    walk the FRAME-delimited plane buffers, and emit one row per every-Nth
+    frame — the 1->N demux shape an ffmpeg/pyav reader drops into.
+
+    Scale note: payloads stream through Arrow batches; per-task memory is
+    bounded by ``maxRecordsPerBatch x payload size`` regardless of
+    partition size, and the 1->N expansion happens inside the executor
+    (no shuffle is induced by the sampling itself)."""
+
+    def demux(batches):
+        import pandas as pd
+
+        def frames(doc_id: int, payload: bytes):
+            nl = payload.index(b"\n")
+            header = payload[:nl].split(b" ")
+            if header[0] != b"YUV4MPEG2":
+                raise ValueError("not a YUV4MPEG2 stream")
+            w = h = None
+            colorspace = b"C420"  # y4m default when the C tag is absent
+            for tag in header[1:]:
+                if tag[:1] == b"W":
+                    w = int(tag[1:])
+                elif tag[:1] == b"H":
+                    h = int(tag[1:])
+                elif tag[:1] == b"C":
+                    colorspace = tag
+            if w is None or h is None:
+                raise ValueError("missing W/H header tags")
+            if colorspace != b"C444":
+                raise ValueError(f"unsupported colorspace {colorspace!r}")
+            fbytes = w * h * 3
+            pos, idx = nl + 1, 0
+            while pos < len(payload):
+                marker_end = payload.index(b"\n", pos)
+                if payload[pos : pos + 5] != b"FRAME":
+                    raise ValueError("missing FRAME marker")
+                body = payload[marker_end + 1 : marker_end + 1 + fbytes]
+                if len(body) != fbytes:
+                    raise ValueError("truncated frame")
+                if idx % every_n == 0:
+                    yield doc_id, idx, w, h, fbytes, sum(body)
+                pos = marker_end + 1 + fbytes
+                idx += 1
+
+        for pdf in batches:
+            rows = [
+                r
+                for d, p in zip(pdf[id_col], pdf["payload"])
+                for r in frames(int(d), p)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "frame_bytes", "byte_sum",
+                ],
+            ).astype("int64")
+
+    return df.mapInPandas(
+        demux,
+        schema=(
+            "doc_id long, frame_idx long, width long, height long, "
+            "frame_bytes long, byte_sum long"
+        ),
     )

@@ -111,6 +111,63 @@ def test_wav_roundtrip_is_a_real_riff_container(spark, sf_dir):
         )
 
 
+def test_y4m_roundtrip_is_a_real_stream(spark, sf_dir):
+    """The Y4M seam must produce genuine YUV4MPEG2 streams and the sampler
+    must demux exactly the every-Nth frames with correct plane sums."""
+    import hashlib
+
+    docs = datasets.load(spark, sf_dir, "documents").limit(5)
+    payloads = M.with_y4m_payload(docs).collect()
+    assert payloads, "fixture produced no rows"
+    for row in payloads:
+        p = bytes(row.payload)
+        assert p.startswith(b"YUV4MPEG2 W")
+        assert b" C444\n" in p[: p.index(b"\n") + 1]
+        assert b"FRAME\n" in p
+
+    sampled = M.sample_y4m_frames(M.with_y4m_payload(docs), every_n=2).collect()
+    by_doc: dict = {}
+    for r in sampled:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in docs.select("doc_id", "text").collect():
+        w = len(d.text.encode("utf-8")) % M.Y4M_MAX_DIM + 2
+        h = d.doc_id % M.Y4M_MAX_DIM + 2
+        nf = d.doc_id % M.Y4M_MAX_FRAMES + 2
+        s = hashlib.md5(d.text.encode("utf-8")).digest()[0]
+        rows = sorted(by_doc[d.doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(0, nf, 2))
+        for r in rows:
+            assert (r.width, r.height, r.frame_bytes) == (w, h, w * h * 3)
+            assert r.byte_sum == w * h * 3 * ((s + M.Y4M_FRAME_STEP * r.frame_idx) % 256)
+
+    # every_n=1 keeps every frame
+    all_frames = M.sample_y4m_frames(M.with_y4m_payload(docs), every_n=1).collect()
+    n_expected = sum(
+        d.doc_id % M.Y4M_MAX_FRAMES + 2 for d in docs.select("doc_id").collect()
+    )
+    assert len(all_frames) == n_expected
+
+
+def test_y4m_sampler_rejects_malformed_streams(spark, sf_dir):
+    """Corrupt containers must fail loudly, not produce silent garbage."""
+    import pandas as pd
+    import pytest as _pytest
+
+    def run(payload: bytes):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+            schema="doc_id long, payload binary",
+        )
+        return M.sample_y4m_frames(df, every_n=1).collect()
+
+    with _pytest.raises(Exception, match="not a YUV4MPEG2"):
+        run(b"RIFF1234\nFRAME\n")
+    with _pytest.raises(Exception, match="unsupported colorspace"):
+        run(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + b"\x00" * 6)
+    with _pytest.raises(Exception, match="truncated frame"):
+        run(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + b"\x00" * 5)
+
+
 def test_binary_payload_schema(spark, sf_dir):
     docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(5))
     schema = dict(docs.dtypes)
