@@ -135,9 +135,9 @@ def q_stream_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_tumbling_window",
     oracle="""
-        SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+        SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 86400) * 86400) AS BIGINT) * 1000000),
                         '%Y-%m-%d %H:%M:%S') AS window_start,
-               strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400 + 86400),
+               strftime(make_timestamp(CAST((floor(epoch(ts) / 86400) * 86400 + 86400) AS BIGINT) * 1000000),
                         '%Y-%m-%d %H:%M:%S') AS window_end,
                event_type,
                COUNT(*) AS n,
@@ -166,8 +166,8 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding_window",
     oracle="""
-        SELECT strftime(to_timestamp(w), '%Y-%m-%d %H:%M:%S') AS window_start,
-               strftime(to_timestamp(w + 21600), '%Y-%m-%d %H:%M:%S') AS window_end,
+        SELECT strftime(make_timestamp(CAST((w) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(make_timestamp(CAST((w + 21600) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
                COUNT(*) AS n
         FROM (
             SELECT floor(epoch(ts) / 10800) * 10800 - 10800 * i.g AS w, epoch(ts) AS e
@@ -248,7 +248,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_watermark_append",
     oracle="""
-        SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+        SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 86400) * 86400) AS BIGINT) * 1000000),
                         '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n
         FROM events
@@ -301,7 +301,7 @@ def q_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_late_data",
     oracle="""
-        SELECT strftime(to_timestamp(floor(epoch(ts) / 86400) * 86400),
+        SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 86400) * 86400) AS BIGINT) * 1000000),
                         '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n
         FROM events
@@ -508,14 +508,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_gapfill_hourly",
     oracle="""
         WITH bounds AS (
-            SELECT to_timestamp(floor(epoch(MIN(ts)) / 3600) * 3600) AS lo,
-                   to_timestamp(floor(epoch(MAX(ts)) / 3600) * 3600) AS hi
+            SELECT make_timestamp(CAST((floor(epoch(MIN(ts)) / 3600) * 3600) AS BIGINT) * 1000000) AS lo,
+                   make_timestamp(CAST((floor(epoch(MAX(ts)) / 3600) * 3600) AS BIGINT) * 1000000) AS hi
             FROM events WHERE event_type = 'purchase'),
         hours AS (
             SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
             FROM bounds),
         agg AS (
-            SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS h,
+            SELECT make_timestamp(CAST((floor(epoch(ts) / 3600) * 3600) AS BIGINT) * 1000000) AS h,
                    COUNT(*) AS n
             FROM events WHERE event_type = 'purchase' GROUP BY 1)
         SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -561,7 +561,7 @@ def q_rollup_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_tumbling_checkpointed",
     oracle="""
-        SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+        SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 21600) * 21600) AS BIGINT) * 1000000),
                         '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n
         FROM events
@@ -830,9 +830,9 @@ def q_stream_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events, steps s
             WHERE epoch(ts) < day_start + 21600 * s.s
         )
-        SELECT strftime(to_timestamp(day_start), '%Y-%m-%d %H:%M:%S')
+        SELECT strftime(make_timestamp(CAST((day_start) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')
                    AS window_start,
-               strftime(to_timestamp(win_end), '%Y-%m-%d %H:%M:%S')
+               strftime(make_timestamp(CAST((win_end) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')
                    AS window_end,
                COUNT(*) AS n
         FROM hits

@@ -277,9 +277,9 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events, steps s
             WHERE epoch(ts) < day_start + 21600 * s.s
         )
-        SELECT strftime(to_timestamp(day_start), '%Y-%m-%d %H:%M:%S')
+        SELECT strftime(make_timestamp(CAST((day_start) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')
                    AS window_start,
-               strftime(to_timestamp(win_end), '%Y-%m-%d %H:%M:%S')
+               strftime(make_timestamp(CAST((win_end) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')
                    AS window_end,
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -21,6 +21,38 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert res.ok, f"{name}: {res.detail}"
 
 
+def test_oracles_are_timezone_independent(duck, sf_dir):
+    """The driver's DuckDB process inherits the host TZ; oracles must not
+    depend on it.  DuckDB's ``to_timestamp()`` returns TIMESTAMPTZ, which
+    strftime renders in the connection TimeZone — a non-UTC host shifted
+    every windowed oracle until those sites moved to naive
+    ``make_timestamp(micros)``.  Pin: every time-rendering oracle returns
+    byte-identical results under UTC and a DST-observing timezone."""
+    from flinkexp_spark.registry import oracle_sql
+    from flinkexp_spark.testing.oracle import duck_connection
+
+    time_sensitive = [
+        n
+        for n, sql in oracle_sql().items()
+        if "strftime" in sql or "make_timestamp" in sql or "epoch(" in sql
+    ]
+    assert time_sensitive, "expected time-rendering oracles in the registry"
+    ny = duck_connection(sf_dir)
+    ny.execute("SET TimeZone='America/New_York'")
+    for name in time_sensitive:
+        sql = oracle_sql()[name]
+        assert "to_timestamp(" not in sql, (
+            f"{name}: to_timestamp() is TIMESTAMPTZ-returning (TZ-dependent); "
+            "use make_timestamp(micros)"
+        )
+        a = duck.execute(sql).df()
+        b = ny.execute(sql).df()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b.sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"{name}: oracle result depends on connection TimeZone"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
