@@ -25,7 +25,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -188,6 +188,58 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _win_cols(replay(spark, events, transform, output_mode="complete"))
+
+
+@register(
+    "stream_window_topn",
+    oracle="""
+        WITH agg AS (
+            SELECT floor(epoch(ts) / 21600) * 21600 AS w, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+        r AS (
+            SELECT w, event_type, n,
+                   row_number() OVER (
+                       PARTITION BY w ORDER BY n DESC, event_type
+                   ) AS rnk
+            FROM agg)
+        SELECT strftime(make_timestamp(CAST(w AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(make_timestamp(CAST(w + 21600 AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3
+    """,
+    tags=("T2", "W5", "T9"),
+)
+def q_stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL *Window Top-N* parity: per 6-hour tumbling window, the top-3
+    event types by count (deterministic tie-break on event_type).
+
+    Spark's streaming engine does the stateful half (windowed counts with
+    per-window state); rank() over a streaming aggregate is not incremental
+    in Spark, so the Top-N cut runs downstream of the sink — the documented
+    Structured Streaming composition for Flink's in-engine Window Top-N
+    (rank in foreachBatch / on the drained result).  Scale: the ranking
+    input is one row per (window, key) — already aggregate-sized, far
+    smaller than the stream, and partitioned by window for the rank.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+            F.count("*").alias("n")
+        )
+
+    sink = replay(spark, events, transform, output_mode="complete")
+    w = Window.partitionBy("window").orderBy(F.desc("n"), F.asc("event_type"))
+    return _win_cols(
+        sink.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+            F.col("rnk") <= 3
+        )
+    )
 
 
 @register(
