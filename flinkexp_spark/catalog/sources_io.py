@@ -436,3 +436,55 @@ def q_sink_wide_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rk, cells in store.items()
     ]
     return datasets.local_df(spark, rows, "user_id long, n long, cents long")
+
+
+@register(
+    "maintenance_compact",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("S2",),
+)
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 maintenance path: SMALL-FILE COMPACTION — the table-maintenance
+    operator every long-lived 100 TB parquet lake needs (streaming sinks and
+    fine-grained ingest leave thousands of KB-sized files; scan throughput
+    collapses under per-file open/footer costs and the driver chokes on
+    split enumeration).
+
+    Shape: write a deliberately over-partitioned copy (64 files for a
+    fixture-sized table), then compact by reading it back and
+    ``coalesce``-ing to a byte-budget-derived file count — coalesce is a
+    NARROW dependency, so compaction moves no rows across the network
+    (contrast repartition: a full shuffle).  At scale this runs per
+    partition-directory with the same arithmetic: ceil(dir_bytes /
+    128 MB target) output files.  The result is aggregated from a read of
+    the COMPACTED output, proving the round trip.
+    """
+    from flinkexp_spark.operators.maintenance import compact_parquet
+
+    work = _scratch("compact")
+    try:
+        docs = datasets.load(spark, sf_dir, "documents")
+        fine = os.path.join(work, "fine")
+        docs.repartition(64).write.mode("overwrite").parquet(fine)
+
+        compacted = os.path.join(work, "compacted")
+        # fixture-scale stand-in for the 128 MB production target
+        compact_parquet(spark, fine, compacted, target_bytes=4 * 1024 * 1024)
+
+        out = (
+            spark.read.parquet(compacted)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+        return out.localCheckpoint()  # materialize before scratch cleanup
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

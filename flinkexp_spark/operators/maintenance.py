@@ -1,0 +1,45 @@
+"""Table-maintenance operators: small-file compaction.
+
+Streaming sinks and fine-grained ingest leave long-lived parquet lakes
+with thousands of KB-sized files; scan throughput collapses under
+per-file open/footer costs and the driver chokes enumerating splits.
+Compaction rewrites a directory to ~target-sized files.
+
+Scale design: ``coalesce`` is a NARROW dependency — compaction moves no
+rows across the network (contrast ``repartition``: a full shuffle).  On a
+partitioned 100 TB table this runs per partition-directory with the same
+arithmetic (ceil(dir_bytes / target)), each directory an independent job,
+so the rewrite parallelizes across the lake while each output file stays
+at the 128 MB scan sweet spot (`spark.sql.files.maxPartitionBytes`,
+session.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def parquet_dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for one parquet directory."""
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return len(files), sum(os.path.getsize(os.path.join(path, f)) for f in files)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> int:
+    """Rewrite ``src_dir`` into ceil(bytes/target) files at ``dst_dir``;
+    returns the output file count.  Shuffle-free (coalesce)."""
+    _, src_bytes = parquet_dir_stats(src_dir)
+    n_out = max(1, -(-src_bytes // target_bytes))
+    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(
+        dst_dir
+    )
+    return n_out

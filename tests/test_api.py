@@ -41,3 +41,39 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges)
     assert comp.select(F.count_distinct("component")).first()[0] == 1
     assert comp.agg(F.min("component")).first()[0] == 0
+
+
+def test_compaction_reduces_files_without_shuffle(spark, sf_dir, tmp_path):
+    """Small-file compaction: 64 tiny files -> byte-budgeted few, zero rows
+    moved across the network (coalesce = narrow dep, no Exchange), content
+    identical."""
+    import re
+
+    from flinkexp_spark import datasets
+    from flinkexp_spark.operators.maintenance import (
+        compact_parquet,
+        parquet_dir_stats,
+    )
+
+    docs = datasets.load(spark, sf_dir, "documents")
+    fine = str(tmp_path / "fine")
+    docs.repartition(64).write.mode("overwrite").parquet(fine)
+    n_fine, src_bytes = parquet_dir_stats(fine)
+    assert n_fine == 64
+
+    compacted = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, fine, compacted, target_bytes=1 << 22)
+    n_files, _ = parquet_dir_stats(compacted)
+    assert n_files == n_out < n_fine
+
+    back = spark.read.parquet(compacted)
+    assert back.count() == docs.count()
+
+    plan = (
+        spark.read.parquet(fine)
+        .coalesce(n_out)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"\bExchange\b", plan), "compaction must not shuffle"
