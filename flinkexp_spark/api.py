@@ -60,6 +60,15 @@ class FlinkexpEngine:
         """The reference's source (socketTextStream, StreamSocket.scala:13)."""
         return sources.socket_source(self.spark, host, port)
 
+    def stream_env(self):
+        """Flink DataStream-API adapter (StreamExecutionEnvironment analog,
+        StreamSocket.scala:12) — port the reference's fluent chain 1:1:
+        ``socket_text_stream(...).flat_map(...).key_by(0).sum(1).print()``;
+        ``env.execute()`` submits.  See flinkexp_spark/datastream.py."""
+        from flinkexp_spark.datastream import StreamExecutionEnvironment
+
+        return StreamExecutionEnvironment(self.spark)
+
     def stream_rate(self, rows_per_second: int = 100) -> DataFrame:
         return sources.rate_source(self.spark, rows_per_second)
 

@@ -1,0 +1,229 @@
+"""Flink DataStream-API adapter: the reference's fluent surface over
+Structured Streaming.
+
+The reference's entire executable program is one method chain
+(StreamSocket.scala:12-16)::
+
+    env.socketTextStream("10.0.0.249", 8887)
+       .flatMap(_.split(" ")).map((_, 1)).keyBy(0).sum(1).print()
+    env.execute("Test")
+
+This module lets that user port their program 1:1::
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    (env.socket_text_stream("10.0.0.249", 8887)
+        .flat_map("split(value, ' ')")          # or a Python callable
+        .map(["_0 AS word", "1 AS one"])        # or lambda w: (w, 1)
+        .key_by(0)
+        .sum(1)
+        .print())
+    env.execute("Test")
+
+Design (SURVEY §3.1): the chain builds a Catalyst logical plan exactly as
+Flink's chain builds a StreamTransformation DAG — nothing runs until
+``execute()``, which plays ``env.execute``'s role of submitting the job
+(here: ``writeStream.start()``).  ``key_by`` marks the hash-partition
+boundary; the downstream ``sum`` becomes a stateful streaming aggregate, so
+the only network crossing is the groupBy Exchange — the same single
+shuffle the reference's ``keyBy`` declares.
+
+Two expression paths, chosen per call:
+
+* **str / list-of-str** (SQL expressions) — stays JVM-side in whole-stage
+  codegen; this is the fast path and what the scale rule requires.
+* **Python callable** — Arrow-batched ``mapInPandas`` with per-element
+  semantics, exactly PyFlink's Python ``flat_map``/``map`` contract
+  (PyFlink also requires the ``output_type`` declaration).  Closures only
+  (pickle-by-value), per the repo rule.
+
+Tuple fields are positional: ``key_by(0)`` / ``sum(1)`` resolve against
+the current column order, Flink ``Tuple`` parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark.session import get_session
+from flinkexp_spark.sources.connectors import rate_source, socket_source
+
+ExprOrFn = Union[str, "list[str]", Callable]
+
+
+class StreamExecutionEnvironment:
+    """``StreamExecutionEnvironment.getExecutionEnvironment`` analog
+    (StreamSocket.scala:12): owns the session and the declared sinks;
+    ``execute()`` submits them."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sinks: list[Callable[[], object]] = []
+
+    @classmethod
+    def get_execution_environment(
+        cls, spark: SparkSession | None = None
+    ) -> "StreamExecutionEnvironment":
+        return cls(spark or get_session(app_name="flinkexp_datastream"))
+
+    # -- sources ------------------------------------------------------------
+    def socket_text_stream(self, host: str, port: int) -> "DataStream":
+        """The reference's source (socketTextStream, StreamSocket.scala:13)."""
+        return DataStream(self, socket_source(self.spark, host, port))
+
+    def rate_stream(self, rows_per_second: int = 100) -> "DataStream":
+        return DataStream(self, rate_source(self.spark, rows_per_second))
+
+    def from_data_frame(self, df: DataFrame) -> "DataStream":
+        """Wrap any DataFrame (streaming or batch) — the replay/testing
+        entry, and the bridge from the Table side (Flink's
+        ``toDataStream``)."""
+        return DataStream(self, df)
+
+    # -- job submission -----------------------------------------------------
+    def execute(self, job_name: str = "job", available_now: bool = False) -> list:
+        """Submit every declared sink (env.execute, StreamSocket.scala:16).
+
+        Returns the started ``StreamingQuery`` handles (batch sinks run to
+        completion inline and contribute no handle).  ``available_now=True``
+        drains bounded sources and terminates — the replay/testing trigger;
+        the default runs continuously like the reference job.
+        """
+        handles = []
+        for submit in self._sinks:
+            h = submit(job_name, available_now)
+            if h is not None:
+                handles.append(h)
+        self._sinks.clear()
+        return handles
+
+
+class DataStream:
+    """A logical stream: a DataFrame plus the fluent operator surface."""
+
+    def __init__(self, env: StreamExecutionEnvironment, df: DataFrame):
+        self.env = env
+        self.df = df
+
+    # -- helpers ------------------------------------------------------------
+    def _resolve(self, field: int | str) -> str:
+        return self.df.columns[field] if isinstance(field, int) else field
+
+    def _python_rows(self, f: Callable, flat: bool, output_type: str) -> DataFrame:
+        n_in = len(self.df.columns)
+        out_names = [c.strip().split()[0] for c in output_type.split(",")]
+
+        def run(batches):  # closure: pickled by value
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    v = row[0] if n_in == 1 else tuple(row)
+                    if flat:
+                        for o in f(v):
+                            out.append(o if isinstance(o, tuple) else (o,))
+                    else:
+                        o = f(v)
+                        out.append(o if isinstance(o, tuple) else (o,))
+                if out:
+                    yield pd.DataFrame(out, columns=out_names)
+
+        return self.df.mapInPandas(run, schema=output_type)
+
+    # -- operators (E2-E4) --------------------------------------------------
+    def flat_map(self, f: ExprOrFn, output_type: str = "_0 string") -> "DataStream":
+        """E2 (``flatMap``, StreamSocket.scala:15): 1->N elements.
+
+        str form: a SQL ARRAY expression, exploded JVM-side (codegen).
+        callable form: ``f(element) -> iterable`` via Arrow batches
+        (PyFlink contract; ``output_type`` is the declared result schema).
+        """
+        if isinstance(f, str):
+            name = output_type.split()[0]
+            out = self.df.select(F.explode(F.expr(f)).alias(name))
+            return DataStream(self.env, out)
+        return DataStream(self.env, self._python_rows(f, True, output_type))
+
+    def map(self, f: ExprOrFn, output_type: str = "_0 string") -> "DataStream":
+        """E3 (``map``): 1->1.  str-list form = SQL projections (codegen);
+        callable form = Arrow batches, tuples allowed."""
+        if isinstance(f, (list, tuple)):
+            return DataStream(self.env, self.df.selectExpr(*f))
+        if isinstance(f, str):
+            return DataStream(self.env, self.df.selectExpr(f))
+        return DataStream(self.env, self._python_rows(f, False, output_type))
+
+    def filter(self, predicate: str) -> "DataStream":
+        return DataStream(self.env, self.df.filter(predicate))
+
+    def key_by(self, *fields: int | str) -> "KeyedStream":
+        """E4 (``keyBy``): declares the hash-partition boundary — the chain's
+        single shuffle, realized as the groupBy Exchange downstream."""
+        return KeyedStream(self.env, self.df, [self._resolve(x) for x in fields])
+
+    # -- sinks (E6) ---------------------------------------------------------
+    def print(self) -> "DataStream":
+        """E6 (``print``): console sink; update cadence mirrors the
+        reference's per-record rolling emission (SURVEY §2.1)."""
+        return self._add_sink("console", None)
+
+    def sink_memory(self, name: str, output_mode: str | None = None) -> "DataStream":
+        """Named in-memory table sink (testing twin of ``print``)."""
+        return self._add_sink("memory", name, output_mode)
+
+    def _add_sink(
+        self, fmt: str, name: str | None, output_mode: str | None = None
+    ) -> "DataStream":
+        df = self.df
+        mode = output_mode or ("update" if fmt == "console" else "complete")
+
+        def submit(job_name: str, available_now: bool):
+            if not df.isStreaming:
+                if fmt == "console":
+                    df.show(truncate=False)
+                else:
+                    df.createOrReplaceTempView(name)
+                return None
+            writer = df.writeStream.format(fmt).outputMode(mode)
+            if name:
+                writer = writer.queryName(name)
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            return writer.start()
+
+        self.env._sinks.append(submit)
+        return self
+
+
+class KeyedStream:
+    """Post-``keyBy`` stream: aggregates run per key with streaming state."""
+
+    def __init__(self, env: StreamExecutionEnvironment, df: DataFrame, keys: list[str]):
+        self.env = env
+        self.df = df
+        self.keys = keys
+
+    def _agg(self, field: int | str, agg) -> DataStream:
+        col = self.df.columns[field] if isinstance(field, int) else field
+        out = self.df.groupBy(*self.keys).agg(agg(col).alias(col))
+        return DataStream(self.env, out)
+
+    def sum(self, field: int | str) -> DataStream:
+        """E5 (``sum``): per-key rolling sum — a stateful streaming aggregate
+        whose state is one long per key (SURVEY §2.1 contract: final totals
+        match batch; cadence is micro-batch updates)."""
+        return self._agg(field, F.sum)
+
+    def min(self, field: int | str) -> DataStream:
+        return self._agg(field, F.min)
+
+    def max(self, field: int | str) -> DataStream:
+        return self._agg(field, F.max)
+
+    def count(self) -> DataStream:
+        out = self.df.groupBy(*self.keys).agg(F.count("*").alias("count"))
+        return DataStream(self.env, out)
