@@ -206,11 +206,50 @@ class KeyedStream:
         self.env = env
         self.df = df
         self.keys = keys
+        self._window = None
 
     def _agg(self, field: int | str, agg) -> DataStream:
         col = self.df.columns[field] if isinstance(field, int) else field
-        out = self.df.groupBy(*self.keys).agg(agg(col).alias(col))
+        groups = ([self._window] if self._window is not None else []) + self.keys
+        out = self.df.groupBy(*groups).agg(agg(col).alias(col))
+        if self._window is not None:
+            out = out.select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                *self.keys,
+                col,
+            )
         return DataStream(self.env, out)
+
+    def window(
+        self,
+        size: str,
+        slide: str | None = None,
+        session_gap: str | None = None,
+        on: str = "ts",
+        watermark: str | None = None,
+    ) -> "KeyedStream":
+        """Flink keyed windows (TumblingEventTimeWindows / Sliding / Session
+    ``.of(...)``): the window becomes an extra grouping key, so the
+        downstream ``sum``/``count`` is a windowed streaming aggregate.
+
+        ``watermark`` (e.g. ``"1 hour"``) bounds state exactly like
+        Flink's allowed lateness: closed windows are dropped once the
+        watermark passes.  Session windows use the native
+        ``session_window`` merge.
+        """
+        df = self.df
+        if watermark and df.isStreaming:
+            df = df.withWatermark(on, watermark)
+        if session_gap is not None:
+            win = F.session_window(F.col(on), session_gap)
+        elif slide is not None:
+            win = F.window(F.col(on), size, slide)
+        else:
+            win = F.window(F.col(on), size)
+        ks = KeyedStream(self.env, df, self.keys)
+        ks._window = win.alias("window")
+        return ks
 
     def sum(self, field: int | str) -> DataStream:
         """E5 (``sum``): per-key rolling sum — a stateful streaming aggregate
@@ -225,5 +264,13 @@ class KeyedStream:
         return self._agg(field, F.max)
 
     def count(self) -> DataStream:
-        out = self.df.groupBy(*self.keys).agg(F.count("*").alias("count"))
+        groups = ([self._window] if self._window is not None else []) + self.keys
+        out = self.df.groupBy(*groups).agg(F.count("*").alias("count"))
+        if self._window is not None:
+            out = out.select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                *self.keys,
+                "count",
+            )
         return DataStream(self.env, out)

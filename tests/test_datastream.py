@@ -148,3 +148,81 @@ def test_str_exprs_stay_in_codegen(spark):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     for op in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert op not in plan
+
+
+def test_keyed_tumbling_window_streaming(spark, tmp_path):
+    """Flink keyed TumblingEventTimeWindows parity: window joins the key in
+    the streaming aggregate; watermark bounds state."""
+    import pandas as pd
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 05:00",
+                 "2024-01-01 12:30", "2024-01-02 01:00"]
+            ),
+            "k": ["a", "a", "b", "a"],
+            "v": [1, 2, 10, 5],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f0")
+    )
+    stream = spark.readStream.schema("ts timestamp, k string, v long").parquet(
+        str(src / "*")
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    name = f"ds_{uuid.uuid4().hex[:8]}"
+    (
+        env.from_data_frame(stream)
+        .key_by("k")
+        .window("1 day", on="ts", watermark="1 hour")
+        .sum("v")
+        .sink_memory(name, output_mode="complete")
+    )
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+        got = {
+            (str(r.window_start), r.k): r.v for r in spark.table(name).collect()
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", "a"): 3,
+            ("2024-01-01 00:00:00", "b"): 10,
+            ("2024-01-02 00:00:00", "a"): 5,
+        }, got
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
+def test_keyed_session_window_batch(spark):
+    """Session windows merge via the native session_window; 30-min gap."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 00:20",
+                     "2024-01-01 02:00"]
+                ),
+                "k": ["u", "u", "u"],
+            }
+        )
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_data_frame(df)
+        .key_by("k")
+        .window("unused", session_gap="30 minutes", on="ts")
+        .count()
+        .df.collect()
+    )
+    sessions = {(str(r.window_start), r["count"]) for r in out}
+    assert sessions == {
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 02:00:00", 1),
+    }, sessions
