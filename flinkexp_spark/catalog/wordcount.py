@@ -102,3 +102,45 @@ def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 words — adds deterministic global top-k (TakeOrderedAndProject)."""
     wc = word_counts(datasets.load(spark, sf_dir, "documents"))
     return wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
+
+
+@register(
+    "wordcount_datastream_api",
+    oracle="""
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS one
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("E2", "E3", "E4", "E5", "E7"),
+)
+def q_wordcount_datastream_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference program EXPRESSED THROUGH THE ADAPTER — the fluent
+    DataStream chain (StreamSocket.scala:12-16 ported 1:1, E7 job-graph
+    composition) over the batch bridge, so the adapter surface itself is
+    oracle-checked:
+
+        env.from_data_frame(docs)
+           .flat_map(split).filter.map((word, 1)).key_by(0).sum(1)
+
+    The str-expression path keeps the whole chain in whole-stage codegen
+    (asserted by tests/test_datastream.py::test_str_exprs_stay_in_codegen);
+    plans are identical to wordcount_batch — the adapter adds zero physical
+    overhead.  sum(1) over the literal-1 column == COUNT(*), the
+    reference's (word, 1) -> sum tuple shape.
+    """
+    from flinkexp_spark.datastream import StreamExecutionEnvironment
+
+    docs = datasets.load(spark, sf_dir, "documents").select("text")
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    return (
+        env.from_data_frame(docs)
+        .flat_map("split(text, ' ')", output_type="word string")
+        .filter("word <> ''")
+        .map(["word", "CAST(1 AS BIGINT) AS one"])
+        .key_by(0)
+        .sum(1)
+        .df
+    )
