@@ -445,6 +445,7 @@ def q_sink_wide_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
+        WHERE doc_id < 2000
         GROUP BY lang
     """,
     tags=("S2",),
@@ -469,9 +470,11 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _scratch("compact")
     try:
-        docs = datasets.load(spark, sf_dir, "documents")
+        docs = datasets.load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 2000
+        )
         fine = os.path.join(work, "fine")
-        docs.repartition(64).write.mode("overwrite").parquet(fine)
+        docs.repartition(32).write.mode("overwrite").parquet(fine)
 
         compacted = os.path.join(work, "compacted")
         # fixture-scale stand-in for the 128 MB production target

@@ -930,3 +930,72 @@ def q_stream_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+@register(
+    "stream_window_join",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, event_id AS click_id,
+                   floor(epoch(ts) / 21600) * 21600 AS w
+            FROM events WHERE event_type = 'click'),
+        b AS (
+            SELECT user_id, event_id AS purchase_id,
+                   floor(epoch(ts) / 21600) * 21600 AS w
+            FROM events WHERE event_type = 'purchase')
+        SELECT strftime(make_timestamp(CAST(a.w AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               a.click_id,
+               b.purchase_id
+        FROM a JOIN b ON a.user_id = b.user_id AND a.w = b.w
+    """,
+    tags=("T8", "T2", "J7"),
+)
+def q_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL *Window Join* parity: both streams are assigned tumbling
+    6-hour windows, then joined on (window, key) — clicks with purchases by
+    the same user in the same window.
+
+    Window-equality is Spark's third sanctioned stream-stream join bound
+    (beside time-range conditions): each side's window column inherits
+    event-time semantics from its watermarked source, so buffered state for
+    a window is evicted wholesale once the watermark passes the window end
+    — state O(active windows), the same bound Flink's window join
+    advertises.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        a = (
+            stream.filter(F.col("event_type") == "click")
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.window("ts", "6 hours").alias("w"),
+                "user_id",
+                F.col("event_id").alias("click_id"),
+            )
+        )
+        b = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user_id"), F.col("ts").alias("b_ts"),
+                    F.col("event_id").alias("purchase_id"))
+            .withWatermark("b_ts", "1 hour")
+            .select(
+                F.window("b_ts", "6 hours").alias("bw"),
+                "b_user_id",
+                "purchase_id",
+            )
+        )
+        return a.join(
+            b,
+            (F.col("w") == F.col("bw")) & (F.col("user_id") == F.col("b_user_id")),
+            "inner",
+        ).select(
+            F.expr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss')").alias(
+                "window_start"
+            ),
+            "click_id",
+            "purchase_id",
+        )
+
+    return replay(spark, events, transform, output_mode="append")
