@@ -47,6 +47,7 @@ from typing import Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from flinkexp_spark.session import get_session
 from flinkexp_spark.sources.connectors import rate_source, socket_source
@@ -165,6 +166,13 @@ class DataStream:
         single shuffle, realized as the groupBy Exchange downstream."""
         return KeyedStream(self.env, self.df, [self._resolve(x) for x in fields])
 
+    def union(self, *others: "DataStream") -> "DataStream":
+        """Flink ``union``: merge same-schema streams; no shuffle (narrow)."""
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df)
+        return DataStream(self.env, df)
+
     # -- sinks (E6) ---------------------------------------------------------
     def print(self) -> "DataStream":
         """E6 (``print``): console sink; update cadence mirrors the
@@ -262,6 +270,79 @@ class KeyedStream:
 
     def max(self, field: int | str) -> DataStream:
         return self._agg(field, F.max)
+
+    def reduce(self, f: Callable) -> DataStream:
+        """Flink ``KeyedStream.reduce``: rolling per-key combine of the
+        non-key fields with an arbitrary Python ``f(acc_tuple, row_tuple)
+        -> tuple``.
+
+        Streaming: ``applyInPandasWithState`` — state is ONE reduced tuple
+        per key (Flink's ReducingState bound exactly), emitted per batch in
+        update cadence.  Batch: ``applyInPandas`` fold per key.  For
+        deterministic results across partition orderings, ``f`` should be
+        commutative+associative — the same caveat Flink documents.
+        """
+        df, keys = self.df, self.keys
+        fields = {fld.name: fld for fld in df.schema.fields}
+        vals = [c for c in df.columns if c not in keys]
+        from pyspark.sql.types import StructType
+
+        schema = StructType([fields[c] for c in keys + vals])
+
+        if df.isStreaming:
+            state_schema = StructType([fields[c] for c in vals])
+
+            def step(key, pdfs, state):  # closure: pickled by value
+                import pandas as pd
+
+                acc = tuple(state.get) if state.exists else None
+                for pdf in pdfs:
+                    for row in pdf[vals].itertuples(index=False):
+                        t = tuple(row)
+                        acc = t if acc is None else f(acc, t)
+                if acc is not None:
+                    state.update(acc)
+                    yield pd.DataFrame([tuple(key) + acc], columns=keys + vals)
+
+            out = df.groupBy(*keys).applyInPandasWithState(
+                step,
+                schema,
+                state_schema,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        else:
+
+            def fold(pdf):  # closure: pickled by value
+                import pandas as pd
+
+                acc = None
+                for row in pdf[vals].itertuples(index=False):
+                    t = tuple(row)
+                    acc = t if acc is None else f(acc, t)
+                key = tuple(pdf[keys].iloc[0])
+                return pd.DataFrame([key + acc], columns=keys + vals)
+
+            out = df.groupBy(*keys).applyInPandas(fold, schema)
+        return DataStream(self.env, out)
+
+    def process(
+        self,
+        func: Callable,
+        output_schema,
+        state_schema,
+        output_mode: str = "update",
+        timeout: str = GroupStateTimeout.NoTimeout,
+    ) -> DataStream:
+        """Flink ``KeyedProcessFunction`` seam: raw ``applyInPandasWithState``
+        passthrough — keyed state + (with ``GroupStateTimeout
+        .EventTimeTimeout``) event-time timers, exactly the pairing
+        stream_session_timers uses (streaming/stateful.py).  ``func`` must
+        be a closure (pickle-by-value rule)."""
+        out = self.df.groupBy(*self.keys).applyInPandasWithState(
+            func, output_schema, state_schema, output_mode, timeout
+        )
+        return DataStream(self.env, out)
 
     def count(self) -> DataStream:
         groups = ([self._window] if self._window is not None else []) + self.keys

@@ -226,3 +226,54 @@ def test_keyed_session_window_batch(spark):
         ("2024-01-01 00:00:00", 2),
         ("2024-01-01 02:00:00", 1),
     }, sessions
+
+
+def test_keyed_reduce_batch_matches_sum(spark):
+    """Flink KeyedStream.reduce parity (batch fold): commutative combine
+    equals the built-in aggregate."""
+    df = spark.createDataFrame(
+        [("a", 3, 10), ("a", 1, 20), ("b", 7, 5)], "k string, v long, w long"
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    out = (
+        env.from_data_frame(df)
+        .key_by("k")
+        .reduce(lambda a, b: (a[0] + b[0], max(a[1], b[1])))
+        .df.collect()
+    )
+    assert {tuple(r) for r in out} == {("a", 4, 20), ("b", 7, 5)}
+
+
+def test_keyed_reduce_streaming_rolls_state(spark, tmp_path):
+    """Streaming reduce: per-key state is one reduced tuple; final totals
+    match the batch fold (SURVEY §2.1 contract)."""
+    src = tmp_path / "r"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 7), ("a", 5)], "k string, v long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = spark.readStream.schema("k string, v long").parquet(str(src / "*"))
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    name = f"ds_{uuid.uuid4().hex[:8]}"
+    (
+        env.from_data_frame(stream)
+        .key_by("k")
+        .reduce(lambda a, b: (a[0] + b[0],))
+        .sink_memory(name, output_mode="update")
+    )
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+        got = {r.k: r.v for r in spark.table(name).collect()}
+        assert got == {"a": 9, "b": 7}, got
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
+def test_union_merges_streams(spark):
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    a = env.from_data_frame(spark.createDataFrame([("x",)], "w string"))
+    b = env.from_data_frame(spark.createDataFrame([("y",)], "w string"))
+    assert {r.w for r in a.union(b).df.collect()} == {"x", "y"}
