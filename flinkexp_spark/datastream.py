@@ -173,6 +173,19 @@ class DataStream:
             df = df.unionByName(o.df)
         return DataStream(self.env, df)
 
+    def connect(self, other: "DataStream") -> "DataStream":
+        """Flink ``connect`` (CoProcessFunction feed): merge two
+        differently-shaped streams into one keyed stream, each row tagged
+        with its side (``__side`` = 0/1) and missing columns NULL-padded —
+        the standard Spark composition for two-input keyed operators: a
+        downstream ``key_by(...).process(fn)`` sees both sides' rows per
+        key and branches on the tag, exactly ``processElement1/2``."""
+        left = self.df.withColumn("__side", F.lit(0))
+        right = other.df.withColumn("__side", F.lit(1))
+        return DataStream(
+            self.env, left.unionByName(right, allowMissingColumns=True)
+        )
+
     # -- sinks (E6) ---------------------------------------------------------
     def print(self) -> "DataStream":
         """E6 (``print``): console sink; update cadence mirrors the

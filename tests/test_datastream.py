@@ -14,6 +14,7 @@ import time
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from flinkexp_spark.datastream import StreamExecutionEnvironment
 
@@ -277,3 +278,36 @@ def test_union_merges_streams(spark):
     a = env.from_data_frame(spark.createDataFrame([("x",)], "w string"))
     b = env.from_data_frame(spark.createDataFrame([("y",)], "w string"))
     assert {r.w for r in a.union(b).df.collect()} == {"x", "y"}
+
+
+def test_connect_feeds_two_sided_process(spark):
+    """CoProcessFunction composition: connect tags sides, keyed process
+    branches on the tag (processElement1/2)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    orders = spark.createDataFrame([("u1", 5), ("u2", 3)], "k string, qty long")
+    cancels = spark.createDataFrame([("u1", 2)], "k string, cancelled long")
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    connected = env.from_data_frame(orders).connect(
+        env.from_data_frame(cancels)
+    )
+    assert set(connected.df.columns) == {"k", "qty", "cancelled", "__side"}
+
+    # batch branch check: net qty = sum(qty) - sum(cancelled) per key,
+    # computed by branching on the side tag
+    out = (
+        connected.df.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, F.col("qty")).otherwise(0)).alias("q"),
+            F.sum(F.when(F.col("__side") == 1, F.col("cancelled")).otherwise(0)).alias("c"),
+        )
+        .selectExpr("k", "q - c AS net")
+        .collect()
+    )
+    assert {(r.k, r.net) for r in out} == {("u1", 3), ("u2", 3)}
