@@ -311,3 +311,57 @@ def test_connect_feeds_two_sided_process(spark):
         .collect()
     )
     assert {(r.k, r.net) for r in out} == {("u1", 3), ("u2", 3)}
+
+
+def test_keyed_process_custom_state(spark, tmp_path):
+    """KeyedProcessFunction seam via the adapter: custom per-key state
+    (count + running max) through applyInPandasWithState."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "p"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 9), ("b", 7)], "k string, v long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = spark.readStream.schema("k string, v long").parquet(str(src / "*"))
+
+    out_schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("n", LongType()),
+            StructField("vmax", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("vmax", LongType())]
+    )
+
+    def fn(key, pdfs, state):  # closure: pickled by value
+        import pandas as pd
+
+        n, vmax = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            n += len(pdf)
+            m = int(pdf["v"].max())
+            vmax = m if vmax is None else max(vmax, m)
+        state.update((n, vmax))
+        yield pd.DataFrame({"k": [key[0]], "n": [n], "vmax": [vmax]})
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    name = f"ds_{uuid.uuid4().hex[:8]}"
+    (
+        env.from_data_frame(stream)
+        .key_by("k")
+        .process(fn, out_schema, state_schema)
+        .sink_memory(name, output_mode="update")
+    )
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+        got = {(r.k): (r.n, r.vmax) for r in spark.table(name).collect()}
+        assert got == {"a": (2, 9), "b": (1, 7)}, got
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
