@@ -608,3 +608,43 @@ def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (adapted): waiting suppliers — EXISTS (semi) + NOT EXISTS
     (anti) against the same fact with an outer-correlated date predicate."""
     return _sql_query(spark, sf_dir, Q21_WAITING_SUPPLIER)
+
+
+# Flink SQL's windowing TVF (TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL
+# '1' DAY)) expressed through OUR SQL entry point: Spark's SQL dialect
+# spells it `GROUP BY window(ts, '1 day')`.  Unlike the TPC-H strings above
+# this is dialect-specific, so the oracle reconstructs windows with epoch
+# arithmetic instead of running the same text.
+SQL_WINDOW_TUMBLE = """
+    SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+           date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS window_end,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY window(ts, '1 day'), event_type
+"""
+
+
+@register(
+    "sql_window_tumble",
+    oracle="""
+        SELECT strftime(make_timestamp(
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) * 1000000),
+                   '%Y-%m-%d %H:%M:%S') AS window_start,
+               strftime(make_timestamp(
+                   CAST((floor(epoch(ts) / 86400) * 86400 + 86400) AS BIGINT)
+                   * 1000000),
+                   '%Y-%m-%d %H:%M:%S') AS window_end,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("T2", "A1"),
+)
+def q_sql_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL TUMBLE TVF parity on the SQL surface: event-time tumbling
+    windows declared in pure SQL (`GROUP BY window(ts, '1 day')`), planned
+    by Catalyst as the same single partial+final windowed aggregate the
+    DataFrame form produces (streaming twin: stream_tumbling_window)."""
+    return _sql_query(spark, sf_dir, SQL_WINDOW_TUMBLE)
