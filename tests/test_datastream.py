@@ -365,3 +365,43 @@ def test_keyed_process_custom_state(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView(name)
+
+
+def test_enable_checkpointing_resumes_from_offsets(spark, tmp_path):
+    """env.enable_checkpointing: the sink persists offsets; a second execute
+    with the same checkpoint dir processes ONLY new files (exactly-once
+    resume, Flink checkpoint parity)."""
+    src = tmp_path / "cp_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.txt").write_text("spark flink\n")
+
+    def run():
+        stream = spark.readStream.format("text").load(str(src))
+        env = StreamExecutionEnvironment.get_execution_environment(spark)
+        env.enable_checkpointing(ckpt)
+        name = "cp_sink"
+        (
+            env.from_data_frame(stream)
+            .flat_map("split(value, ' ')", output_type="word string")
+            .map(["word", "CAST(1 AS BIGINT) AS one"])
+            .key_by(0)
+            .sum(1)
+            .sink_memory(name, output_mode="complete")
+        )
+        [q] = env.execute("Test", available_now=True)
+        q.awaitTermination(60)
+        got = {r.word: r.one for r in spark.table(name).collect()}
+        q.stop()
+        spark.catalog.dropTempView(name)
+        return got
+
+    assert run() == {"spark": 1, "flink": 1}
+    import os
+
+    assert os.path.isdir(os.path.join(ckpt, "cp_sink", "offsets"))
+
+    # new data arrives; the resumed query must fold it into the SAME state
+    # (complete-mode totals include both files exactly once)
+    (src / "b.txt").write_text("spark\n")
+    assert run() == {"spark": 2, "flink": 1}
