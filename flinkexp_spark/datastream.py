@@ -207,6 +207,38 @@ class DataStream:
         """Named in-memory table sink (testing twin of ``print``)."""
         return self._add_sink("memory", name, output_mode)
 
+    def sink_foreach_batch(
+        self, writer: Callable, output_mode: str = "update"
+    ) -> "DataStream":
+        """Custom per-micro-batch sink (``foreachBatch``): the escape hatch
+        that attaches Flink-style side outputs and external stores to the
+        fluent chain — e.g. ``streaming.late_data.LateRowRouter`` (OutputTag
+        / allowed-lateness parity, T5) or ``sources.connectors.kv_sink``
+        (S7).  ``writer(df, epoch)`` must be idempotent per epoch for
+        exactly-once with checkpointing.  Batch DataFrames invoke the
+        writer once with epoch 0."""
+        df = self.df
+
+        def submit(job_name: str, available_now: bool):
+            if not df.isStreaming:
+                writer(df, 0)
+                return None
+            w = df.writeStream.foreachBatch(writer).outputMode(output_mode)
+            if available_now:
+                w = w.trigger(availableNow=True)
+            root = self.env._checkpoint_root
+            if root is not None:
+                import os as _os
+
+                w = w.option(
+                    "checkpointLocation",
+                    _os.path.join(root, f"feb{len(self.env._sinks)}"),
+                )
+            return w.start()
+
+        self.env._sinks.append(submit)
+        return self
+
     def _add_sink(
         self, fmt: str, name: str | None, output_mode: str | None = None
     ) -> "DataStream":

@@ -405,3 +405,62 @@ def test_enable_checkpointing_resumes_from_offsets(spark, tmp_path):
     # (complete-mode totals include both files exactly once)
     (src / "b.txt").write_text("spark\n")
     assert run() == {"spark": 2, "flink": 1}
+
+
+def test_sink_foreach_batch_routes_late_rows(spark, tmp_path):
+    """Side-output (OutputTag) parity through the fluent chain: the
+    LateRowRouter attached via sink_foreach_batch forks late rows to a side
+    store while on-time rows flow to the main handler."""
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from flinkexp_spark.streaming.late_data import LateRowRouter
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    on_time_batches = []
+
+    # batch 1: establishes watermark at 12:00 - 1h = 11:00
+    b1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 12:00"]), "k": ["a"]})
+    # batch 2: one on-time row, one LATE row (10:00 < 11:00)
+    b2 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 12:30", "2024-01-01 10:00"]),
+         "k": ["b", "late"]}
+    )
+    for i, pdf in enumerate((b1, b2)):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"f{i}")
+        )
+        import os, time as _t
+        ts = _t.time() - (2 - i) * 10
+        for root, _, files in os.walk(str(src / f"f{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+
+    side = str(tmp_path / "side")
+    router = LateRowRouter(
+        "ts",
+        timedelta(hours=1),
+        on_time=lambda df, epoch: on_time_batches.append(
+            {r.k for r in df.collect()}
+        ),
+        side_path=side,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "f*"))
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    env.from_data_frame(stream).sink_foreach_batch(router)
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+
+    assert {k for batch in on_time_batches for k in batch} == {"a", "b"}
+    late = spark.read.parquet(side).collect()
+    assert {r.k for r in late} == {"late"}
