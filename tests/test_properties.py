@@ -93,3 +93,58 @@ def test_salted_agg_equals_plain_agg(spark, rows, n_salts):
         .collect()
     }
     assert got == plain
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_datastream_chain_matches_counter_model(spark, lines):
+    """Property: the adapter's reference chain (flat_map -> map -> key_by ->
+    sum) equals collections.Counter over arbitrary token lists, on BOTH
+    expression paths (codegen SQL strings and Python callables)."""
+    from collections import Counter
+
+    from flinkexp_spark.datastream import StreamExecutionEnvironment
+
+    text_lines = [" ".join(words) for words in lines]
+    model = Counter(w for words in lines for w in words if w != "")
+
+    df = spark.createDataFrame([(ln,) for ln in text_lines], "value string")
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+
+    sql_path = (
+        env.from_data_frame(df)
+        .flat_map("split(value, ' ')", output_type="word string")
+        .filter("word <> ''")
+        .map(["word", "CAST(1 AS BIGINT) AS one"])
+        .key_by(0)
+        .sum(1)
+        .df.collect()
+    )
+    assert {(r.word, r.one) for r in sql_path} == set(model.items())
+
+    py_path = (
+        env.from_data_frame(df)
+        .flat_map(
+            lambda line: [w for w in line.split(" ") if w != ""],
+            output_type="word string",
+        )
+        .map(lambda w: (w, 1), output_type="word string, one long")
+        .key_by(0)
+        .sum(1)
+        .df.collect()
+    )
+    assert {(r.word, r.one) for r in py_path} == set(model.items())
