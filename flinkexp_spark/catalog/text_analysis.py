@@ -327,3 +327,77 @@ def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fluency_fp"),
     )
+
+
+CPT_MIN, CPT_MAX = 3.0, 12.0  # chars-per-token sanity band (C4-family gate)
+
+
+@register(
+    "text_quality_ensemble",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, n_chars,
+                          {T.tokens_sql('text')} AS toks FROM documents),
+        q AS (SELECT source,
+                     (len(toks) BETWEEN 20 AND 1000) AS len_ok,
+                     (round({_marker_count_sql('toks', LANG_MARKERS['en'])}
+                            * 1.0 / len(toks), 4) >= 0.01) AS stop_ok,
+                     (round(n_chars * 1.0 / len(toks), 4)
+                          BETWEEN {CPT_MIN} AND {CPT_MAX}) AS cpt_ok,
+                     (round(1 - len(list_distinct(toks))
+                                / CAST(len(toks) AS DOUBLE), 6)
+                          <= {DUP_TOKEN_MAX}) AS rep_ok
+              FROM t WHERE len(toks) > 0)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN len_ok AND stop_ok AND cpt_ok AND rep_ok
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_len,
+               CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_stop,
+               CAST(SUM(CASE WHEN NOT cpt_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_cpt,
+               CAST(SUM(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_rep
+        FROM q GROUP BY source
+    """,
+    tags=("X4",),
+)
+def q_text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the full quality-gate ENSEMBLE in one scan — length band,
+    stopword ratio, chars-per-token sanity band, and duplicate-token
+    repetition, with per-source pass/fail attribution (which gate kills
+    which docs — the dashboard a corpus curator actually monitors).
+
+    Every signal is array-native arithmetic on the tokens of ONE scan: no
+    joins, no second pass, one groupBy(source) with map-side combine — at
+    100 TB this runs at scan speed, unlike signal-per-query pipelines that
+    rescan the corpus per gate.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = docs.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("nt"),
+        _marker_count(toks, LANG_MARKERS["en"]).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    ).filter(F.col("nt") > 0)
+    len_ok = F.col("nt").between(20, 1000)
+    stop_ok = F.round(F.col("n_stop") / F.col("nt"), 4) >= 0.01
+    cpt_ok = F.round(F.col("n_chars") / F.col("nt"), 4).between(CPT_MIN, CPT_MAX)
+    rep_ok = (
+        F.round(1 - F.col("nd") / F.col("nt").cast("double"), 6) <= DUP_TOKEN_MAX
+    )
+
+    def n_where(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        n_where(len_ok & stop_ok & cpt_ok & rep_ok, "n_pass"),
+        n_where(~len_ok, "n_fail_len"),
+        n_where(~stop_ok, "n_fail_stop"),
+        n_where(~cpt_ok, "n_fail_cpt"),
+        n_where(~rep_ok, "n_fail_rep"),
+    )
