@@ -333,3 +333,16 @@ def test_sql_join_hints_respected(spark, sf_dir):
         "JOIN region ON n_regionkey = r_regionkey"
     )
     assert "BroadcastHashJoin" in plan_of(bcast, "simple")
+
+
+def test_quality_ensemble_is_single_scan_single_exchange(spark, sf_dir):
+    """The ensemble's pitch is all four gates in ONE scan: exactly one
+    Exchange (the groupBy(source)), no joins, no Python boundary."""
+    import re
+
+    df = queries()["text_quality_ensemble"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    for op in ("Join", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert op not in plan, op
+    assert plan.count("FileScan parquet") == 1
