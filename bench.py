@@ -37,6 +37,7 @@ HEADLINE = [
     # batch word count throughput (E2–E5; BASELINE row 1 definition)
     "wordcount_batch",
     "wordcount_union",
+    "wordcount_datastream_api",  # the fluent-adapter form; plan-identical
     # relational suite representatives (§2.2): scan-heavy agg, star join,
     # window functions, set ops, scalar-function pipeline
     "agg_pricing_summary",
@@ -53,6 +54,8 @@ HEADLINE = [
     "stream_session_window",
     "stream_interval_join",
     "stream_temporal_join",
+    "stream_window_topn",
+    "stream_window_join",
     # LLM-pipeline extensions (X1–X5)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -60,8 +63,11 @@ HEADLINE = [
     "sim_search_topk",
     "sim_search_ivf",
     "text_quality_profile",
+    "text_quality_ensemble",
     "vocab_encode_ids",
     "pack_sequences",
+    "multimodal_video_frames",
+    "maintenance_compact",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
