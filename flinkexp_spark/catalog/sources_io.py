@@ -491,3 +491,50 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # materialize before scratch cleanup
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "layout_zorder_scan",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_sum
+        FROM events
+        WHERE user_id < 5
+        GROUP BY event_type
+    """,
+    tags=("S2",),
+)
+def q_layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 layout path: Z-ORDER clustering (operators/layout.py) — events
+    rewritten clustered on morton(user_id, event-time), then scanned back
+    with a selective user-band filter.
+
+    The layout is the 100 TB point: after z-ordering, each parquet file
+    covers a hyper-rectangle of (user, time) space, so footer min/max stats
+    prune a user-band scan to the few overlapping files instead of all of
+    them (asserted in tests/test_plans.py::test_zorder_layout_clusters_files)
+    — multi-dimensional data skipping with plain Spark primitives, no table
+    format required.  Correctness: the round trip must not change results.
+    """
+    from flinkexp_spark.operators.layout import write_zordered
+
+    work = _scratch("zorder")
+    try:
+        events = datasets.load(spark, sf_dir, "events").withColumn(
+            "ts_epoch", F.col("ts").cast("long")
+        )
+        zdir = os.path.join(work, "z")
+        write_zordered(events, zdir, "user_id", "ts_epoch", n_files=16)
+        out = (
+            spark.read.parquet(zdir)
+            .filter(F.col("user_id") < 5)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("user_id").cast("long")).alias("uid_sum"),
+            )
+        )
+        return out.localCheckpoint()  # materialize before scratch cleanup
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

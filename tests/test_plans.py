@@ -346,3 +346,46 @@ def test_quality_ensemble_is_single_scan_single_exchange(spark, sf_dir):
     for op in ("Join", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert op not in plan, op
     assert plan.count("FileScan parquet") == 1
+
+
+def test_zorder_layout_clusters_files(spark, tmp_path):
+    """Z-order layout (operators/layout.py): after clustering events on
+    morton(user_id, ts), a selective user-band scan touches only the files
+    whose (user, time) hyper-rectangle overlaps the band — NOT every file.
+    (input_file_name reflects files contributing rows; an unclustered
+    layout would surface all of them.)"""
+    from flinkexp_spark.operators.layout import write_zordered
+
+    sf01 = "/root/testdata/sf0.01"
+    events = datasets.load(spark, sf01, "events").withColumn(
+        "ts_epoch", F.col("ts").cast("long")
+    )
+    zdir = str(tmp_path / "z")
+    write_zordered(events, zdir, "user_id", "ts_epoch", n_files=16)
+
+    back = spark.read.parquet(zdir)
+    n_total_files = back.select(F.input_file_name()).distinct().count()
+    assert n_total_files == 16
+
+    touched = (
+        back.filter(F.col("user_id") < 10)  # ~1/15 of the user range
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched <= n_total_files // 2, (
+        f"z-ordered band scan touched {touched}/{n_total_files} files; "
+        "clustering failed"
+    )
+
+    # the same band in an UNCLUSTERED (round-robin) layout touches ~all files
+    flat = str(tmp_path / "flat")
+    events.repartition(16).write.parquet(flat)
+    flat_touched = (
+        spark.read.parquet(flat)
+        .filter(F.col("user_id") < 10)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert flat_touched > touched, (flat_touched, touched)
