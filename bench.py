@@ -68,6 +68,7 @@ HEADLINE = [
     "pack_sequences",
     "multimodal_video_frames",
     "maintenance_compact",
+    "layout_zorder_scan",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -184,6 +184,16 @@ class DataStream:
             df = df.unionByName(o.df)
         return DataStream(self.env, df)
 
+    def rebalance(self, n: int) -> "DataStream":
+        """Flink ``rebalance``: redistribute evenly across ``n`` subtasks —
+        a full round-robin shuffle (use after a skew-producing filter)."""
+        return DataStream(self.env, self.df.repartition(n))
+
+    def rescale(self, n: int) -> "DataStream":
+        """Flink ``rescale``: reduce parallelism WITHOUT a network shuffle
+        (local merge only) — Spark's narrow ``coalesce``."""
+        return DataStream(self.env, self.df.coalesce(n))
+
     def connect(self, other: "DataStream") -> "DataStream":
         """Flink ``connect`` (CoProcessFunction feed): merge two
         differently-shaped streams into one keyed stream, each row tagged
@@ -206,6 +216,46 @@ class DataStream:
     def sink_memory(self, name: str, output_mode: str | None = None) -> "DataStream":
         """Named in-memory table sink (testing twin of ``print``)."""
         return self._add_sink("memory", name, output_mode)
+
+    def sink_parquet(
+        self,
+        path: str,
+        partition_by: list[str] | None = None,
+        output_mode: str = "append",
+    ) -> "DataStream":
+        """Production file sink: parquet (hive-partitioned when
+        ``partition_by`` is given).  Streaming writes are exactly-once under
+        checkpointing (file-sink manifest); batch writes run inline at
+        ``execute()``."""
+        df = self.df
+        cols = list(partition_by or [])
+
+        def submit(job_name: str, available_now: bool):
+            if not df.isStreaming:
+                w = df.write.mode("overwrite")
+                if cols:
+                    w = w.partitionBy(*cols)
+                w.parquet(path)
+                return None
+            w = df.writeStream.format("parquet").outputMode(output_mode)
+            if cols:
+                w = w.partitionBy(*cols)
+            w = w.option("path", path)
+            if available_now:
+                w = w.trigger(availableNow=True)
+            root = self.env._checkpoint_root
+            import os as _os
+
+            ckpt = (
+                _os.path.join(root, f"pq{len(self.env._sinks)}")
+                if root is not None
+                else _os.path.join(path, "_checkpoint")
+            )
+            w = w.option("checkpointLocation", ckpt)
+            return w.start()
+
+        self.env._sinks.append(submit)
+        return self
 
     def sink_foreach_batch(
         self, writer: Callable, output_mode: str = "update"

@@ -464,3 +464,47 @@ def test_sink_foreach_batch_routes_late_rows(spark, tmp_path):
     assert {k for batch in on_time_batches for k in batch} == {"a", "b"}
     late = spark.read.parquet(side).collect()
     assert {r.k for r in late} == {"late"}
+
+
+def test_rebalance_rescale_partitioning(spark):
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = env.from_data_frame(spark.range(100).repartition(8))
+    assert ds.rebalance(4).df.rdd.getNumPartitions() == 4
+    assert ds.rescale(2).df.rdd.getNumPartitions() == 2
+    # rescale must be the narrow path: no Exchange in its plan
+    plan = ds.rescale(2).df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan
+
+
+def test_sink_parquet_streaming_exactly_once(spark, tmp_path):
+    """Streaming parquet sink with checkpoint: rows land exactly once and
+    hive partitioning applies."""
+    src = tmp_path / "pq_src"
+    src.mkdir()
+    (src / "a.txt").write_text("x 1\ny 2\nx 3\n")
+    out = str(tmp_path / "pq_out")
+
+    stream = spark.readStream.format("text").load(str(src))
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    env.enable_checkpointing(str(tmp_path / "ckpt"))
+    (
+        env.from_data_frame(stream)
+        .map(
+            [
+                "split(value, ' ')[0] AS k",
+                "CAST(split(value, ' ')[1] AS LONG) AS v",
+            ]
+        )
+        .sink_parquet(out, partition_by=["k"])
+    )
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(out)
+    assert {(r.k, r.v) for r in back.collect()} == {("x", 1), ("y", 2), ("x", 3)}
+    import os
+
+    assert os.path.isdir(os.path.join(out, "k=x"))  # hive partitioning
