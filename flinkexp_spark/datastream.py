@@ -184,6 +184,14 @@ class DataStream:
             df = df.unionByName(o.df)
         return DataStream(self.env, df)
 
+    def assign_watermark(self, on: str, delay: str) -> "DataStream":
+        """Flink ``assignTimestampsAndWatermarks(forBoundedOutOfOrderness)``:
+        declare ``on`` as the event-time column with ``delay`` allowed
+        disorder.  No-op on batch DataFrames (bounded mode)."""
+        if self.df.isStreaming:
+            return DataStream(self.env, self.df.withWatermark(on, delay))
+        return self
+
     def rebalance(self, n: int) -> "DataStream":
         """Flink ``rebalance``: redistribute evenly across ``n`` subtasks —
         a full round-robin shuffle (use after a skew-producing filter)."""
@@ -384,6 +392,40 @@ class KeyedStream:
 
     def max(self, field: int | str) -> DataStream:
         return self._agg(field, F.max)
+
+    def interval_join(
+        self,
+        other: "KeyedStream",
+        on: str,
+        other_on: str | None = None,
+        lower: str = "INTERVAL 10 MINUTES",
+        upper: str = "INTERVAL 0 MINUTES",
+        prefix: str = "r_",
+    ) -> DataStream:
+        """Flink ``KeyedStream.intervalJoin(other).between(lower, upper)``:
+        rows join when keys match and ``other.ts`` lies in
+        ``[ts - lower, ts + upper]``.
+
+        Both sides must carry watermarks (``assign_watermark``) when
+        streaming — the time-range condition then bounds each side's
+        buffered state exactly as Flink's interval join advertises
+        (eviction at watermark passage).  Right-side columns are prefixed
+        to avoid collisions.
+        """
+        other_on = other_on or on
+        right = other.df
+        for c in right.columns:
+            right = right.withColumnRenamed(c, f"{prefix}{c}")
+        key_cond = None
+        for lk, rk in zip(self.keys, [f"{prefix}{k}" for k in other.keys]):
+            c = F.col(lk) == F.col(rk)
+            key_cond = c if key_cond is None else (key_cond & c)
+        r_on = F.col(f"{prefix}{other_on}")
+        time_cond = (r_on >= F.col(on) - F.expr(lower)) & (
+            r_on <= F.col(on) + F.expr(upper)
+        )
+        out = self.df.join(right, key_cond & time_cond, "inner")
+        return DataStream(self.env, out)
 
     def reduce(self, f: Callable) -> DataStream:
         """Flink ``KeyedStream.reduce``: rolling per-key combine of the

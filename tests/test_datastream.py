@@ -508,3 +508,65 @@ def test_sink_parquet_streaming_exactly_once(spark, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(out, "k=x"))  # hive partitioning
+
+
+def test_interval_join_streaming_bounded_state(spark, tmp_path):
+    """Flink intervalJoin parity: keyed stream-stream join within
+    [ts - 10min, ts]; watermarks bound state; results match the batch
+    range-join semantics."""
+    import pandas as pd
+
+    src = tmp_path / "ij"
+    src.mkdir()
+    clicks = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00"]),
+            "user_id": [1, 1],
+            "cid": [100, 101],
+        }
+    )
+    views = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:55", "2024-01-01 10:30", "2024-01-01 10:59"]
+            ),
+            "user_id": [1, 1, 1],
+            "vid": [200, 201, 202],
+        }
+    )
+    spark.createDataFrame(clicks).coalesce(1).write.parquet(str(src / "c"))
+    spark.createDataFrame(views).coalesce(1).write.parquet(str(src / "v"))
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    c = (
+        env.from_data_frame(
+            spark.readStream.schema("ts timestamp, user_id long, cid long").parquet(
+                str(src / "c")
+            )
+        )
+        .assign_watermark("ts", "1 hour")
+        .key_by("user_id")
+    )
+    v = (
+        env.from_data_frame(
+            spark.readStream.schema("ts timestamp, user_id long, vid long").parquet(
+                str(src / "v")
+            )
+        )
+        .assign_watermark("ts", "1 hour")
+        .key_by("user_id")
+    )
+    name = f"ds_{uuid.uuid4().hex[:8]}"
+    c.interval_join(v, on="ts").map(["cid", "r_vid"]).sink_memory(
+        name, output_mode="append"
+    )
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+        pairs = {(r.cid, r.r_vid) for r in spark.table(name).collect()}
+        # click 100 @10:00 matches view 200 @9:55; click 101 @11:00 matches
+        # views 201/202 in its 10-minute lookback? 10:30 is outside, 10:59 in.
+        assert pairs == {(100, 200), (101, 202)}, pairs
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
