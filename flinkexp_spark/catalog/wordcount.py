@@ -144,3 +144,60 @@ def q_wordcount_datastream_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sum(1)
         .df
     )
+
+
+@register(
+    "stream_wordcount_adapter",
+    oracle="""
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS one
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    tags=("E1", "E2", "E3", "E4", "E5", "E6", "E7", "T9"),
+)
+def q_stream_wordcount_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference program through the adapter's STREAMING path (the
+    batch-bridge twin is wordcount_datastream_api): documents replayed as a
+    bounded file stream, the fluent chain builds the streaming plan, a
+    memory sink drains under availableNow, and the final per-key totals
+    must equal batch SQL (SURVEY §2.1 contract).  This row officially
+    certifies env.execute()'s streaming job-submission path end-to-end.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from flinkexp_spark.datastream import StreamExecutionEnvironment
+    from flinkexp_spark.streaming.replay import SCRATCH_ROOT, _stream_partitions
+
+    docs = datasets.load(spark, sf_dir, "documents")
+    work = os.path.join(SCRATCH_ROOT, f"dsa_{uuid.uuid4().hex[:12]}")
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    try:
+        docs.select(F.col("text")).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, "in")
+        )
+        stream = spark.readStream.schema("text string").parquet(
+            os.path.join(work, "in")
+        )
+        env = StreamExecutionEnvironment.get_execution_environment(spark)
+        (
+            env.from_data_frame(stream)
+            .flat_map("split(text, ' ')", output_type="word string")
+            .filter("word <> ''")
+            .map(["word", "CAST(1 AS BIGINT) AS one"])
+            .key_by(0)
+            .sum(1)
+            .sink_memory(name, output_mode="complete")
+        )
+        with _stream_partitions(spark):
+            [q] = env.execute("Test", available_now=True)
+            q.awaitTermination()
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        return datasets.local_df(spark, rows, "word string, one long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -500,6 +500,28 @@ class KeyedStream:
         )
         return DataStream(self.env, out)
 
+    def min_by(self, field: int | str) -> DataStream:
+        """Flink ``minBy``: the whole ROW holding the per-key minimum of
+        ``field`` (vs ``min``, which takes just the value).  Realized as
+        ``min_by(struct, ord)`` — map-side combinable, one struct of state
+        per key, no per-key sort."""
+        return self._row_by(field, F.min_by)
+
+    def max_by(self, field: int | str) -> DataStream:
+        """Flink ``maxBy``: the whole ROW holding the per-key maximum."""
+        return self._row_by(field, F.max_by)
+
+    def _row_by(self, field: int | str, agg) -> DataStream:
+        col = self.df.columns[field] if isinstance(field, int) else field
+        vals = [c for c in self.df.columns if c not in self.keys]
+        row = F.struct(*vals)
+        out = (
+            self.df.groupBy(*self.keys)
+            .agg(agg(row, F.col(col)).alias("__row"))
+            .select(*self.keys, *[F.col(f"__row.{c}").alias(c) for c in vals])
+        )
+        return DataStream(self.env, out)
+
     def count(self) -> DataStream:
         groups = ([self._window] if self._window is not None else []) + self.keys
         out = self.df.groupBy(*groups).agg(F.count("*").alias("count"))

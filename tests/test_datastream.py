@@ -570,3 +570,21 @@ def test_interval_join_streaming_bounded_state(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView(name)
+
+
+def test_keyed_min_by_max_by_return_whole_rows(spark):
+    """Flink minBy/maxBy parity: the full row travels, not just the value."""
+    df = spark.createDataFrame(
+        [("a", 3, "r1"), ("a", 1, "r2"), ("b", 7, "r3")],
+        "k string, v long, tag string",
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ks = env.from_data_frame(df).key_by("k")
+    assert {tuple(r) for r in ks.min_by("v").df.collect()} == {
+        ("a", 1, "r2"),
+        ("b", 7, "r3"),
+    }
+    assert {tuple(r) for r in ks.max_by(1).df.collect()} == {
+        ("a", 3, "r1"),
+        ("b", 7, "r3"),
+    }
