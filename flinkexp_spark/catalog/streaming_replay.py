@@ -999,3 +999,60 @@ def q_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay(spark, events, transform, output_mode="append")
+
+
+@register(
+    "stream_window_distinct_users",
+    oracle="""
+        SELECT strftime(make_timestamp(
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) * 1000000),
+                   '%Y-%m-%d %H:%M:%S') AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("T2", "T6", "A3"),
+)
+def q_stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T6+A3: EXACT distinct users per window on a stream — Spark
+    forbids COUNT(DISTINCT) in streaming aggregates, so this runs the
+    documented two-stage shape: watermarked dropDuplicates on
+    (window, user) feeding a windowed count — TWO chained stateful
+    operators in one streaming query (multi-stateful-operator support,
+    append mode; the far-future sentinel closes the final real windows).
+
+    State: the dedup stage holds one tombstone per (window, user) until
+    the watermark passes; the count holds one long per window — both
+    watermark-bounded.  (An HLL sketch would replace stage one at 100 TB
+    when ±rsd error is acceptable; its approximation cannot hash-match an
+    exact oracle, so the checkable form is the exact one.)
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    sentinel = datasets.local_df(
+        spark,
+        [(int(-1), datetime(2030, 1, 1), int(-1), "__sentinel__", 0.0, "{}")],
+        events.schema,
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        per_user = (
+            stream.withWatermark("ts", "1 hour")
+            .select(F.window("ts", "1 day").alias("window"), "user_id")
+            .dropDuplicates(["window", "user_id"])
+        )
+        return per_user.groupBy("window").agg(F.count("*").alias("n_users"))
+
+    out = replay(
+        spark,
+        events,
+        transform,
+        output_mode="append",
+        n_files=2,
+        order_col="ts",
+        sentinel_df=sentinel,
+    )
+    return (
+        _win_cols(out)
+        .filter(F.col("window_start") < "2029-12-01")
+        .select("window_start", "n_users")
+    )
