@@ -335,3 +335,56 @@ def q_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
+
+
+EWMA_ALPHA = 0.2  # decay factor; state-free oracle-checkable fold
+
+
+@register(
+    "window_ewma_per_user",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id,
+                   list_transform(
+                       list_sort(list({{'ts': ts, 'eid': event_id,
+                                        'v': value}})),
+                       s -> s.v) AS vals
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                     (acc, v) -> acc * {1 - EWMA_ALPHA} + v * {EWMA_ALPHA}),
+                     6) AS ewma
+        FROM o
+    """,
+    tags=("W3", "F2"),
+)
+def q_window_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (order-sensitive running aggregate): per-user EWMA of purchase
+    values — acc = acc*(1-a) + v*a folded in (ts, event_id) order, zero
+    init.  The time-decayed per-key statistic monitoring pipelines keep.
+
+    Determinism: both engines sort the SAME struct lexicographically and
+    fold the SAME IEEE-double sequence, so results match bit-for-bit (6-dp
+    round as belt-and-braces).  Scale note: this batch form collects one
+    ordered array per key (bounded here by purchases/user); the unbounded
+    streaming form carries O(1) state per key instead — one (last_ts,
+    ewma) pair updated per event via applyInPandasWithState, the
+    streaming/stateful.py T7 shape.
+    """
+    events = datasets.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", F.col("event_id").alias("eid"), F.col("value").alias("v")))
+    )
+    fold = F.aggregate(
+        F.transform(ordered, lambda s: s["v"]),
+        F.lit(0.0),
+        lambda acc, v: acc * (1 - EWMA_ALPHA) + v * EWMA_ALPHA,
+    )
+    return events.groupBy("user_id").agg(
+        F.size(F.collect_list("event_id")).cast("long").alias("n"),
+        F.round(fold, 6).alias("ewma"),
+    )
