@@ -1056,3 +1056,44 @@ def q_stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("window_start") < "2029-12-01")
         .select("window_start", "n_users")
     )
+
+
+@register(
+    "stream_ewma_per_user",
+    oracle="""
+        WITH o AS (
+            SELECT user_id,
+                   list_transform(
+                       list_sort(list({'ts': ts, 'eid': event_id,
+                                       'v': value})),
+                       s -> s.v) AS vals
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                     (acc, v) -> acc * 0.8 + v * 0.2), 6) AS ewma
+        FROM o
+    """,
+    tags=("T7", "W3"),
+)
+def q_stream_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/W3: per-key EWMA ON THE STREAM — applyInPandasWithState carrying
+    ONE (count, ewma) pair per key (streaming/stateful.ewma_transform),
+    the O(1)-state unbounded twin of the batch ordered fold
+    (window_ewma_per_user).  Same oracle, same bit-exact result: the
+    replay's time-ordered micro-batches let the carried state reproduce
+    the global (ts, event_id)-ordered fold exactly.
+    """
+    from flinkexp_spark.streaming.stateful import ewma_transform
+
+    events = datasets.load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return replay(
+        spark,
+        events,
+        ewma_transform,
+        output_mode="update",
+        use_checkpoint=True,
+    )

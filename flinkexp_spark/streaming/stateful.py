@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -243,4 +244,48 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def ewma_transform(stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming per-key EWMA with O(1) state — the unbounded twin of the
+    batch ordered-fold (catalog/windows.q_window_ewma_per_user): state is
+    ONE (count, ewma) pair per key; each batch folds its rows in
+    (ts, event_id) order on top of the carried value.  Equivalent to the
+    batch fold whenever micro-batches arrive time-ordered (the replay rig
+    guarantees it; a production job gets it from watermarked sources).
+    """
+
+    def ewma(key, pdfs, state):  # closure: pickled by value
+        import pandas as pd
+
+        n, acc = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].to_numpy():
+                acc = acc * (1 - alpha) + float(v) * alpha
+                n += 1
+        state.update((n, acc))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "ewma": [round(acc, 6)]}
+        )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("ewma", DoubleType())]
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        ewma,
+        EWMA_OUTPUT_SCHEMA,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
