@@ -242,6 +242,89 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_PAD_MIN = 15  # session activity window pad (minutes)
+RANGE_BIN_S = 1800  # bin width for the binned range join (seconds)
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered),
+        sessions AS (
+            SELECT user_id AS s_user,
+                   MIN(ts) - INTERVAL {RANGE_PAD_MIN} MINUTE AS s_start,
+                   MAX(ts) + INTERVAL {RANGE_PAD_MIN} MINUTE AS s_end
+            FROM numbered GROUP BY user_id, sid),
+        hits AS (
+            SELECT e.event_type, e.event_id
+            FROM events e JOIN sessions s
+              ON e.ts >= s.s_start AND e.ts <= s.s_end
+             AND s.s_user <> e.user_id)
+        SELECT event_type,
+               COUNT(*) AS n_pairs,
+               COUNT(DISTINCT event_id) AS n_events
+        FROM hits GROUP BY event_type
+    """,
+    tags=("J7",),
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (no-equi-key form): point-in-interval range join via time binning
+    (operators/rangejoin.py) — for each event, every OTHER user's padded
+    activity session containing its timestamp.
+
+    There is no equi key, so a naive formulation is a nested-loop O(n·m)
+    scan; the binned operator manufactures the key (interval exploded to
+    30-min bins, point hashed to its bin) and Spark plans an ordinary
+    shuffle join — survives 100 TB where BroadcastNestedLoopJoin cannot.
+    The oracle is DuckDB's exact (IEJoin) range join over the same padded
+    sessions.
+    """
+    from pyspark.sql import Window
+    from flinkexp_spark.operators.rangejoin import range_join_binned
+
+    events = datasets.load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_ord)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pad = F.expr(f"INTERVAL {RANGE_PAD_MIN} MINUTES")
+    sessions = (
+        events.select("user_id", "event_id", "ts", new_session.alias("new_session"))
+        .withColumn("sid", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            (F.min("ts") - pad).alias("s_start"),
+            (F.max("ts") + pad).alias("s_end"),
+        )
+        .select(F.col("user_id").alias("s_user"), "s_start", "s_end")
+    )
+    points = events.select("event_id", "user_id", "event_type", "ts")
+    joined = range_join_binned(
+        points, sessions, "ts", "s_start", "s_end", RANGE_BIN_S
+    ).filter(F.col("s_user") != F.col("user_id"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_events"),
+    )
+
+
 @register(
     "join_lookup_dim",
     oracle="""

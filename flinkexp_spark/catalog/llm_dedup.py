@@ -353,9 +353,8 @@ def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(F.count("*").alias("n_kept"))
 
 
-@register(
-    "dedup_components",
-    oracle="WITH RECURSIVE "
+_O_COMPONENTS = (
+    "WITH RECURSIVE "
     + _O_SIG_BODY
     + ","
     + _O_SCORED_BODY
@@ -372,9 +371,35 @@ def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT component, COUNT(*) AS cluster_size,
            MIN(node) AS min_doc, MAX(node) AS max_doc
     FROM comp GROUP BY component
-    """,
-    tags=("X2",),
+    """
 )
+
+
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pair graph (LSH candidates scored >= EST_JACCARD_MIN)."""
+    sig = signature_table(spark, sf_dir)
+    cand = T.lsh_candidate_pairs(sig)
+    x, y = sig.alias("x"), sig.alias("y")
+    agree = sum(
+        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
+    )
+    return (
+        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
+        .select("id_a", "id_b")
+    )
+
+
+def _cluster_shape(comp: DataFrame) -> DataFrame:
+    return comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("min_doc"),
+        F.max("node").alias("max_doc"),
+    )
+
+
+@register("dedup_components", oracle=_O_COMPONENTS, tags=("X2",))
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (canonicalization): connected components over the near-dup pair
     graph — every doc in a dup cluster labeled with the cluster's min id.
@@ -385,24 +410,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flinkexp_spark.operators.components import connected_components
 
-    sig = signature_table(spark, sf_dir)
-    cand = T.lsh_candidate_pairs(sig)
-    x, y = sig.alias("x"), sig.alias("y")
-    agree = sum(
-        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
-    )
-    edges = (
-        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
-        .join(y, F.col("id_b") == F.col("y.doc_id"))
-        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(edges)
-    return comp.groupBy("component").agg(
-        F.count("*").alias("cluster_size"),
-        F.min("node").alias("min_doc"),
-        F.max("node").alias("max_doc"),
-    )
+    comp = connected_components(_neardup_edges(spark, sf_dir))
+    return _cluster_shape(comp)
+
+
+@register("dedup_components_star", oracle=_O_COMPONENTS, tags=("X2",))
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (canonicalization, planet-scale path): same components contract via
+    alternating large-star/small-star (Kiveris et al., SoCC 2014) —
+    O(log n) rounds independent of component diameter, where min-label
+    propagation needs O(diameter) rounds.  Identical oracle as
+    `dedup_components`: both must reproduce the recursive-CTE transitive
+    closure exactly.
+    """
+    from flinkexp_spark.operators.components import connected_components_star
+
+    comp = connected_components_star(_neardup_edges(spark, sf_dir))
+    return _cluster_shape(comp)
 
 
 # --- line-level (segment) exact dedup ----------------------------------------

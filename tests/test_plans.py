@@ -389,3 +389,12 @@ def test_zorder_layout_clusters_files(spark, tmp_path):
         .count()
     )
     assert flat_touched > touched, (flat_touched, touched)
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned range join must manufacture an equi key: no nested-loop
+    or cartesian pair enumeration anywhere in the plan (the naive no-key
+    interval join would be a BroadcastNestedLoopJoin)."""
+    plan = plan_of(queries()["join_range_binned"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -148,3 +148,58 @@ def test_datastream_chain_matches_counter_model(spark, lines):
         .df.collect()
     )
     assert {(r.word, r.one) for r in py_path} == set(model.items())
+
+
+# --- connected components: large-star/small-star vs union-find model --------
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda es: any(u != v for u, v in es))
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_components_match_union_find(spark, edges):
+    from flinkexp_spark.operators.components import connected_components_star
+
+    df = spark.createDataFrame(
+        [(u, v) for u, v in edges if u != v], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert got == _uf_components([(u, v) for u, v in edges if u != v])
+
+
+def test_star_components_long_chain_beats_diameter(spark):
+    """A 64-node path graph (diameter 63) — far beyond min-label
+    propagation's round budget — collapses to one component in the star
+    path's O(log n) rounds."""
+    from flinkexp_spark.operators.components import connected_components_star
+
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components_star(df).collect()
+    assert len(out) == 64
+    assert {r.component for r in out} == {0}
