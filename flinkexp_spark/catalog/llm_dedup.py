@@ -429,6 +429,107 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_shape(comp)
 
 
+NEW_MOD = 4  # docs with doc_id % NEW_MOD == 0 play the "incoming crawl batch"
+
+
+@register(
+    "dedup_incremental",
+    oracle="WITH "
+    + _O_SIG_BODY
+    + ","
+    + _O_SCORED_BODY
+    + f""",
+    e AS (SELECT id_a, id_b FROM scored WHERE est_jaccard >= {EST_JACCARD_MIN}),
+    newd AS (SELECT doc_id, lang, text FROM documents
+             WHERE doc_id % {NEW_MOD} = 0),
+    hist AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % {NEW_MOD} <> 0),
+    exact AS (SELECT DISTINCT n.doc_id FROM newd n
+              JOIN hist h ON n.text = h.text),
+    near AS (SELECT DISTINCT
+                    CASE WHEN id_a % {NEW_MOD} = 0 THEN id_a ELSE id_b END
+                        AS doc_id
+             FROM e
+             WHERE (id_a % {NEW_MOD} = 0) <> (id_b % {NEW_MOD} = 0)),
+    flags AS (
+        SELECT n.lang,
+               CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near'
+                    ELSE 'keep' END AS verdict
+        FROM newd n
+        LEFT JOIN exact ex ON n.doc_id = ex.doc_id
+        LEFT JOIN near nr ON n.doc_id = nr.doc_id)
+    SELECT lang,
+           COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_exact,
+           CAST(SUM(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop_near,
+           CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM flags GROUP BY lang
+    """,
+    tags=("X1", "X2"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 (incremental ingestion): dedup an incoming crawl batch against
+    the historical corpus — exact (content hash) first, then MinHash-LSH
+    near-dup, without ever re-pairing history with itself.
+
+    This is the production 100 TB shape: each new crawl is deduped against
+    the existing corpus's persisted signature/hash index (here: the shared
+    signature table restricted to history), so per-ingest cost is
+    O(batch × collisions), not O(corpus²).  History-history pairs are
+    filtered out of the candidate stream before scoring ever happens.
+    Verdict precedence: exact beats near; survivors are 'keep'.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % NEW_MOD) == 0
+    new = docs.filter(is_new).select("doc_id", "lang", "text")
+    hist = docs.filter(~is_new)
+
+    h = F.sha2(F.col("text"), 256)
+    exact_ids = (
+        new.select("doc_id", h.alias("h"))
+        .join(hist.select(h.alias("h")).distinct(), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    cross = (F.col("id_a") % NEW_MOD == 0) != (F.col("id_b") % NEW_MOD == 0)
+    near_ids = (
+        _neardup_edges(spark, sf_dir)
+        .filter(cross)
+        .select(
+            F.when(F.col("id_a") % NEW_MOD == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+
+    verdict = (
+        F.when(F.col("is_exact"), "exact")
+        .when(F.col("is_near"), "near")
+        .otherwise("keep")
+    )
+    flags = (
+        new.join(exact_ids.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .fillna(False, ["is_exact", "is_near"])
+        .select("lang", verdict.alias("verdict"))
+    )
+    zsum = lambda v: F.sum(  # noqa: E731
+        F.when(F.col("verdict") == v, 1).otherwise(0)
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_new"),
+        zsum("exact").alias("n_drop_exact"),
+        zsum("near").alias("n_drop_near"),
+        zsum("keep").alias("n_kept"),
+    )
+
+
 # --- line-level (segment) exact dedup ----------------------------------------
 # C4-style sub-document dedup (Raffel et al. 2020 dropped duplicate three-
 # sentence spans corpus-wide): the fixture text has no sentence boundaries,

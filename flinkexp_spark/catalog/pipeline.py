@@ -148,6 +148,63 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted (importance) sampling: keep probability proportional to document
+# length, capped at 1 — longer docs carry more training signal, so a
+# length-weighted subsample preserves more total tokens per kept doc than a
+# uniform one.  Resolution of the probability grid:
+WSAMPLE_SCALE = 10_000
+WSAMPLE_FULL_CHARS = 2_000  # docs at/over this length are always kept
+
+
+@register(
+    "sample_weighted_hash",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+        FROM documents
+        WHERE {T.h64_sql("concat('wsample-', CAST(doc_id AS VARCHAR))")}
+                  % {WSAMPLE_SCALE}
+              < least({WSAMPLE_SCALE},
+                      CAST(floor(n_chars * {WSAMPLE_SCALE}
+                                 / {WSAMPLE_FULL_CHARS}) AS BIGINT))
+        GROUP BY lang
+    """,
+    tags=("X4", "P2"),
+)
+def q_sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — per-row keep probability
+    min(1, n_chars / WSAMPLE_FULL_CHARS) decided by content-keyed hash,
+    the importance-sampling primitive for building training mixtures.
+
+    Same exactly-once-safe construction as `sample_stratified_hash`
+    (bucket = pure function of doc_id + salt, so retries/speculation/reruns
+    keep the identical sample), but the threshold varies per row — any
+    weight column works (quality score, source priority).  Fixed-point
+    threshold arithmetic (floor to 1/WSAMPLE_SCALE) keeps both engines
+    bit-identical.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    bucket = (
+        T.h64(F.concat(F.lit("wsample-"), F.col("doc_id").cast("string")))
+        % WSAMPLE_SCALE
+    )
+    thresh = F.least(
+        F.lit(WSAMPLE_SCALE),
+        F.floor(F.col("n_chars") * WSAMPLE_SCALE / WSAMPLE_FULL_CHARS).cast(
+            "long"
+        ),
+    )
+    return (
+        docs.filter(bucket < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
+
+
 VAL_PCT = 10  # hold out 10% as validation
 
 
