@@ -46,6 +46,7 @@ HEADLINE = [
     "join_broadcast_star",
     "join_bucketed_colocated",
     "join_asof",
+    "join_range_binned",  # no-equi-key interval join, binned to an equi-join
     "window_topk_per_group",
     "func_string",
     # streaming replays (E1–E7, T2–T4, J7/T8)
@@ -58,6 +59,7 @@ HEADLINE = [
     "stream_window_join",
     # LLM-pipeline extensions (X1–X5)
     "dedup_exact",
+    "dedup_incremental",  # crawl batch vs historical corpus (exact + LSH)
     "dedup_minhash_lsh",
     "dedup_semantic",
     "sim_search_topk",

@@ -142,6 +142,62 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_json_corrupt",
+    oracle="""
+        SELECT CASE WHEN event_id % 10 = 0 THEN '_corrupt'
+                    ELSE event_type END AS bucket,
+               COUNT(*) AS n
+        FROM events WHERE event_id < 3000
+        GROUP BY 1
+    """,
+    tags=("S4", "F8"),
+)
+def q_source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (malformed input): PERMISSIVE JSON read with a dead-letter column.
+
+    Every 10th record is deterministically corrupted before the write; the
+    reader keeps going (no job abort at 100 TB because one crawl shard is
+    bad), parses good rows, and captures raw malformed lines in the
+    `columnNameOfCorruptRecord` column — the rows a production pipeline
+    routes to a dead-letter sink for replay.  The oracle recomputes the
+    good/corrupt split from the corruption rule itself.
+    """
+    work = _scratch("json_corrupt")
+    try:
+        e = (
+            datasets.load(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 3000)
+            .select("event_id", "event_type")
+        )
+        js = F.to_json(F.struct("event_id", "event_type"))
+        lines = e.select(
+            F.when(
+                F.col("event_id") % 10 == 0, F.concat(F.lit("NOT_JSON "), js)
+            )
+            .otherwise(js)
+            .alias("value")
+        )
+        path = os.path.join(work, "events_jsonl")
+        lines.write.mode("overwrite").text(path)
+        back = (
+            spark.read.schema("event_id long, event_type string, _bad string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(path)
+        )
+        out = (
+            back.select(
+                F.coalesce(F.col("event_type"), F.lit("_corrupt")).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "source_in_memory",
     oracle="""
         SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total

@@ -164,6 +164,52 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_union_watermark",
+    oracle="""
+        SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 86400) * 86400) AS BIGINT) * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("T1", "T2", "O3"),
+)
+def q_stream_union_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+O3: union of two differently-lagged streams feeding one windowed
+    aggregation — the multi-source watermark contract.
+
+    Each branch carries its OWN watermark (30 min vs 2 h allowed lateness,
+    the two-Kafka-topics-one-job shape); Spark advances the downstream
+    aggregation's watermark as the MIN over all inputs, so the slower
+    branch governs state eviction and no in-order row is ever dropped.
+    Final per-(day, type) totals must equal the batch union — checked in
+    complete mode against the plain batch oracle.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        a = stream.filter(F.col("event_id") % 2 == 0).withWatermark(
+            "ts", "30 minutes"
+        )
+        b = stream.filter(F.col("event_id") % 2 == 1).withWatermark("ts", "2 hours")
+        return (
+            a.unionByName(b)
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = replay(spark, events, transform, output_mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )
+
+
+@register(
     "stream_sliding_window",
     oracle="""
         SELECT strftime(make_timestamp(CAST((w) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,

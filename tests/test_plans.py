@@ -398,3 +398,39 @@ def test_range_join_binned_is_equi_join(spark, sf_dir):
     plan = plan_of(queries()["join_range_binned"](spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """A selective filter on one join side must inject a runtime bloom
+    filter on the probe side (bloom_filter_might_contain under the scan),
+    so at 100 TB the big side drops non-joining rows BEFORE the shuffle.
+    Size thresholds are lowered to make the injection visible at fixture
+    scale; the rewrite rule is the production one (Spark's
+    InjectRuntimeFilter).
+    """
+    lowered = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        orders = datasets.load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = datasets.load(spark, sf_dir, "lineitem")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = plan_of(joined, "extended")
+        assert "bloom_filter_agg" in plan, "creation side must build the filter"
+        assert "might_contain" in plan, "probe side must consume the filter"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
