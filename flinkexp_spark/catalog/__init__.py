@@ -34,6 +34,8 @@ from flinkexp_spark.catalog import (  # noqa: F401
     llm_textprep,  # X4+ chunk/tokenize/redact (new in r2: no official row)
     changelog,  # upsert/dynamic-table parity (new in r2: no official row)
     patterns,  # CEP/MATCH_RECOGNIZE analogs (new in r2: no official row)
+    temporal,  # SCD2 build + point-in-time join (new in r2)
+    retrieval,  # BM25 search + prefix-filter exact Jaccard (new in r2)
     # --- no official r01 row yet: streaming replays (highest fixed cost
     #     of the unchecked set, so they close that block) ------------------
     streaming_replay,  # T1-T10, E1-E7

@@ -13,7 +13,7 @@ the scale path and is covered with a tolerance-style oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -389,5 +389,69 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             *[F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(lg) for lg in PIVOT_LANGS],
+        )
+    )
+
+
+HIST_WIDTH = 1000  # fixed-width bins over l_extendedprice (domain ~[900, 105k])
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "agg_histogram_quantile",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bin,
+                   COUNT(*) AS c
+            FROM lineitem GROUP BY 1),
+        cum AS (
+            SELECT bin, c,
+                   SUM(c) OVER (ORDER BY bin) AS cum,
+                   SUM(c) OVER () AS total
+            FROM h)
+        SELECT q,
+               CAST(MIN(bin) * {HIST_WIDTH} AS DOUBLE) AS edge,
+               CAST(MIN(total) AS BIGINT) AS n
+        FROM cum
+        CROSS JOIN (SELECT CAST(unnest({list(HIST_QS)}) AS DOUBLE) AS q)
+        WHERE cum >= q * total
+        GROUP BY q
+    """,
+    tags=("A6", "A1"),
+)
+def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (scale path): quantiles from a MERGEABLE fixed-width histogram.
+
+    `percentile_approx` holds a per-group GK sketch; at 100 TB the simplest
+    fully-mergeable alternative is a fixed-bin histogram: per-partition bin
+    counts combine map-side (one tiny shuffle of <=~110 bins), and any
+    quantile is read off the cumulative counts.  Every step is integer
+    arithmetic, so unlike sketch estimates the result is bit-deterministic
+    and oracle-checkable; precision is the bin width, a declared contract.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / HIST_WIDTH)
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    return (
+        cum.crossJoin(spark.range(1).select(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            (F.min("bin") * HIST_WIDTH).cast("double").alias("edge"),
+            F.min("total").cast("long").alias("n"),
         )
     )

@@ -1,0 +1,201 @@
+"""Corpus retrieval operators over ``documents``: BM25 keyword search and an
+exact set-similarity join with prefix filtering (AllPairs).
+
+No reference analog (the reference's only text op is the word-count split,
+StreamSocket.scala:15); these extend the north-star training-data suite —
+keyword retrieval feeds quality-ranked subset selection, and the exact
+similarity join is the no-false-negative complement of the capped
+inverted-index join in llm_dedup (``dedup_ngram_jaccard``).
+
+Scale design:
+
+* BM25: corpus statistics (N, Σdl, per-term df) reduce to a SINGLE scalar
+  row — a map-side-combined global aggregate — which Catalyst broadcasts
+  back over the scan (BroadcastNestedLoopJoin of a 1-row side).  Per-doc
+  term frequencies are array lambdas inside whole-stage codegen, so the
+  whole query is one scan + one 1-row broadcast + TakeOrderedAndProject.
+  No posting-list materialization, no per-term shuffle.
+* Prefix-filter Jaccard (Bayardo, Ma & Srikant, "Scaling Up All Pairs
+  Similarity Search", WWW 2007): a pair at Jaccard >= t MUST share a token
+  in either side's (|s| - ceil(t*|s|) + 1)-length prefix when tokens are
+  ordered rarest-first, so joining ONLY prefix postings finds every
+  qualifying pair with no document-frequency cap and no O(n²) pass.
+  Candidates are then verified with the exact intersection.  Shuffles:
+  one on shingle (df), one on doc_id (prefix rank), one on shingle
+  (candidate join) — all equi-joins, all AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.registry import register
+
+# --- BM25 -------------------------------------------------------------------
+
+QUERY_TERMS = ("spark", "vector", "customer")  # fixed query, fixture-hot terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    # identical term order + operand order as the Spark expression: IEEE
+    # double arithmetic is then bit-deterministic across engines (ln() may
+    # differ in the last ulp -> round(4) absorbs it).
+    score = " + ".join(
+        f"ln(1.0 + (st.n - st.df{i} + 0.5) / (st.df{i} + 0.5))"
+        f" * (d.tf{i} * {BM25_K1 + 1.0})"
+        f" / (d.tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / (st.tot / st.n)))"
+        for i in range(len(QUERY_TERMS))
+    )
+    any_tf = " + ".join(f"d.tf{i}" for i in range(len(QUERY_TERMS)))
+    return f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+        d AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t),
+        st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) AS tot, {df_cols} FROM d)
+        SELECT d.doc_id, round({score}, 4) AS bm25
+        FROM d, st
+        WHERE {any_tf} > 0
+        ORDER BY bm25 DESC, d.doc_id
+        LIMIT {BM25_TOPK}
+    """
+
+
+@register("search_bm25_topk", oracle=_bm25_oracle(), tags=("X4", "O2"))
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval — one scan, one 1-row stats broadcast.
+
+    Term frequencies are per-document array lambdas (no explode, no posting
+    shuffle); corpus stats (N, Σdl, df per query term) collapse to one row
+    that Catalyst broadcasts back over the scan.  Top-k plans as
+    TakeOrderedAndProject (per-partition heap, no global sort).
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        # NB: a (x, t=t) default-arg lambda would be seen by PySpark as the
+        # 2-ary (element, index) form — bind the term via a factory instead.
+        *[
+            F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t)))
+            .alias(f"tf{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
+    )
+    st = d.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").cast("double").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    avgdl = F.col("tot") / F.col("n")
+    score = None
+    for i in range(len(QUERY_TERMS)):
+        tf, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - dfi + 0.5) / (dfi + 0.5))
+        term = (idf * (tf * (BM25_K1 + 1.0))) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+        score = term if score is None else score + term
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(QUERY_TERMS)))
+    return (
+        d.join(F.broadcast(st))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --- exact Jaccard join via prefix filtering --------------------------------
+
+PREFIX_JACCARD_MIN = 0.5
+
+
+@register(
+    "dedup_jaccard_prefix",
+    # Oracle is the BRUTE-FORCE all-pairs join: the prefix filter is
+    # lossless (WWW'07 Lemma 1), so the filtered+verified Spark result must
+    # equal it exactly — the hash match IS the completeness proof.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
+        s AS (SELECT doc_id, list_distinct({T.shingles_sql('toks')}) AS sh FROM t),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS c,
+                     len(a.sh) AS na, len(b.sh) AS nb
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 4) AS jaccard
+        FROM p WHERE c * 1.0 / (na + nb - c) >= {PREFIX_JACCARD_MIN}
+    """,
+    tags=("X2",),
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: EXACT Jaccard-threshold self-join via prefix filtering.
+
+    Unlike ``dedup_ngram_jaccard`` (df-capped index — drops hot shingles,
+    may miss pairs made only of hot shingles), this is the lossless
+    AllPairs algorithm: order each document's shingle set rarest-first and
+    index only its first ``|s| - ceil(t*|s|) + 1`` shingles; every pair at
+    Jaccard >= t must collide in those prefixes.  Candidates are verified
+    with the exact intersection, so the output equals brute force with
+    candidate cost ~sum of prefix-posting-list squares, not n².
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    sets = (
+        docs.select(
+            "doc_id", F.array_distinct(T.shingles(toks)).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("n", F.size("sh"))
+    )
+    post = sets.select("doc_id", "n", F.explode("sh").alias("g"))
+    dfreq = post.groupBy("g").agg(F.count("*").alias("gdf"))
+    prefix_len = F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_MIN) * F.col("n")) + 1
+    prefix = (
+        post.join(dfreq, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("gdf", "g")
+            ),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    jac = inter * F.lit(1.0) / (na + nb - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= PREFIX_JACCARD_MIN)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
