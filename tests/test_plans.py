@@ -434,3 +434,39 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_bm25_is_single_scan_no_python_no_explode(spark, sf_dir):
+    """BM25 must stay entirely in codegen: term frequencies are array
+    lambdas (no Generate/explode, no posting-list shuffle), corpus stats a
+    1-row broadcast, and top-k a TakeOrderedAndProject (per-partition heap,
+    never a global Sort)."""
+    plan = plan_of(queries()["search_bm25_topk"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan, "tf must be array lambdas, not explode"
+
+
+def test_prefix_jaccard_join_is_equi_join(spark, sf_dir):
+    """The AllPairs candidate join collides prefix postings on the shingle
+    itself — an equi-join; any CartesianProduct would mean the prefix
+    filter degenerated to brute force."""
+    plan = plan_of(queries()["dedup_jaccard_prefix"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_pit_join_broadcasts_dim_versions(spark, sf_dir):
+    """PIT join: key-equi join with the interval predicate as a join filter;
+    the dim-version side broadcasts, so facts never shuffle."""
+    plan = plan_of(queries()["join_scd2_pit"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_quantile_combines_map_side(spark, sf_dir):
+    """The histogram is the mergeable sketch: per-partition bin counts must
+    combine map-side (partial_count) so the shuffle carries <=~110 bins per
+    partition, not rows."""
+    plan = plan_of(queries()["agg_histogram_quantile"](spark, sf_dir))
+    assert "partial_count" in plan
