@@ -594,3 +594,68 @@ def q_layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # materialize before scratch cleanup
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+DPP_KEEP = {1996: "keep", 1997: "keep", 1995: "drop", 1998: "drop"}
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle=f"""
+        WITH dim(dim_year, action) AS (VALUES {", ".join(
+            f"({y}, '{a}')" for y, a in sorted(DPP_KEEP.items()))}),
+        fact AS (SELECT year(l_shipdate) AS ship_year, l_extendedprice
+                 FROM lineitem)
+        SELECT CAST(f.ship_year AS BIGINT) AS ship_year,
+               COUNT(*) AS n,
+               {o_dsum('f.l_extendedprice', 'revenue')}
+        FROM fact f JOIN dim d ON f.ship_year = d.dim_year
+        WHERE d.action = 'keep'
+        GROUP BY 1
+    """,
+    tags=("S2", "J6"),
+)
+def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/J6: DYNAMIC partition pruning on a partitioned fact table.
+
+    The fact side is hive-partitioned by ship_year; the filter that decides
+    which years survive lives on the DIM side, so no static pruning is
+    possible.  Catalyst's dynamic-partition-pruning rule turns the joined
+    dim keys into a runtime IN-subquery on the fact's partition column —
+    at 100 TB the fact scan reads only the matching year directories
+    instead of the full table.  The pruning subquery's presence in the
+    plan is pinned by tests/test_plans.py.
+    """
+    from flinkexp_spark.catalog._util import dec
+
+    work = _scratch("dpp")
+    try:
+        li = datasets.load(spark, sf_dir, "lineitem").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+        path = os.path.join(work, "fact_by_year")
+        sources.write_parquet(
+            li.select("ship_year", "l_extendedprice"),
+            path,
+            partition_by=["ship_year"],
+        )
+        fact = sources.read_parquet(spark, path)
+        dim = datasets.local_df(
+            spark,
+            sorted(DPP_KEEP.items()),
+            "dim_year int, action string",
+        )
+        out = (
+            fact.join(
+                dim.filter(F.col("action") == "keep"),
+                fact.ship_year == dim.dim_year,
+            )
+            .groupBy(F.col("ship_year").cast("long").alias("ship_year"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            )
+        )
+        return out.localCheckpoint()  # materialize before scratch cleanup
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

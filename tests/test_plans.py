@@ -470,3 +470,29 @@ def test_histogram_quantile_combines_map_side(spark, sf_dir):
     partition, not rows."""
     plan = plan_of(queries()["agg_histogram_quantile"](spark, sf_dir))
     assert "partial_count" in plan
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the year filter lives on the DIM
+    side of a join against a hive-partitioned fact, the fact scan must
+    carry a dynamicpruning subquery on the partition column — the runtime
+    analog of static partition pruning, and the mechanism that keeps a
+    partitioned 100 TB fact scan proportional to the dim selection."""
+    li = datasets.load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "fact_by_year")
+    li.select("ship_year", "l_extendedprice").write.partitionBy(
+        "ship_year"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1995, "drop"), (1996, "keep"), (1997, "keep")],
+        "dim_year int, action string",
+    )
+    joined = fact.join(
+        dim.filter(F.col("action") == "keep"),
+        fact.ship_year == dim.dim_year,
+    ).groupBy("ship_year").count()
+    plan = plan_of(joined, "simple")
+    assert "dynamicpruning" in plan.lower(), plan
