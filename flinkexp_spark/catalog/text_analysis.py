@@ -401,3 +401,65 @@ def q_text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_where(~cpt_ok, "n_fail_cpt"),
         n_where(~rep_ok, "n_fail_rep"),
     )
+
+
+# --- hashed linear classifier (fastText-style inference) --------------------
+# A quality classifier in production LLM pipelines is usually a linear model
+# over hashed bag-of-words features (fastText / logistic regression).  The
+# weights here are a deterministic fixture stand-in; the INFERENCE mechanics
+# are the real thing: hash token -> bucket, gather weight, fold.  D is tiny
+# for the fixture; at scale D is millions of buckets and the weight vector is
+# a broadcast array — the plan shape is identical.
+CLF_D = 64
+CLF_WEIGHTS = [round((j * 37 % 97) / 97 - 0.5, 6) for j in range(CLF_D)]
+CLF_BIAS = 0.05
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, source, {T.tokens_sql('text')} AS toks
+                   FROM documents),
+        w AS (SELECT doc_id, source,
+                     list_transform(toks, x ->
+                         CAST({list(CLF_WEIGHTS)}[
+                             CAST(({T.h64_sql('x')} % {CLF_D}) AS BIGINT) + 1]
+                         AS DOUBLE)) AS ws
+              FROM t WHERE len(toks) > 0)
+        SELECT doc_id, source,
+               round(list_reduce(ws, (acc, x) -> acc + x) / len(ws)
+                     + {CLF_BIAS}, 4) AS clf_score,
+               (list_reduce(ws, (acc, x) -> acc + x) / len(ws)
+                     + {CLF_BIAS}) > 0 AS keep
+        FROM w
+    """,
+    tags=("X4", "U1"),
+)
+def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: hashed-bag-of-words linear classifier inference, zero Python.
+
+    score(doc) = mean over tokens of W[h(token) % D] + bias.  The weight
+    gather is `element_at` on a broadcast literal array inside a codegen
+    array lambda; the per-doc mean is a LEFT FOLD (F.aggregate), mirrored
+    by DuckDB's list_reduce so the IEEE summation order — and therefore
+    the hash — is bit-identical.  One scan, no shuffle, no UDF.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    warr = F.array(*[F.lit(w) for w in CLF_WEIGHTS])
+    toks = T.tokens(F.col("text"))
+    ws = F.transform(
+        toks, lambda x: F.element_at(warr, (T.h64(x) % CLF_D + 1).cast("int"))
+    )
+    score = (
+        F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x) / F.size(ws)
+        + CLF_BIAS
+    )
+    return (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.round(score, 4).alias("clf_score"),
+            (score > 0).alias("keep"),
+        )
+    )
