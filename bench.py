@@ -70,7 +70,11 @@ HEADLINE = [
     "pack_sequences",
     "multimodal_video_frames",
     "maintenance_compact",
+    "maintenance_merge_upsert",
     "layout_zorder_scan",
+    "search_bm25_topk",
+    "agg_histogram_quantile",
+    "text_classifier_score",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

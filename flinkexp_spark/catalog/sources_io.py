@@ -659,3 +659,65 @@ def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()  # materialize before scratch cleanup
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "maintenance_merge_upsert",
+    oracle=f"""
+        WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM orders),
+        upd AS (SELECT CASE WHEN o_orderkey % 10 = 2
+                            THEN o_orderkey + 10000000
+                            ELSE o_orderkey END AS o_orderkey,
+                       CASE WHEN o_orderkey % 10 = 1 THEN 'D'
+                            WHEN o_orderkey % 10 = 2 THEN 'I'
+                            ELSE 'U' END AS op,
+                       o_orderstatus,
+                       o_totalprice + 100.0 AS o_totalprice
+                FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)),
+        merged AS (
+            SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS k,
+                   CASE WHEN u.op IS NOT NULL THEN u.o_orderstatus
+                        ELSE b.o_orderstatus END AS st,
+                   CASE WHEN u.op IS NOT NULL THEN u.o_totalprice
+                        ELSE b.o_totalprice END AS price
+            FROM base b FULL OUTER JOIN upd u
+              ON b.o_orderkey = u.o_orderkey
+            WHERE u.op IS NULL OR u.op <> 'D')
+        SELECT st AS o_orderstatus, COUNT(*) AS n,
+               {o_dsum('price', 'total')}
+        FROM merged GROUP BY 1
+    """,
+    tags=("S2", "J2"),
+)
+def q_maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert+delete) over a snapshot — the lakehouse write op.
+
+    The change set (10% updates, 10% deletes, 10% inserts, derived
+    deterministically from the key) merges into the orders snapshot via
+    ``operators.maintenance.merge_upsert``: ONE full-outer join on the
+    key.  Verified end-to-end against the SQL MERGE expansion.
+    """
+    from flinkexp_spark.catalog._util import dec
+    from flinkexp_spark.operators.maintenance import merge_upsert
+
+    base = datasets.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % 10
+    updates = (
+        base.filter(m.isin(0, 1, 2))
+        .select(
+            F.when(m == 2, F.col("o_orderkey") + 10000000)
+            .otherwise(F.col("o_orderkey"))
+            .alias("o_orderkey"),
+            F.when(m == 1, "D").when(m == 2, "I").otherwise("U").alias("op"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        )
+    )
+    merged = merge_upsert(base, updates, "o_orderkey")
+    return merged.groupBy(F.col("o_orderstatus")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )

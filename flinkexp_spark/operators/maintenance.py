@@ -43,3 +43,41 @@ def compact_parquet(
         dst_dir
     )
     return n_out
+
+
+def merge_upsert(
+    target,
+    updates,
+    key: str,
+    op_col: str = "op",
+):
+    """MERGE INTO semantics as one full-outer join (Delta/Iceberg analog).
+
+    ``updates[op_col]``: 'U'/'I' rows replace-or-insert, 'D' rows delete.
+    Returns the merged table with the target's columns.
+
+    Scale design: MERGE is exactly one join on the key — broadcast when
+    the change set is small (the overwhelmingly common case: daily deltas
+    vs a 100 TB base), else a key shuffle that a bucketed base avoids on
+    its side.  Real lakehouse MERGE additionally limits the rewrite to
+    files containing matched keys (copy-on-write); the join below is that
+    operation's dataflow, with file pruning delegated to the table format.
+    """
+    from pyspark.sql import functions as F
+
+    t = target.alias("t")
+    u = updates.alias("u")
+    value_cols = [c for c in target.columns if c != key]
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    merged = joined.filter(
+        F.col(f"u.{op_col}").isNull() | (F.col(f"u.{op_col}") != "D")
+    ).select(
+        F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key),
+        *[
+            F.when(F.col(f"u.{op_col}").isNotNull(), F.col(f"u.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return merged
