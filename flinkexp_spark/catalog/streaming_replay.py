@@ -1143,3 +1143,72 @@ def q_stream_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
         use_checkpoint=True,
     )
+
+
+HISTQ_WIDTH = 10  # value in [0, ~500] -> <= ~50 bins per window
+HISTQ_QS = (0.5, 0.95)
+
+
+@register(
+    "stream_histogram_quantile",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS wstart,
+                   CAST(floor(value / {HISTQ_WIDTH}) AS BIGINT) AS bin,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+        cum AS (
+            SELECT wstart, bin,
+                   SUM(c) OVER (PARTITION BY wstart ORDER BY bin) AS cum,
+                   SUM(c) OVER (PARTITION BY wstart) AS total
+            FROM h)
+        SELECT strftime(make_timestamp(wstart * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               CAST(q AS DOUBLE) AS q,
+               CAST(MIN(bin) * {HISTQ_WIDTH} AS DOUBLE) AS edge
+        FROM cum CROSS JOIN (SELECT CAST(unnest({list(HISTQ_QS)}) AS DOUBLE) AS q)
+        WHERE cum >= q * total
+        GROUP BY 1, 2
+    """,
+    tags=("T2", "A6"),
+)
+def q_stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+A6: per-window quantiles ON A STREAM via the mergeable histogram.
+
+    GK/t-digest percentile state isn't exposed to streaming aggregation;
+    the fixed-bin histogram IS a streaming-legal sketch: the stateful op
+    is an ordinary windowed (window, bin) count — state O(windows × bins),
+    watermark-evictable, update-combinable — and quantiles read off the
+    final counts downstream.  Same sketch as `agg_histogram_quantile`, so
+    batch and stream agree bit-for-bit (both integer arithmetic).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(
+                F.window("ts", "1 day"),
+                F.floor(F.col("value") / HISTQ_WIDTH).cast("long").alias("bin"),
+            )
+            .agg(F.count("*").alias("c"))
+        )
+
+    hist = _win_cols(replay(spark, events, transform, output_mode="complete"))
+    wcum = (
+        Window.partitionBy("window_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "window_start",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("window_start")).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in HISTQ_QS])).alias("q")
+    return (
+        cum.crossJoin(spark.range(1).select(qs))
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("window_start", "q")
+        .agg((F.min("bin") * HISTQ_WIDTH).cast("double").alias("edge"))
+    )
