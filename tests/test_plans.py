@@ -496,3 +496,15 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir, tmp_path):
     ).groupBy("ship_year").count()
     plan = plan_of(joined, "simple")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE must collapse the static 32-partition shuffle of a small
+    aggregate into a handful of runtime partitions (AQEShuffleRead
+    coalesced) — the mechanism that right-sizes reducer counts per stage
+    at any scale instead of one global shuffle.partitions guess."""
+    li = datasets.load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").count()
+    agg.collect()  # adaptive plan is final only after execution
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
