@@ -455,3 +455,73 @@ def q_agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("long").alias("n"),
         )
     )
+
+
+# Hour index of 2024-01-01T00:00Z (fixture epoch start): floor(epoch/3600)
+OLS_T0_HOURS = 473352
+
+
+@register(
+    "agg_regression_ols",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                       - {OLS_T0_HOURS} AS x,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+            FROM events),
+        s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM t GROUP BY event_type)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                     6) AS slope_cph,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept_cents
+        FROM s
+    """,
+    tags=("A5", "A1"),
+)
+def q_agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+: closed-form per-group OLS (value-cents ~ event hour), EXACT moments.
+
+    Spark's built-in regr_slope accumulates double running sums, whose
+    partial-aggregation order varies run to run — not bit-reproducible.
+    Here x (hours since fixture epoch) and y (cents) are INTEGERS, so every
+    moment (Σx, Σy, Σxy, Σx²) is an exact BIGINT — map-side combinable AND
+    order-independent — and all moments stay below 2^53, so the final
+    double arithmetic is the same IEEE expression on both engines.  Same
+    one-shuffle partial+final plan as any groupBy; determinism is free.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 3600).cast("long") - OLS_T0_HOURS).alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept = (syd - slope * sxd) / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cph"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
