@@ -13,8 +13,8 @@ alphabetically:
    dedup/similarity/pipeline family — the most expensive oracle runs — go
    last).
 
-Round-2 note: the full registry (159 queries) clears the local gate sim in
-~200-220 s at sf0.01 (tools/gate_sim.py), helped by the shared MinHash
+Round-2 note: the full registry (181 queries) clears the local gate sim in
+~200 s at sf0.01 (tools/gate_sim.py), helped by the shared MinHash
 signature table and Lloyd-centroid cache — total cost is the knob that
 keeps every operator inside the driver's official artifact.  Every query
 also passes the hostile-session sweep (fresh /tmp process, non-UTC TZ,

@@ -203,3 +203,124 @@ def test_star_components_long_chain_beats_diameter(spark):
     out = connected_components_star(df).collect()
     assert len(out) == 64
     assert {r.component for r in out} == {0}
+
+
+@st.composite
+def merge_case(draw):
+    base = draw(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.integers(-99, 99)),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda r: r[0],
+        )
+    )
+    ops = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 25),
+                st.sampled_from(["U", "I", "D"]),
+                st.integers(-99, 99),
+            ),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda r: r[0],
+        )
+    )
+    return base, ops
+
+
+@given(merge_case())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_upsert_matches_dict_model(spark, case):
+    """MERGE semantics == the obvious dict model: D removes, U/I replace-or-
+    insert, untouched base rows survive."""
+    from flinkexp_spark.operators.maintenance import merge_upsert
+
+    base, ops = case
+    t = spark.createDataFrame(base, "k long, v long") if base else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    u = spark.createDataFrame(
+        [(k, op, v) for k, op, v in ops], "k long, op string, v long"
+    ) if ops else spark.createDataFrame([], "k long, op string, v long")
+    got = {r.k: r.v for r in merge_upsert(t, u, "k").collect()}
+
+    model = dict(base)
+    for k, op, v in ops:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
+
+
+@st.composite
+def jaccard_corpus(draw):
+    # token sets over a small alphabet so collisions and near-dups happen
+    return draw(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+            min_size=2,
+            max_size=10,
+        )
+    )
+
+
+@given(jaccard_corpus())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_filter_jaccard_is_lossless(spark, case):
+    """The WWW'07 prefix filter must lose NO pair: the Spark prefix-join
+    pipeline equals brute force over every random corpus, not just the
+    fixture (the oracle already proves it there)."""
+    from pyspark.sql import Window
+
+    T = 0.6
+    sets = [sorted(set(doc)) for doc in case]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sets)], "doc_id long, sh array<string>"
+    ).withColumn("n", F.size("sh"))
+    post = df.select("doc_id", "n", F.explode("sh").alias("g"))
+    dfreq = post.groupBy("g").agg(F.count("*").alias("gdf"))
+    pl = F.col("n") - F.ceil(F.lit(T) * F.col("n")) + 1
+    prefix = (
+        post.join(dfreq, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("gdf", "g")),
+        )
+        .filter(F.col("rn") <= pl)
+        .select("doc_id", "g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .distinct()
+    )
+    got = set()
+    sa = df.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
+    sb = df.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter * F.lit(1.0) / (F.size("sha") + F.size("shb") - inter)
+    for r in (
+        cand.join(sa, "ia").join(sb, "ib").filter(jac >= T).select("ia", "ib").collect()
+    ):
+        got.add((r.ia, r.ib))
+
+    brute = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = set(sets[i]), set(sets[j])
+            if len(a & b) / len(a | b) >= T:
+                brute.add((i, j))
+    assert got == brute
