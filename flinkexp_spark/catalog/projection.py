@@ -183,3 +183,51 @@ def q_project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_discount", "discount")
         .otherwise("tax"),
     )
+
+
+@register(
+    "quality_constraints_audit",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS dup_orderkey,
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nonpositive_price,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+               (COUNT(*) = COUNT(o_custkey)) AND
+               (COUNT(*) = COUNT(DISTINCT o_orderkey)) AND
+               (SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0) AND
+               (SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) = 0) AS all_pass
+        FROM orders
+    """,
+    tags=("P2", "A2", "A3"),
+)
+def q_quality_constraints_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint audit in ONE scan.
+
+    Completeness (no null FK), uniqueness (PK), range (price > 0), and
+    domain (status enum) checks all fold into a single global aggregate —
+    the audit of a 100 TB table costs one pass and shuffles one row.
+    (Uniqueness is the exception to 'one row': count distinct expands to
+    the two-phase Expand plan, still O(distinct keys) shuffle, not rows.)
+    """
+    o = datasets.load(spark, sf_dir, "orders")
+    null_ck = (F.count("*") - F.count("o_custkey")).cast("long")
+    dup_ok = (F.count("*") - F.countDistinct("o_orderkey")).cast("long")
+    nonpos = F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long")
+    bad_st = F.sum(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    ).cast("long")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        null_ck.alias("null_custkey"),
+        dup_ok.alias("dup_orderkey"),
+        nonpos.alias("nonpositive_price"),
+        bad_st.alias("bad_status"),
+        (
+            (null_ck == 0) & (dup_ok == 0) & (nonpos == 0) & (bad_st == 0)
+        ).alias("all_pass"),
+    )

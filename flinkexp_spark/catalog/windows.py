@@ -388,3 +388,44 @@ def q_window_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_list("event_id")).cast("long").alias("n"),
         F.round(fold, 6).alias("ewma"),
     )
+
+
+@register(
+    "agg_ohlc_bars",
+    oracle="""
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+               min_by(value, ts) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               max_by(value, ts) AS close,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE user_id < 25
+        GROUP BY 1, 2
+    """,
+    tags=("A1", "A7", "T2"),
+)
+def q_agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars — one partial+final aggregate.
+
+    open/close via ``min_by``/``max_by`` on the event time: unlike
+    ``first``/``last`` (partition-order-dependent) these are deterministic
+    AND map-side combinable, so resampling a 100 TB tick stream is a single
+    shuffle of one small struct per (key, bar).  (ts, value) is unique per
+    user in the fixture, making the min_by/max_by tie-free.
+    """
+    ev = datasets.load(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day_idx"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
