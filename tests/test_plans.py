@@ -508,3 +508,44 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     agg.collect()  # adaptive plan is final only after execution
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+
+
+# Shuffle budget per headline query, from the audited plans in PLANS.md.
+# A regression that adds an Exchange (broadcast demoted to shuffle, lost
+# partial agg, new repartition) fails HERE, not on the cluster.  Budgets
+# are exact counts; loosen deliberately (with a PLANS.md regen) if a plan
+# change is intentional.
+SHUFFLE_BUDGET = {
+    "wordcount_batch": 1,
+    "agg_pricing_summary": 1,
+    "agg_regression_ols": 1,
+    "agg_histogram_quantile": 2,
+    "sql_tpch_q5": 1,
+    "sql_tpch_q9": 2,
+    "join_broadcast_star": 1,
+    "join_bucketed_colocated": 0,
+    "join_asof": 1,
+    "join_scd2_pit": 2,
+    "window_topk_per_group": 1,
+    "dedup_exact": 2,
+    "dedup_minhash_lsh": 1,
+    "dedup_jaccard_prefix": 4,
+    "search_bm25_topk": 1,
+    "text_quality_ensemble": 1,
+    "text_classifier_score": 0,
+    "maintenance_merge_upsert": 3,
+    "pipeline_training_data": 5,
+}
+
+
+def test_headline_queries_stay_inside_shuffle_budget(spark, sf_dir):
+    import re
+
+    over = {}
+    for name, budget in SHUFFLE_BUDGET.items():
+        df = queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"\bExchange\b", plan))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle-budget regressions (got, budget): {over}"
