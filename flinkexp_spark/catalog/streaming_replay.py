@@ -1212,3 +1212,72 @@ def q_stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "q")
         .agg((F.min("bin") * HISTQ_WIDTH).cast("double").alias("edge"))
     )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   epoch_us(ts) + CASE WHEN event_type IN ('click','view')
+                                       THEN 1800000000 ELSE 3600000000
+                                  END AS end_us
+            FROM events),
+        o AS (
+            SELECT *,
+                   MAX(end_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prev_end
+            FROM t),
+        s AS (
+            SELECT *,
+                   SUM(CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+        SELECT user_id,
+               strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S')
+                   AS session_start,
+               strftime(make_timestamp(MAX(end_us)), '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    tags=("T4", "T1"),
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+: session windows with a PER-EVENT gap (Flink dynamic session gap).
+
+    Engagement events (click/view) close after 30 min, everything else
+    after 60 — `session_window` takes the gap as an EXPRESSION, so the
+    stateful merge logic is unchanged (state per active session, watermark
+    eviction).  The oracle is interval-merge via running-max-of-ends
+    (the lag-based islands trick is only valid for constant gaps).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    # session_window's dynamic form takes the gap as a STRING column
+    # (parsed to CalendarInterval per row); typed INTERVAL literals are
+    # rejected (DayTimeIntervalType).
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("30 minutes")
+    ).otherwise(F.lit("60 minutes"))
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    out = replay(spark, events, transform, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
