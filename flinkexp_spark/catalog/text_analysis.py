@@ -463,3 +463,119 @@ def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score > 0).alias("keep"),
         )
     )
+
+
+# --- count-min sketch (deterministic, md5-hash rows) ------------------------
+# The classic mergeable heavy-hitter sketch (Cormode & Muthukrishnan 2005):
+# d independent hash rows of w counters; estimate = min over rows.  Rows are
+# salted md5 hashes (functions/text.h64), so the ENTIRE sketch — build and
+# probe — is reproducible in ANSI SQL and the estimates hash-match exactly.
+CMS_D = 4    # hash rows
+CMS_W = 256  # buckets per row
+CMS_PROBES = ("join", "spark", "vector", "qqqzzz")  # last never occurs -> est 0
+
+
+def _cms_bucket(r: int, word):
+    return (T.h64(F.concat(F.lit(f"cms{r}|"), word)) % CMS_W).cast("int")
+
+
+def _cms_bucket_sql(r: int, word_expr: str) -> str:
+    salted = f"concat('cms{r}|', {word_expr})"
+    return f"CAST({T.h64_sql(salted)} % {CMS_W} AS INT)"
+
+
+def _cms_oracle() -> str:
+    probes = ", ".join(f"('{w}')" for w in CMS_PROBES)
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT word, {r} AS r, {_cms_bucket_sql(r, 'word')} AS bucket"
+        f" FROM probes"
+        for r in range(CMS_D)
+    )
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql(r, 'word')} AS bucket,"
+        f" COUNT(*) AS c FROM toks GROUP BY 2"
+        for r in range(CMS_D)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest({T.tokens_sql('text')}) AS word FROM documents),
+        sketch AS ({sketch_rows}),
+        probes(word) AS (VALUES {probes}),
+        pb AS ({bucket_rows}),
+        est AS (
+            SELECT pb.word, MIN(COALESCE(s.c, 0)) AS est
+            FROM pb LEFT JOIN sketch s ON pb.r = s.r AND pb.bucket = s.bucket
+            GROUP BY pb.word),
+        tru AS (
+            SELECT word, COUNT(*) AS true_count FROM toks
+            WHERE word IN ({", ".join(f"'{w}'" for w in CMS_PROBES)})
+            GROUP BY word)
+        SELECT est.word,
+               CAST(est AS BIGINT) AS est,
+               CAST(COALESCE(true_count, 0) AS BIGINT) AS true_count,
+               est >= COALESCE(true_count, 0) AS never_underestimates
+        FROM est LEFT JOIN tru ON est.word = tru.word
+    """
+
+
+@register("sketch_count_min", oracle=_cms_oracle(), tags=("A4", "X4"))
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe, bit-deterministic across engines.
+
+    At 100 TB the d×w counter grid is the point: per-partition grids
+    merge by cell-wise addition (here: one groupBy over (row, bucket) —
+    map-side combined), the sketch is O(d·w) regardless of corpus size,
+    and any token's frequency estimate costs d lookups.  The one-sided
+    error guarantee (never underestimates) is emitted as a checked column.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.col("text"))).alias("word")
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket(r, F.col("word")).alias("bucket")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.bucket")
+    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    probes = datasets.local_df(
+        spark, [(w,) for w in CMS_PROBES], "word string"
+    )
+    pb = probes.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_bucket(r, F.col("word")).alias("bucket")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("word", "cell.r", "cell.bucket")
+    est = (
+        pb.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    tru = (
+        toks.filter(F.col("word").isin(*CMS_PROBES))
+        .groupBy("word")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(tru, "word", "left").select(
+        "word",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce(F.col("true_count"), F.lit(0)).cast("long").alias("true_count"),
+        (F.col("est") >= F.coalesce(F.col("true_count"), F.lit(0))).alias(
+            "never_underestimates"
+        ),
+    )
