@@ -388,3 +388,46 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("<none>")
         ).alias("view_ts"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+        WITH big AS (SELECT event_id, user_id % 5 AS hot_key, value
+                     FROM events),
+        dim(hot_key, label) AS (VALUES (0, 'k0'), (1, 'k1'), (2, 'k2'),
+                                       (3, 'k3'), (4, 'k4'))
+        SELECT label, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM big JOIN dim USING (hot_key)
+        GROUP BY label
+    """,
+    tags=("J1", "A1"),
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join under extreme key skew (5 keys, whole table hot).
+
+    The big side collapses onto 5 join keys — a plain sort-merge join
+    routes ~1/5 of the table through single reducers.  `salted_join`
+    replicates the dim 16x and salts the fact by event_id, fanning every
+    hot key over 16 reducers; the merge hint forbids broadcast so the
+    salting (not AQE or a broadcast) carries the skew.  Result equals the
+    unsalted join exactly.
+    """
+    from flinkexp_spark.catalog._util import dec
+    from flinkexp_spark.operators.salting import salted_join
+
+    ev = datasets.load(spark, sf_dir, "events")
+    big = ev.select(
+        "event_id", (F.col("user_id") % 5).alias("hot_key"), "value"
+    )
+    dim = datasets.local_df(
+        spark,
+        [(i, f"k{i}") for i in range(5)],
+        "hot_key long, label string",
+    ).hint("merge")
+    joined = salted_join(big, dim, ["hot_key"], "event_id", n_salts=16)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("total"),
+    )

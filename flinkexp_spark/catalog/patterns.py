@@ -196,3 +196,46 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "pattern_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        pairs AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE) /
+                     SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM pairs
+    """,
+    tags=("W2", "A1"),
+)
+def q_pattern_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov transition matrix: P(next event type | current).
+
+    One lead() window per user (the same keyed-sequence shuffle every CEP
+    pattern here uses), then a (from, to) count — the matrix is
+    O(types²) rows no matter the corpus, and the row-normalization is a
+    window over that tiny table, not the events.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    )

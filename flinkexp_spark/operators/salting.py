@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 
 def salted_agg(
@@ -44,3 +44,34 @@ def salted_agg(
         merge.alias(name) for name, (_, merge) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_col: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted shuffle join: replicate the SMALL side n_salts ways, salt the
+    big side deterministically, join on (key, salt).
+
+    When the big side's join key is hot and the small side is too large
+    (or the engine is forbidden) to broadcast, a plain shuffle join sends
+    the hot key's entire volume to ONE reducer.  Salting fans each key
+    out over n_salts reducers at the cost of replicating the small side
+    n_salts times — the replicate-fragment analog of AQE's skew split,
+    usable when runtime re-planning isn't (e.g. deterministic replays).
+    The salt derives from row content (never rand()) so task retries
+    re-route rows identically.
+    """
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(n_salts)])
+    ).alias("__salt")
+    small_rep = small.select("*", salts)
+    salt = (
+        (F.col(salt_col) if isinstance(salt_col, str) else salt_col) % n_salts
+    ).alias("__salt")
+    big_s = big.select("*", salt)
+    return big_s.join(small_rep, [*on, "__salt"], how).drop("__salt")

@@ -549,3 +549,12 @@ def test_headline_queries_stay_inside_shuffle_budget(spark, sf_dir):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle-budget regressions (got, budget): {over}"
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
+    """The salted join must actually be a SHUFFLE join (merge hint honored
+    through the salt projection) — if it silently broadcast, the salting
+    would be dead code and the skew story untested."""
+    plan = plan_of(queries()["join_salted_skew"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "__salt" in plan
