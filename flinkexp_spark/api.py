@@ -80,3 +80,20 @@ class FlinkexpEngine:
 
     def read_json(self, path: str, schema) -> DataFrame:
         return sources.read_json(self.spark, path, schema)
+
+    # -- entry point 4: the operator catalog --------------------------------
+    def catalog(self) -> list[str]:
+        """Names of every registered engine query (SURVEY §2 inventory)."""
+        from flinkexp_spark.registry import REGISTRY, queries
+
+        queries()  # ensure the catalog is loaded
+        return sorted(REGISTRY)
+
+    def run(self, query_name: str) -> DataFrame:
+        """Run a registered catalog query against this engine's data_dir."""
+        if self.data_dir is None:
+            raise ValueError("engine was created without data_dir")
+        from flinkexp_spark.registry import REGISTRY, queries
+
+        queries()
+        return REGISTRY[query_name].fn(self.spark, self.data_dir)

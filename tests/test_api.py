@@ -77,3 +77,13 @@ def test_compaction_reduces_files_without_shuffle(spark, sf_dir, tmp_path):
         .toString()
     )
     assert not re.search(r"\bExchange\b", plan), "compaction must not shuffle"
+
+
+def test_engine_catalog_run_entry_point(spark, sf_dir):
+    """Entry point 4: every SURVEY §2 operator is user-reachable by name."""
+    from flinkexp_spark.api import FlinkexpEngine
+
+    eng = FlinkexpEngine(spark, data_dir=sf_dir)
+    names = eng.catalog()
+    assert len(names) > 180 and "wordcount_topk" in names
+    assert eng.run("wordcount_topk").count() == 20
