@@ -539,3 +539,127 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# --- ADC search: int8 coarse scan + float re-rank ---------------------------
+ADC_COARSE_C = 40  # candidates per probe surviving the int8 stage
+
+_SCALE_SQL = (
+    "list_aggregate(list_transform({v}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+)
+_QV_SQL = (
+    "list_transform({v}, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0 / {s} + 0.5) AS BIGINT))"
+)
+_IDOT_SQL = (
+    f"list_sum(list_transform(range({V.DIM}), "
+    "i -> {a}[i+1] * {b}[i+1]))"
+)
+
+
+def _adc_oracle() -> str:
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   {_SCALE_SQL.format(v='embedding')} AS scale
+            FROM embeddings),
+        qt AS (
+            SELECT vec_id, embedding, scale,
+                   {_QV_SQL.format(v='embedding', s='scale')} AS qv
+            FROM s),
+        coarse AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                   CAST({_IDOT_SQL.format(a='q.qv', b='c.qv')} AS BIGINT)
+                       * q.scale * c.scale AS approx
+            FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}),
+        cand AS (
+            SELECT query_id, match_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx DESC, match_id) AS crnk
+            FROM coarse),
+        rer AS (
+            SELECT cand.query_id, cand.match_id,
+                   round({V.cosine_sql('q.embedding', 'c.embedding')},
+                         {V.COS_DECIMALS}) AS score
+            FROM cand
+            JOIN embeddings q ON cand.query_id = q.vec_id
+            JOIN embeddings c ON cand.match_id = c.vec_id
+            WHERE crnk <= {ADC_COARSE_C}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM rer)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_search_adc_rerank", oracle=_adc_oracle(), tags=("X3",))
+def q_sim_search_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: two-stage ADC search — int8 coarse scan, float32 re-rank.
+
+    The serving-standard memory trick end-to-end: the coarse stage scores
+    probes against 4x-smaller int8 codes with an INTEGER dot product
+    (exact, order-independent — the ranking is bit-deterministic, unlike
+    float accumulation), keeps top-C per probe, and only those C rows
+    touch full-precision vectors for the exact cosine re-rank.  At 100 TB
+    the float corpus stays on disk/cold tier; the hot scan reads only the
+    int8 codes.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    xd = lambda c: c.cast("double")  # noqa: E731
+    scale = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(xd(x))),
+        F.lit(float("-inf")).cast("double"),
+        lambda a, b: F.greatest(a, b),
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(xd(x) * 127.0 / F.col("scale") + 0.5).cast("long"),
+    )
+    qt = (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .select("vec_id", "embedding", "scale", qv.alias("qv"))
+    )
+    probes = F.broadcast(
+        qt.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("scale").alias("q_scale"),
+            F.col("qv").alias("q_qv"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        probes.join(qt, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (idot.cast("double") * F.col("q_scale") * F.col("scale")).alias(
+                "approx"
+            ),
+            F.col("q_emb"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("match_id")
+    )
+    cand = coarse.withColumn("crnk", F.row_number().over(wc)).filter(
+        F.col("crnk") <= ADC_COARSE_C
+    )
+    rer = cand.select(
+        "query_id",
+        "match_id",
+        F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), V.COS_DECIMALS).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

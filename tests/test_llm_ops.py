@@ -296,3 +296,22 @@ def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
         F.max(F.col("mean_abs_err") / (F.col("scale_r") / 127.0)).alias("r")
     ).collect()[0]["r"]
     assert worst_step <= 0.5 + 1e-6
+
+
+def test_adc_rerank_recall_vs_brute_force(spark, sf_dir):
+    """int8 coarse + top-40 re-rank must recover nearly all true top-10
+    neighbors (4x memory cut should cost almost no recall at this C)."""
+    from flinkexp_spark.registry import queries
+
+    qs = queries()
+    brute = qs["sim_search_topk"](spark, sf_dir).collect()
+    adc = qs["sim_search_adc_rerank"](spark, sf_dir).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.match_id)
+    got = {}
+    for r in adc:
+        got.setdefault(r.query_id, set()).add(r.match_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, f"ADC recall {hits}/{total}"
