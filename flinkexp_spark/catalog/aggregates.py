@@ -525,3 +525,53 @@ def q_agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_cph"),
         F.round(intercept, 6).alias("intercept_cents"),
     )
+
+
+@register(
+    "stat_chi_square",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, user_id % 3 AS cohort, COUNT(*) AS o
+            FROM events GROUP BY 1, 2),
+        tot AS (
+            SELECT event_type, cohort, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS row_t,
+                   SUM(o) OVER (PARTITION BY cohort) AS col_t,
+                   SUM(o) OVER () AS n
+            FROM obs)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               round(SUM(
+                   (o - CAST(row_t AS DOUBLE) * col_t / n)
+                   * (o - CAST(row_t AS DOUBLE) * col_t / n)
+                   / (CAST(row_t AS DOUBLE) * col_t / n)), 6) AS chi2
+        FROM tot
+    """,
+    tags=("A5", "A8"),
+)
+def q_stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+: chi-square independence statistic (event_type x cohort).
+
+    All observed/marginal counts are EXACT integers from one grouped
+    aggregate; the statistic is computed over the O(types x cohorts)
+    contingency table, not the events — a million-fold reduction before
+    any float touches the data.  The final double sum runs over <=15
+    cells, whose addition order Spark fixes by summing in a single
+    partition (the table is tiny), matching the oracle.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("event_type", (F.col("user_id") % 3).alias("cohort"))
+        .agg(F.count("*").alias("o"))
+    )
+    tot = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("cohort")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return tot.coalesce(1).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
 from flinkexp_spark.catalog._util import dec
+from flinkexp_spark.functions import text as T
 from flinkexp_spark.registry import register
 
 
@@ -230,4 +231,49 @@ def q_quality_constraints_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (null_ck == 0) & (dup_ok == 0) & (nonpos == 0) & (bad_st == 0)
         ).alias("all_pass"),
+    )
+
+
+@register(
+    "table_fingerprint",
+    oracle=f"""
+        WITH rows_h AS (
+            SELECT o_orderstatus,
+                   {T.h64_sql("concat(CAST(o_orderkey AS VARCHAR), '|', "
+                              "CAST(o_custkey AS VARCHAR), '|', o_orderstatus, "
+                              "'|', CAST(CAST(floor(o_totalprice * 100 + 0.5) "
+                              "AS BIGINT) AS VARCHAR))")} AS h
+            FROM orders)
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(bit_xor(h) AS BIGINT) AS fingerprint
+        FROM rows_h GROUP BY o_orderstatus
+    """,
+    tags=("F9", "A2"),
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset checksum: XOR of canonical row hashes.
+
+    The integrity primitive for 100 TB replication/migration: XOR is
+    commutative, associative and overflow-free, so per-partition
+    fingerprints combine map-side in any order and two copies of a table
+    compare with one tiny exchange — no sort, no row shipping.  Floats
+    enter the canonical row string as exact cents so the fingerprint is
+    byte-identical across engines and file layouts.
+    """
+    o = datasets.load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+    )
+    return (
+        o.select("o_orderstatus", T.h64(row_str).alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_xor("h").cast("long").alias("fingerprint"),
+        )
     )
