@@ -239,3 +239,66 @@ def q_pattern_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
     )
+
+
+TRI_MAX_PART = 500  # co-purchase graph restricted to part keys < this
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_partkey < {TRI_MAX_PART} AND b.l_partkey < {TRI_MAX_PART}),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT (SELECT COUNT(DISTINCT u) FROM (SELECT u FROM e UNION ALL
+                SELECT v FROM e)) AS n_nodes,
+               (SELECT COUNT(*) FROM e) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles
+        FROM tri
+    """,
+    tags=("J1", "A2"),
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts bought together).
+
+    The MR-classic (Suri & Vassilvitskii, WWW 2011): orient every edge
+    low->high so each triangle is counted exactly once, then close wedges
+    with two equi-joins.  Every stage is a hash join on a node id — at
+    100 TB the standard refinement (orient by DEGREE, not id, bounding
+    wedge fan-out by sqrt(m)) is the same plan with a precomputed degree
+    table; the id orientation here keeps the oracle trivially identical.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < TRI_MAX_PART
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .agg(F.countDistinct("n").alias("n_nodes"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", F.col("n_triangles").cast("long").alias("n_triangles"))
+    )
