@@ -208,3 +208,55 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= PREFIX_JACCARD_MIN)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# --- inverted index build ---------------------------------------------------
+IDX_MIN_DF = 50  # emit only tokens at/above this document frequency
+
+
+@register(
+    "index_inverted_build",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                   FROM documents),
+        post AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+               GROUP BY doc_id, token)
+        SELECT p.token,
+               COUNT(*) AS df,
+               CAST(SUM(tf.tf) AS BIGINT) AS total_tf,
+               CAST(MIN(p.doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(p.doc_id) AS BIGINT) AS last_doc
+        FROM post p JOIN tf ON p.doc_id = tf.doc_id AND p.token = tf.token
+        GROUP BY p.token
+        HAVING COUNT(*) >= {IDX_MIN_DF}
+    """,
+    tags=("X4", "A1"),
+)
+def q_index_inverted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: (token -> df, Σtf, posting bounds).
+
+    The standing-asset counterpart of `search_bm25_topk`'s one-shot scan:
+    at 100 TB the index is built ONCE — explode + one (doc, token) combine
+    + one token-key shuffle, then every query is an index lookup instead
+    of a corpus scan.  Posting lists would be written bucketed by token
+    (the same pay-the-shuffle-once layout as join_bucketed_colocated);
+    here the per-token summary stands in for the list payload.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
+    )
