@@ -75,6 +75,11 @@ HEADLINE = [
     "search_bm25_topk",
     "agg_histogram_quantile",
     "text_classifier_score",
+    "sim_search_adc_rerank",
+    "sketch_count_min",
+    "table_fingerprint",
+    "graph_triangle_count",
+    "join_salted_skew",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
