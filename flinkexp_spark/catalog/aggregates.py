@@ -575,3 +575,52 @@ def q_stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.round(F.sum(term), 6).alias("chi2"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.05), 4) AS lo,
+                   round(quantile_cont(value, 0.95), 4) AS hi
+            FROM events GROUP BY event_type),
+        c AS (
+            SELECT e.event_type,
+                   CAST(CASE WHEN value < lo THEN lo
+                             WHEN value > hi THEN hi
+                             ELSE value END AS DECIMAL(18,4)) AS wv
+            FROM events e JOIN b ON e.event_type = b.event_type)
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(wv) AS DOUBLE) / COUNT(*) AS wmean
+        FROM c GROUP BY event_type
+    """,
+    tags=("A6", "A5"),
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+: winsorized (outlier-clamped) mean — the robust-statistics pass.
+
+    Two-phase: exact p05/p95 bounds per group (rounded so both engines
+    clamp at identical doubles), broadcast back, then clamp and take an
+    exact-decimal mean.  At 100 TB the bounds table is O(groups) and the
+    clamp pass is the same single scan as any aggregate; swap the exact
+    percentile for the mergeable histogram sketch when groups are huge.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.05), 4).alias("lo"),
+        F.round(F.percentile("value", 0.95), 4).alias("hi"),
+    )
+    wv = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select("event_type", wv.cast("decimal(18,4)").alias("wv"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("wv").cast("double") / F.count("*")).alias("wmean"),
+        )
+    )
