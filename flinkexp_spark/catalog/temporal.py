@@ -48,6 +48,35 @@ _O_DIM = f"""
 """
 
 
+def _dim_versions(ev: DataFrame) -> DataFrame:
+    """SCD2 version intervals from the change stream: one keyed lead().
+
+    The SINGLE definition of the versioning rule — both registered queries
+    (and the shared _O_DIM oracle CTE) derive from this: each DIM_EVENT
+    (re)sets the attribute, valid until the next change by (ts, event_id)
+    order; the open version ends at OPEN_END.  Columns:
+    (user_id, tier_score, valid_from, valid_to).
+    """
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        ev.filter(F.col("event_type") == DIM_EVENT)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("tier_score"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from").over(w),
+                F.lit(OPEN_END).cast("timestamp"),
+            ),
+        )
+        .drop("event_id")
+    )
+
+
 @register(
     "scd2_build",
     oracle=f"""
@@ -67,21 +96,13 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic even under same-timestamp changes.
     """
     ev = datasets.load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (
-        ev.filter(F.col("event_type") == DIM_EVENT)
-        .select("user_id", "event_id", F.col("value").alias("tier_score"), "ts")
-        .withColumn(
-            "valid_to_ts",
-            F.coalesce(F.lead("ts").over(w), F.lit(OPEN_END).cast("timestamp")),
-        )
-    )
+    dim = _dim_versions(ev)
     return dim.filter(F.col("user_id") < 50).select(
         "user_id",
         "tier_score",
-        F.date_format("ts", TS_FMT).alias("valid_from"),
-        F.date_format("valid_to_ts", TS_FMT).alias("valid_to"),
-        (F.col("valid_to_ts") == F.lit(OPEN_END).cast("timestamp")).alias(
+        F.date_format("valid_from", TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT).alias("valid_to"),
+        (F.col("valid_to") == F.lit(OPEN_END).cast("timestamp")).alias(
             "is_current"
         ),
     )
@@ -112,27 +133,7 @@ def q_join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; per key versions are disjoint, so the join is 1:<=1.
     """
     ev = datasets.load(spark, sf_dir, "events")
-    dim = (
-        ev.filter(F.col("event_type") == DIM_EVENT)
-        .select(
-            F.col("user_id").alias("d_user"),
-            "event_id",
-            F.col("value").alias("tier_score"),
-            F.col("ts").alias("valid_from"),
-        )
-        .withColumn(
-            "valid_to",
-            F.coalesce(
-                F.lead("valid_from").over(
-                    Window.partitionBy("d_user").orderBy(
-                        "valid_from", "event_id"
-                    )
-                ),
-                F.lit(OPEN_END).cast("timestamp"),
-            ),
-        )
-        .drop("event_id")
-    )
+    dim = _dim_versions(ev).withColumnRenamed("user_id", "d_user")
     facts = ev.filter(F.col("event_type") == FACT_EVENT)
     joined = facts.join(
         F.broadcast(dim),

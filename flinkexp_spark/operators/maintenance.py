@@ -24,7 +24,12 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
 def parquet_dir_stats(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) for one parquet directory."""
+    """(n_data_files, total_bytes) for one LOCAL parquet directory.
+
+    os.listdir-based by design (the sandbox has no Hadoop FS); on a real
+    lake, size via the Hadoop FileSystem API instead — the compaction
+    arithmetic below is unchanged.
+    """
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     return len(files), sum(os.path.getsize(os.path.join(path, f)) for f in files)
 
@@ -38,10 +43,15 @@ def compact_parquet(
     """Rewrite ``src_dir`` into ceil(bytes/target) files at ``dst_dir``;
     returns the output file count.  Shuffle-free (coalesce)."""
     _, src_bytes = parquet_dir_stats(src_dir)
-    n_out = max(1, -(-src_bytes // target_bytes))
-    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(
-        dst_dir
+    df = spark.read.parquet(src_dir)
+    # coalesce only ever REDUCES partition count; clamp so the returned
+    # count matches what is actually written when the read splits are
+    # already coarser than the target (splitting upward would need a
+    # shuffle, defeating compaction's narrow-dependency point).
+    n_out = min(
+        max(1, -(-src_bytes // target_bytes)), df.rdd.getNumPartitions()
     )
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst_dir)
     return n_out
 
 

@@ -35,8 +35,8 @@ def salted_agg(
     per key — e.g. ``{"n": (F.count("*"), F.sum("n"))}``.
     ``salt_col`` is any deterministic integer-ish column (an id, a hash).
     """
-    salt = (
-        (F.col(salt_col) if isinstance(salt_col, str) else salt_col) % n_salts
+    salt = F.pmod(
+        F.col(salt_col) if isinstance(salt_col, str) else salt_col, n_salts
     ).alias("__salt")
     partial_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
     partial = df.groupBy(*keys, salt).agg(*partial_exprs)
@@ -64,14 +64,21 @@ def salted_join(
     n_salts times — the replicate-fragment analog of AQE's skew split,
     usable when runtime re-planning isn't (e.g. deterministic replays).
     The salt derives from row content (never rand()) so task retries
-    re-route rows identically.
+    re-route rows identically.  Only inner/left joins are supported: the
+    small side is replicated n_salts times, so unmatched small rows of a
+    right/full join would surface once PER REPLICA.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(n_salts)])
     ).alias("__salt")
     small_rep = small.select("*", salts)
-    salt = (
-        (F.col(salt_col) if isinstance(salt_col, str) else salt_col) % n_salts
+    # pmod, not %: Spark's % is sign-preserving, so a negative salt source
+    # (hash()/xxhash64) would never match the 0..n_salts-1 replicas and
+    # rows would silently vanish from an inner join.
+    salt = F.pmod(
+        F.col(salt_col) if isinstance(salt_col, str) else salt_col, n_salts
     ).alias("__salt")
     big_s = big.select("*", salt)
     return big_s.join(small_rep, [*on, "__salt"], how).drop("__salt")
