@@ -23,6 +23,23 @@ NEARDUP_COS = 0.35
 _COS = V.cosine_sql("q.embedding", "c.embedding")
 
 
+def _topk(scored):
+    """Deterministic per-query top-k: (rounded score desc, match_id) rank.
+
+    The ONE definition of the tie-break contract shared by every search
+    variant (brute, ANN, IVF, ADC) — rounded scores make the ordering
+    engine-independent, match_id breaks the residual ties.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+
 @register(
     "sim_search_topk",
     oracle=f"""
@@ -61,11 +78,7 @@ def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _topk(scored)
 
 
 @register(
@@ -117,11 +130,7 @@ def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _topk(scored)
 
 
 @register(
@@ -172,6 +181,30 @@ IVF_NPROBE = 4
 IVF_ITERS = 2   # Lloyd refinement rounds (k-means with deterministic seed)
 IVF_FP = 1_000_000  # fixed-point scale for centroid means (see below)
 
+
+# --- int8 max-abs quantization: THE single definition -----------------------
+# Shared by embed_quantize_int8 and sim_search_adc_rerank (and mirrored by
+# _SCALE_SQL/_QV_SQL on the oracle side): per-vector max-abs scale, half-up
+# integer codes.  One place to fix edge cases (e.g. all-zero vectors), both
+# queries stay bit-aligned.
+
+def _int8_scale(vec: str = "embedding"):
+    return F.aggregate(
+        F.transform(F.col(vec), lambda x: F.abs(x.cast("double"))),
+        F.lit(float("-inf")).cast("double"),
+        lambda a, b: F.greatest(a, b),
+    )
+
+
+def _int8_codes(vec: str = "embedding", scale: str = "scale"):
+    return F.transform(
+        F.col(vec),
+        lambda x: F.floor(
+            x.cast("double") * 127.0 / F.col(scale) + 0.5
+        ).cast("long"),
+    )
+
+
 # --- deterministic Lloyd iteration ------------------------------------------
 # Cross-engine exactness: centroid means are computed in FIXED POINT —
 # component -> floor(x * 1e6) as BIGINT, summed per cell (integer addition is
@@ -213,7 +246,13 @@ def _ivf_centroids_df(
     sim_search_ivf and dedup_semantic share one quantizer, exactly like the
     shared MinHash signature table (llm_dedup.signature_table).
     """
-    key = (spark.sparkContext.applicationId, cache_key or "")
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from previous (stopped) applications: at most one app
+    # is live per process, and a dead app's entries would pin its session's
+    # plan graphs forever in a long-lived driver.
+    for stale in [k for k in _CENT_CACHE if k[0] != app_id]:
+        del _CENT_CACHE[stale]
+    key = (app_id, cache_key or "")
     if cache_key is not None and key in _CENT_CACHE:
         return _CENT_CACHE[key]
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
@@ -365,11 +404,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _topk(scored)
 
 
 # --- int8 scalar quantization ------------------------------------------------
@@ -423,22 +458,12 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; the error fold uses the same left-to-right order as the oracle).
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
-    xd = lambda c: c.cast("double")  # noqa: E731
-    scale = F.aggregate(
-        F.transform(F.col("embedding"), lambda x: F.abs(xd(x))),
-        F.lit(float("-inf")).cast("double"),
-        lambda a, b: F.greatest(a, b),
-    )
-    s = emb.select("vec_id", "embedding", scale.alias("scale"))
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(xd(x) * 127.0 / F.col("scale") + 0.5).cast("long"),
-    )
-    q = s.select("vec_id", "scale", qv.alias("qv"), "embedding")
+    s = emb.select("vec_id", "embedding", _int8_scale().alias("scale"))
+    q = s.select("vec_id", "scale", _int8_codes().alias("qv"), "embedding")
     err_terms = F.zip_with(
         F.col("embedding"),
         F.col("qv"),
-        lambda x, qx: F.abs(xd(x) - qx * F.col("scale") / 127.0),
+        lambda x, qx: F.abs(x.cast("double") - qx * F.col("scale") / 127.0),
     )
     mean_err = (
         F.aggregate(err_terms, F.lit(0.0), lambda a, b: a + b) / V.DIM
@@ -606,19 +631,9 @@ def q_sim_search_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 codes.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
-    xd = lambda c: c.cast("double")  # noqa: E731
-    scale = F.aggregate(
-        F.transform(F.col("embedding"), lambda x: F.abs(xd(x))),
-        F.lit(float("-inf")).cast("double"),
-        lambda a, b: F.greatest(a, b),
-    )
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(xd(x) * 127.0 / F.col("scale") + 0.5).cast("long"),
-    )
     qt = (
-        emb.select("vec_id", "embedding", scale.alias("scale"))
-        .select("vec_id", "embedding", "scale", qv.alias("qv"))
+        emb.select("vec_id", "embedding", _int8_scale().alias("scale"))
+        .select("vec_id", "embedding", "scale", _int8_codes().alias("qv"))
     )
     probes = F.broadcast(
         qt.filter(F.col("vec_id") < N_QUERIES).select(
@@ -658,8 +673,4 @@ def q_sim_search_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("match_id"))
-    return (
-        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    return _topk(rer)

@@ -120,7 +120,7 @@ def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle is the equivalent unnest.
     oracle="""
         SELECT doc_id, COUNT(*) AS n_tokens,
-               CAST(MIN(strlen(tok)) AS BIGINT) AS min_len
+               CAST(MIN(length(tok)) AS BIGINT) AS min_len
         FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
             FROM documents WHERE doc_id < 100)

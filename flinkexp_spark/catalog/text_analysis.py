@@ -157,7 +157,6 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang, ws in LANG_MARKERS.items()
         ],
     )
-    pred = F.lit("und")
     expr = None
     for lang in LANG_MARKERS:
         others = [F.col(f"s_{o}") for o in LANG_MARKERS if o != lang]
@@ -279,9 +278,7 @@ FLUENCY_FP = 1000
     oracle=f"""
         WITH t0 AS (SELECT doc_id, {{toks}} AS toks FROM documents),
         bg AS (
-            SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bigram
-            FROM t0, (SELECT unnest(range(2000)) AS i)
-            WHERE i < len(toks) - 1),
+            SELECT doc_id, unnest({{bigrams}}) AS bigram FROM t0),
         df AS (SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM bg
                GROUP BY bigram),
         scored AS (
@@ -293,7 +290,7 @@ FLUENCY_FP = 1000
                CAST(floor(SUM(df) * {FLUENCY_FP}.0 / COUNT(*)) AS BIGINT)
                    AS fluency_fp
         FROM scored GROUP BY doc_id
-    """.format(toks=T.tokens_sql("text")),
+    """.format(toks=T.tokens_sql("text"), bigrams=T.shingles_sql("toks", 2)),
     tags=("X4", "A1"),
 )
 def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
