@@ -463,8 +463,7 @@ def q_sink_wide_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = datasets.load(spark, sf_dir, "events").filter(
         F.col("event_id") < 3000
     )
-    spool = os.path.join(SCRATCH_ROOT, f"wc_spool_{uuid.uuid4().hex[:10]}")
-    os.makedirs(spool, exist_ok=True)
+    spool = _scratch("wc_spool")
     try:
         writer = sources.wide_column_sink(
             "user_id",
@@ -513,7 +512,7 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses under per-file open/footer costs and the driver chokes on
     split enumeration).
 
-    Shape: write a deliberately over-partitioned copy (64 files for a
+    Shape: write a deliberately over-partitioned copy (32 files for a
     fixture-sized table), then compact by reading it back and
     ``coalesce``-ing to a byte-budget-derived file count — coalesce is a
     NARROW dependency, so compaction moves no rows across the network

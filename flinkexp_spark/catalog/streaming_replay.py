@@ -108,7 +108,11 @@ def q_stream_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("text").alias("value")).coalesce(1).write.mode(
             "overwrite"
         ).text(os.path.join(work, "lines"))
-        lines = spark.readStream.text(os.path.join(work, "lines"))
+        from flinkexp_spark import sources
+
+        lines = sources.read_text(
+            spark, os.path.join(work, "lines"), streaming=True
+        )
         out = (
             lines.select(F.explode(F.split("value", " ")).alias("word"))
             .filter(F.col("word") != "")
@@ -696,8 +700,10 @@ def q_stream_tumbling_checkpointed(spark: SparkSession, sf_dir: str) -> DataFram
                CAST(SUM(CAST(floor(COALESCE(v.o_totalprice, 0) * 100 + 0.5)
                              AS BIGINT)) AS BIGINT) AS price_cents
         FROM events e
-        ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, o_totalprice
-                        FROM orders) v
+        ASOF LEFT JOIN (SELECT o_custkey, o_orderdate,
+                               max_by(o_totalprice, o_orderkey)
+                                   AS o_totalprice
+                        FROM orders GROUP BY o_custkey, o_orderdate) v
           ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate
         GROUP BY event_type
     """,
@@ -727,10 +733,17 @@ def q_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = datasets.load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    versions = datasets.load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("vts"),
-        "o_totalprice",
+    # One version row per (customer, date): (o_custkey, o_orderdate) is NOT
+    # unique in orders, and an ambiguous version key would make the as-of
+    # match nondeterministic (whichever tied row sorts last wins).  The
+    # deterministic winner is the tied row with the highest o_orderkey.
+    versions = (
+        datasets.load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("vts"),
+        )
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
     )
     outdir = _scratch("temporal_out")
     try:

@@ -385,7 +385,7 @@ def q_window_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc * (1 - EWMA_ALPHA) + v * EWMA_ALPHA,
     )
     return events.groupBy("user_id").agg(
-        F.size(F.collect_list("event_id")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("n"),
         F.round(fold, 6).alias("ewma"),
     )
 
