@@ -25,7 +25,7 @@ import hashlib
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -272,7 +272,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=f"""
         WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
-        m AS (SELECT doc_id, {T.simhash_sql('toks')} AS sim FROM t),
+        -- zero-token docs carry no signature on either engine (the Spark
+        -- side's explode drops them; mirror with the len() guard)
+        m AS (SELECT doc_id, {T.simhash_sql('toks')} AS sim FROM t
+              WHERE len(toks) > 0),
         b AS (SELECT doc_id, sim, band, (sim >> (8 * band)) & 255 AS key
               FROM m, (SELECT unnest(range(4)) AS band)),
         p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -336,19 +339,7 @@ def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     component canonicalization is iterative — see operators/components.py.)
     """
     docs = datasets.load(spark, sf_dir, "documents")
-    sig = signature_table(spark, sf_dir)
-    cand = T.lsh_candidate_pairs(sig)
-    x, y = sig.alias("x"), sig.alias("y")
-    agree = sum(
-        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
-    )
-    dups = (
-        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
-        .join(y, F.col("id_b") == F.col("y.doc_id"))
-        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
-        .select("id_b")
-        .distinct()
-    )
+    dups = _neardup_edges(spark, sf_dir).select("id_b").distinct()
     kept = docs.join(dups, docs.doc_id == dups.id_b, "left_anti")
     return kept.agg(F.count("*").alias("n_kept"))
 
@@ -658,19 +649,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flinkexp_spark.operators.components import connected_components
 
-    sig = signature_table(spark, sf_dir)
-    cand = T.lsh_candidate_pairs(sig)
-    x, y = sig.alias("x"), sig.alias("y")
-    agree = sum(
-        F.when(F.col(f"x.{c}") == F.col(f"y.{c}"), 1).otherwise(0) for c in _MH
-    )
-    edges = (
-        cand.join(x, F.col("id_a") == F.col("x.doc_id"))
-        .join(y, F.col("id_b") == F.col("y.doc_id"))
-        .filter((agree / float(T.N_MINHASH)) >= EST_JACCARD_MIN)
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(edges)
+    comp = connected_components(_neardup_edges(spark, sf_dir))
     docs = datasets.load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node"),
         F.size(T.tokens(F.col("text"))).alias("n_tokens"),

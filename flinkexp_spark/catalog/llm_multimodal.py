@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
 from flinkexp_spark.functions import multimodal as M
-from flinkexp_spark.functions.text import P, h64_sql
+from flinkexp_spark.functions.text import h64_sql
 from flinkexp_spark.registry import register
 
 

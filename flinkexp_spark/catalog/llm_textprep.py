@@ -91,8 +91,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                CAST(SUM(len(regexp_extract_all(text, '{BPE_RE}')))
                     AS BIGINT) AS bpe_tokens,
-               CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
-               round(CAST(SUM(strlen(text)) AS DOUBLE)
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               round(CAST(SUM(length(text)) AS DOUBLE)
                      / SUM(len(regexp_extract_all(text, '{BPE_RE}'))), 4)
                    AS chars_per_token
         FROM documents

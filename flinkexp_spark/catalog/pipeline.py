@@ -14,21 +14,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
-from flinkexp_spark.catalog.llm_dedup import EST_JACCARD_MIN
+from flinkexp_spark.catalog.llm_dedup import (
+    _MH,
+    _O_AGREE as _AGREE,
+    _O_BANDS as _BANDS,
+    EST_JACCARD_MIN,
+)
 from flinkexp_spark.catalog.text_analysis import LANG_MARKERS, _marker_count, _marker_count_sql
 from flinkexp_spark.functions import text as T
 from flinkexp_spark.registry import register
-
-_MH = [f"mh_{i}" for i in range(T.N_MINHASH)]
-_AGREE = (
-    "("
-    + " + ".join(f"CASE WHEN x.{c} = y.{c} THEN 1 ELSE 0 END" for c in _MH)
-    + f") / {float(T.N_MINHASH)}"
-)
-_BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, {T.band_key_sql(b)} AS key FROM m"
-    for b in range(T.BANDS)
-)
 
 _ORACLE = f"""
     WITH t0 AS (SELECT doc_id, lang, text, {T.tokens_sql('text')} AS toks
