@@ -126,7 +126,11 @@ class DataStream:
 
     def _python_rows(self, f: Callable, flat: bool, output_type: str) -> DataFrame:
         n_in = len(self.df.columns)
-        out_names = [c.strip().split()[0] for c in output_type.split(",")]
+        from pyspark.sql.types import StructType
+
+        # parse via the real DDL parser — a naive comma split mangles
+        # parameterized types like decimal(10,2) or map<string,long>
+        out_names = [fld.name for fld in StructType.fromDDL(output_type).fields]
 
         def run(batches):  # closure: pickled by value
             import pandas as pd
@@ -222,7 +226,12 @@ class DataStream:
         return self._add_sink("console", None)
 
     def sink_memory(self, name: str, output_mode: str | None = None) -> "DataStream":
-        """Named in-memory table sink (testing twin of ``print``)."""
+        """Named in-memory table sink (testing twin of ``print``).
+
+        Default mode is ``complete`` (final per-key state — right for the
+        aggregated chains this adapter mirrors); non-aggregated streaming
+        chains must pass ``output_mode="append"`` or ``"update"`` (Spark
+        rejects complete without an aggregation)."""
         return self._add_sink("memory", name, output_mode)
 
     def sink_parquet(
@@ -237,6 +246,11 @@ class DataStream:
         ``execute()``."""
         df = self.df
         cols = list(partition_by or [])
+
+        # capture the sink's ordinal NOW: evaluated inside the closure at
+        # execute() time, len(_sinks) is the FINAL count and every sink of a
+        # kind would share one checkpoint dir (state/offset collision).
+        sink_idx = len(self.env._sinks)
 
         def submit(job_name: str, available_now: bool):
             if not df.isStreaming:
@@ -255,7 +269,7 @@ class DataStream:
             import os as _os
 
             ckpt = (
-                _os.path.join(root, f"pq{len(self.env._sinks)}")
+                _os.path.join(root, f"pq{sink_idx}")
                 if root is not None
                 else _os.path.join(path, "_checkpoint")
             )
@@ -276,6 +290,7 @@ class DataStream:
         exactly-once with checkpointing.  Batch DataFrames invoke the
         writer once with epoch 0."""
         df = self.df
+        sink_idx = len(self.env._sinks)  # see sink_parquet: bind NOW
 
         def submit(job_name: str, available_now: bool):
             if not df.isStreaming:
@@ -290,7 +305,7 @@ class DataStream:
 
                 w = w.option(
                     "checkpointLocation",
-                    _os.path.join(root, f"feb{len(self.env._sinks)}"),
+                    _os.path.join(root, f"feb{sink_idx}"),
                 )
             return w.start()
 
@@ -302,6 +317,7 @@ class DataStream:
     ) -> "DataStream":
         df = self.df
         mode = output_mode or ("update" if fmt == "console" else "complete")
+        sink_idx = len(self.env._sinks)  # see sink_parquet: bind NOW
 
         def submit(job_name: str, available_now: bool):
             if not df.isStreaming:
@@ -321,7 +337,7 @@ class DataStream:
 
                 writer = writer.option(
                     "checkpointLocation",
-                    _os.path.join(root, name or f"sink{len(self.env._sinks)}"),
+                    _os.path.join(root, name or f"sink{sink_idx}"),
                 )
             return writer.start()
 
@@ -338,18 +354,34 @@ class KeyedStream:
         self.keys = keys
         self._window = None
 
+    def _groups(self) -> list:
+        """GroupBy columns incl. the declared window (the ONE place the
+        window()->aggregate contract lives; every keyed aggregate uses it
+        so a declared window can never be silently dropped)."""
+        return ([self._window] if self._window is not None else []) + self.keys
+
+    def _flatten_window(self, out: DataFrame, tail: list[str]) -> DataFrame:
+        if self._window is None:
+            return out
+        return out.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *self.keys,
+            *tail,
+        )
+
+    def _no_window(self, op: str) -> None:
+        if self._window is not None:
+            raise NotImplementedError(
+                f"KeyedStream.{op} does not support a declared window(); "
+                "apply the window via sum/min/max/min_by/max_by/count, or "
+                "window inside process() state logic"
+            )
+
     def _agg(self, field: int | str, agg) -> DataStream:
         col = self.df.columns[field] if isinstance(field, int) else field
-        groups = ([self._window] if self._window is not None else []) + self.keys
-        out = self.df.groupBy(*groups).agg(agg(col).alias(col))
-        if self._window is not None:
-            out = out.select(
-                F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
-                *self.keys,
-                col,
-            )
-        return DataStream(self.env, out)
+        out = self.df.groupBy(*self._groups()).agg(agg(col).alias(col))
+        return DataStream(self.env, self._flatten_window(out, [col]))
 
     def window(
         self,
@@ -438,6 +470,7 @@ class KeyedStream:
         deterministic results across partition orderings, ``f`` should be
         commutative+associative — the same caveat Flink documents.
         """
+        self._no_window("reduce")
         df, keys = self.df, self.keys
         fields = {fld.name: fld for fld in df.schema.fields}
         vals = [c for c in df.columns if c not in keys]
@@ -495,6 +528,7 @@ class KeyedStream:
         .EventTimeTimeout``) event-time timers, exactly the pairing
         stream_session_timers uses (streaming/stateful.py).  ``func`` must
         be a closure (pickle-by-value rule)."""
+        self._no_window("process")
         out = self.df.groupBy(*self.keys).applyInPandasWithState(
             func, output_schema, state_schema, output_mode, timeout
         )
@@ -515,21 +549,23 @@ class KeyedStream:
         col = self.df.columns[field] if isinstance(field, int) else field
         vals = [c for c in self.df.columns if c not in self.keys]
         row = F.struct(*vals)
-        out = (
-            self.df.groupBy(*self.keys)
-            .agg(agg(row, F.col(col)).alias("__row"))
-            .select(*self.keys, *[F.col(f"__row.{c}").alias(c) for c in vals])
+        out = self.df.groupBy(*self._groups()).agg(
+            agg(row, F.col(col)).alias("__row")
         )
-        return DataStream(self.env, out)
-
-    def count(self) -> DataStream:
-        groups = ([self._window] if self._window is not None else []) + self.keys
-        out = self.df.groupBy(*groups).agg(F.count("*").alias("count"))
-        if self._window is not None:
+        flat = [F.col(f"__row.{c}").alias(c) for c in vals]
+        if self._window is None:
+            out = out.select(*self.keys, *flat)
+        else:
             out = out.select(
                 F.col("window.start").alias("window_start"),
                 F.col("window.end").alias("window_end"),
                 *self.keys,
-                "count",
+                *flat,
             )
         return DataStream(self.env, out)
+
+    def count(self) -> DataStream:
+        out = self.df.groupBy(*self._groups()).agg(
+            F.count("*").alias("count")
+        )
+        return DataStream(self.env, self._flatten_window(out, ["count"]))

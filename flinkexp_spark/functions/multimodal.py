@@ -58,7 +58,12 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "first_byte": pdf["payload"].map(lambda b: b[0]).astype("int64"),
+                    # empty payloads carry no first byte (pandas nullable
+                    # Int64 -> spark NULL), instead of an IndexError that
+                    # would fail the whole stage
+                    "first_byte": pdf["payload"]
+                    .map(lambda b: b[0] if len(b) else None)
+                    .astype("Int64"),
                 }
             )
 

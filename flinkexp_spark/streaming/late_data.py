@@ -54,7 +54,10 @@ class LateRowRouter:
                 late = df.filter(is_late)
                 on_time = df.filter(~is_late)
 
-            if self.side_path is not None:
+            # skip the write when nothing is late (incl. the guaranteed-
+            # empty first batch): one empty parquet file per micro-batch is
+            # exactly the small-file blowup maintenance.compact exists for
+            if self.side_path is not None and not late.isEmpty():
                 late.write.mode("append").parquet(self.side_path)
             if self.on_late is not None:
                 self.on_late(late, epoch)
