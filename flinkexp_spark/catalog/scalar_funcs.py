@@ -70,7 +70,7 @@ def q_func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_discount - 0.05) AS abs_d,
                CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
                CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q,
-               CAST(l_quantity AS BIGINT) % 7 AS mod_q,
+               CAST(trunc(l_quantity) AS BIGINT) % 7 AS mod_q,
                round(power(l_quantity, 1.5), 6) AS pow_q,
                round(sqrt(l_extendedprice), 6) AS sqrt_p,
                round(exp(l_discount), 6) AS exp_d,

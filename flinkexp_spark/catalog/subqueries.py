@@ -50,8 +50,9 @@ IN_AGG = """
 
 
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    datasets.register_views(spark, sf_dir)
-    return spark.sql(text)
+    from flinkexp_spark.catalog.sql_queries import _sql_query
+
+    return _sql_query(spark, sf_dir, text)
 
 
 @register("subquery_scalar_correlated", oracle=SCALAR_CORRELATED, tags=("J1", "A2"))

@@ -70,8 +70,20 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         else:
             if not av.equals(bv):
                 diff = av != bv
-                i = int(diff[diff].index[0]) if diff.any() else -1
-                return False, f"col {c} first diff at row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
+                if diff.any():
+                    i = int(diff[diff].index[0])
+                    return (
+                        False,
+                        f"col {c} first diff at row {i}: "
+                        f"{av.iloc[i]!r} != {bv.iloc[i]!r}",
+                    )
+                # equals() failed but no elementwise != hit: dtype mismatch
+                # (int64 7 vs float64 7.0) or None-pair in an object column
+                return (
+                    False,
+                    f"col {c}: values compare equal elementwise but dtypes/"
+                    f"null-repr differ ({av.dtype} vs {bv.dtype})",
+                )
     return True, ""
 
 
