@@ -672,3 +672,71 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.winner_tokens").alias("winner_tokens"),
         "cluster_size",
     )
+
+
+CONTAINMENT_MIN = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH {_O_SHINGLED},
+        d AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        capped AS (SELECT * FROM d WHERE g IN
+                   (SELECT g FROM d GROUP BY g HAVING COUNT(*) <= {NGRAM_DF_CAP})),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                  FROM capped a JOIN capped b
+                    ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(c * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+        FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE c * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_MIN}
+    """,
+    tags=("X2",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: CONTAINMENT near-dup — |A∩B| / min(|A|,|B|) >= 0.9.
+
+    Jaccard under-scores a short doc fully embedded in a long one
+    (truncated copies, quote-with-commentary — the asymmetric duplication
+    crawls actually produce); containment normalizes by the SMALLER set so
+    those pairs surface.  Same df-capped inverted-index join as
+    `dedup_ngram_jaccard` — only the scoring rule differs, so the scale
+    properties carry over unchanged.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    sets = docs.select(
+        "doc_id", F.array_distinct(T.shingles(toks)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    d = sets.select("doc_id", F.explode("sh").alias("g"))
+    capped = d.join(
+        d.groupBy("g").agg(F.count("*").alias("gdf")).filter(
+            F.col("gdf") <= NGRAM_DF_CAP
+        ).select("g"),
+        "g",
+    ).localCheckpoint()  # 3 plan branches (sz, a, b) share one index build
+    sz = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    cont = F.col("c") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(cont >= CONTAINMENT_MIN)
+        .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
+    )
