@@ -113,8 +113,13 @@ def main() -> None:
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            n = df.count()
+            # Drain through a noop write, NOT count(): count() lets
+            # Catalyst prune every computed column, so map-only queries
+            # (classifier scores, encodings) would be timed without doing
+            # their actual work.  noop materializes every output column.
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        n = df.count()
         runs.sort()
         medians[name] = round(runs[len(runs) // 2], 3)
         mins[name] = round(runs[0], 3)

@@ -306,15 +306,11 @@ def q_text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = datasets.load(spark, sf_dir, "documents")
     t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
-        ),
-    )
-    bg = (
-        t0.filter(F.size("toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    # T.shingles(k=2) is the one bigram definition shared with the oracle
+    # (T.shingles_sql) and with text_repetition_filter; it yields an empty
+    # array below 2 tokens, so explode drops those docs without a filter.
+    bg = t0.select(
+        "doc_id", F.explode(T.shingles(F.col("toks"), 2)).alias("bigram")
     )
     df = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
     scored = bg.filter(F.col("doc_id") < FLUENCY_REPORT_DOCS).join(df, "bigram")

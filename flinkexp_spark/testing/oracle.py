@@ -92,12 +92,28 @@ def compare_query(
     con: duckdb.DuckDBPyConnection,
     name: str,
     sf_dir: str,
+    timings: dict | None = None,
 ) -> CompareResult:
+    """Run one registered query against its oracle (the driver's compare).
+
+    ``timings``, when given, receives ``{"spark_s": .., "oracle_s": ..}`` —
+    the ONE comparison pipeline also serves tools/gate_sim.py, so the
+    verdict logic can never drift between the test path and the gate sim.
+    """
+    import time as _time
+
     q = REGISTRY[name]
+    t0 = _time.monotonic()
     sdf = q.fn(spark, sf_dir).toPandas()
+    t1 = _time.monotonic()
+    if timings is not None:
+        timings["spark_s"] = round(t1 - t0, 2)
+        timings["oracle_s"] = 0.0
     if q.oracle is None:
         return CompareResult(name, True, f"rows-only check: {len(sdf)} rows")
     odf = con.sql(q.oracle).df()
+    if timings is not None:
+        timings["oracle_s"] = round(_time.monotonic() - t1, 2)
     if sorted(sdf.columns) != sorted(odf.columns):
         return CompareResult(
             name, False, f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"

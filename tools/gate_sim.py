@@ -45,35 +45,25 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_start = time.monotonic()
     for i, name in enumerate(names):
-        q = REGISTRY[name]
-        t0 = time.monotonic()
+        timings: dict = {"spark_s": 0.0, "oracle_s": 0.0}
         try:
-            sdf = q.fn(spark, args.sf_dir).toPandas()
-            t1 = time.monotonic()
-            if q.oracle is None:
-                ok, detail = True, f"rows-only: {len(sdf)}"
-                t2 = t1
-            else:
-                odf = con.sql(q.oracle).df()
-                t2 = time.monotonic()
-                if sorted(sdf.columns) != sorted(odf.columns):
-                    ok, detail = False, "columns differ"
-                else:
-                    a, b = oracle._normalize(sdf), oracle._normalize(odf)
-                    ok, detail = oracle._values_equal(a, b)
+            # the ONE comparison pipeline (testing/oracle.compare_query) —
+            # same verdict logic as the test path, by construction
+            res = oracle.compare_query(spark, con, name, args.sf_dir, timings)
+            ok, detail = res.ok, res.detail
         except Exception as e:  # noqa: BLE001
-            t1 = t2 = time.monotonic()
             ok, detail = False, f"ERR {type(e).__name__}: {e}"
         results[name] = {
             "ok": ok,
-            "spark_s": round(t1 - t0, 2),
-            "oracle_s": round(t2 - t1, 2),
+            "spark_s": timings["spark_s"],
+            "oracle_s": timings["oracle_s"],
             "detail": detail[:200],
         }
         cum = time.monotonic() - t_start
         print(
             f"[{i + 1}/{len(names)}] {name}: {'OK' if ok else 'FAIL'} "
-            f"spark={t1 - t0:.2f}s oracle={t2 - t1:.2f}s cum={cum:.1f}s",
+            f"spark={timings['spark_s']:.2f}s oracle={timings['oracle_s']:.2f}s "
+            f"cum={cum:.1f}s",
             flush=True,
         )
         if not ok:
