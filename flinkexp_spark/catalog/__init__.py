@@ -13,8 +13,10 @@ alphabetically:
    dedup/similarity/pipeline family — the most expensive oracle runs — go
    last).
 
-Round-2 note: the full registry (181 queries) clears the local gate sim in
-~200 s at sf0.01 (tools/gate_sim.py), helped by the shared MinHash
+Round-2 note: the full registry (194 queries) clears the local gate sim in
+~200 s at sf0.01 (tools/gate_sim.py; hostile-conditions twin:
+tools/driver_sim.py — fresh /tmp cwd, plain session, non-UTC DuckDB TZ —
+193/193 plus entry), helped by the shared MinHash
 signature table and Lloyd-centroid cache — total cost is the knob that
 keeps every operator inside the driver's official artifact.  Every query
 also passes the hostile-session sweep (fresh /tmp process, non-UTC TZ,
