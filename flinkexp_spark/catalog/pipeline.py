@@ -71,12 +71,15 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.round(F.col("n_stop") / F.col("n_tokens"), 4) >= 0.01)
     )
 
-    # X1 exact dedup: keep the min doc_id per content hash
+    # X1 exact dedup: keep the min doc_id per content hash.  The survivor
+    # table feeds TWO branches (signature build + the anti-join left side);
+    # materialize it once so scan+tokenize+window don't run twice.
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     x = (
         q.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint()
     )
 
     # X2 near-dup drop over survivors (greedy keep-lowest-id)
