@@ -219,6 +219,29 @@ class DataStream:
             self.env, left.unionByName(right, allowMissingColumns=True)
         )
 
+    def connect_broadcast(
+        self,
+        rules_loader: Callable[[], DataFrame],
+        process: Callable[[DataFrame, DataFrame], DataFrame],
+    ) -> "DataStream":
+        """Flink ``BroadcastProcessFunction``: a slow-changing rule/config
+        side broadcast to every task of the main stream.
+
+        Spark realization: the rule side is a CALLABLE re-evaluated at plan
+        time and broadcast into the main stream's plan —
+        ``process(main_df, broadcast(rules_df))`` builds the combined
+        DataFrame (typically a broadcast join or a filter against the rule
+        set).  In streaming, stream-static joins re-read the static side
+        per micro-batch, so rule updates between batches take effect at
+        the next batch — exactly Flink's processing-time broadcast-state
+        cadence; for per-batch explicit reload semantics route through
+        ``sink_foreach_batch`` instead.  ``rules_loader`` rather than a
+        DataFrame so the caller controls snapshot freshness.
+        """
+        rules = rules_loader()
+        out = process(self.df, F.broadcast(rules))
+        return DataStream(self.env, out)
+
     # -- sinks (E6) ---------------------------------------------------------
     def print(self) -> "DataStream":
         """E6 (``print``): console sink; update cadence mirrors the

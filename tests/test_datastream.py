@@ -588,3 +588,46 @@ def test_keyed_min_by_max_by_return_whole_rows(spark):
         ("a", 3, "r1"),
         ("b", 7, "r3"),
     }
+
+
+def test_connect_broadcast_rules_filter_stream(spark, tmp_path):
+    """BroadcastProcessFunction parity: a small rule table broadcast into
+    the main stream's plan; stream-static join re-reads rules per batch."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(LINES) + "\n")
+
+    stream = spark.readStream.format("text").load(str(src))
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    name = f"ds_{uuid.uuid4().hex[:8]}"
+
+    def rules():
+        return spark.createDataFrame(
+            [("hello", "keep"), ("world", "keep")], "word string, action string"
+        )
+
+    def process(main, rules_df):
+        words = main.select(
+            F.explode(F.split("value", " ")).alias("word")
+        )
+        return words.join(
+            rules_df.filter(F.col("action") == "keep"), "word"
+        ).groupBy("word").count()
+
+    (
+        env.from_data_frame(stream)
+        .connect_broadcast(rules, process)
+        .sink_memory(name, output_mode="complete")
+    )
+    [q] = env.execute("Test", available_now=True)
+    try:
+        q.awaitTermination(60)
+        got = {r.word: r["count"] for r in spark.table(name).collect()}
+        expected = {
+            w: EXPECTED[w] for w in ("hello", "world") if w in EXPECTED
+        }
+        assert got == expected, (got, expected)
+    finally:
+        q.stop()
