@@ -624,3 +624,66 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("wv").cast("double") / F.count("*")).alias("wmean"),
         )
     )
+
+
+PSI_WIDTH = 25  # value histogram bins for the drift statistic
+PSI_SPLIT = "2024-01-16"  # first half vs second half of the event month
+
+
+@register(
+    "stat_psi_drift",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(floor(value / {PSI_WIDTH}) AS BIGINT) AS bin,
+                   SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}'
+                            THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT}'
+                            THEN 1 ELSE 0 END) AS b
+            FROM events GROUP BY 1),
+        t AS (SELECT bin, a, b,
+                     SUM(a) OVER () AS ta, SUM(b) OVER () AS tb
+              FROM h)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               round(SUM(
+                   (CAST(a AS DOUBLE) / ta - CAST(b AS DOUBLE) / tb)
+                   * ln((CAST(a AS DOUBLE) / ta) / (CAST(b AS DOUBLE) / tb))
+               ), 6) AS psi
+        FROM t WHERE a > 0 AND b > 0
+    """,
+    tags=("A5", "A1"),
+)
+def q_stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between two time slices — drift
+    monitoring for a continuously-refreshed training corpus.
+
+    Both distributions come from ONE scan (conditional counts per bin),
+    so drift checking a 100 TB day-over-day feed costs a single pass and
+    a ~20-bin exchange; the float PSI sum runs over the tiny bin table.
+    Bins empty on either side are excluded (standard PSI practice — and
+    the ln() guard).
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    h = (
+        ev.select(
+            F.floor(F.col("value") / PSI_WIDTH).cast("long").alias("bin"),
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("ia"),
+            F.when(F.col("ts") >= split, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ia").alias("a"), F.sum("ib").alias("b"))
+    )
+    t = h.select(
+        "bin",
+        "a",
+        "b",
+        F.sum("a").over(Window.partitionBy()).alias("ta"),
+        F.sum("b").over(Window.partitionBy()).alias("tb"),
+    ).filter((F.col("a") > 0) & (F.col("b") > 0))
+    pa = F.col("a").cast("double") / F.col("ta")
+    pb = F.col("b").cast("double") / F.col("tb")
+    term = (pa - pb) * F.log(pa / pb)
+    return t.coalesce(1).agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )

@@ -431,3 +431,64 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(dec("value")).cast("double").alias("total"),
     )
+
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle=f"""
+        WITH p AS (
+            SELECT a.p_brand AS brand,
+                   levenshtein(a.p_name, b.p_name) AS d
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE a.p_name <> b.p_name
+              AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST})
+        SELECT brand,
+               COUNT(*) AS n_fuzzy_pairs,
+               CAST(SUM(d) AS BIGINT) AS dist_sum,
+               CAST(MIN(d) AS BIGINT) AS min_dist
+        FROM p GROUP BY brand
+    """,
+    tags=("J5", "F1"),
+)
+def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: edit-distance similarity join with BLOCKING.
+
+    The record-linkage workhorse: candidate pairs come only from within a
+    blocking key (brand), so the pair space is sum-of-block², never n² —
+    at 100 TB blocks are the shuffle partitions and each executor resolves
+    its own blocks.  Levenshtein runs JVM-side in codegen on candidates
+    only; the equality pre-filter removes exact dups before the O(len²)
+    distance.  (Both engines implement the same classic DP levenshtein.)
+    """
+    part = datasets.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+    )
+    d = F.levenshtein("na", "nb")
+    pairs = (
+        a.join(b, "brand")
+        .filter(
+            (F.col("ka") < F.col("kb"))
+            & (F.col("na") != F.col("nb"))
+            & (d <= FUZZY_MAX_DIST)
+        )
+        .select("brand", d.alias("d"))
+    )
+    return pairs.groupBy("brand").agg(
+        F.count("*").alias("n_fuzzy_pairs"),
+        F.sum("d").cast("long").alias("dist_sum"),
+        F.min("d").cast("long").alias("min_dist"),
+    )
