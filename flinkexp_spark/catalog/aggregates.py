@@ -687,3 +687,57 @@ def q_stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bins"),
         F.round(F.sum(term), 6).alias("psi"),
     )
+
+
+@register(
+    "agg_share_of_parent",
+    oracle=f"""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2)
+        SELECT region, nation,
+               CAST(rev AS DOUBLE) AS revenue,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE),
+                     6) AS share_of_region
+        FROM rev
+    """,
+    tags=("A1", "W3", "J6"),
+)
+def q_agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: nation revenue as a fraction of its
+    region — the BI ratio-to-report pattern.
+
+    The star join broadcasts every dim; revenue aggregates exactly in
+    decimal (order-independent), and the parent-normalizing window runs
+    over the O(nations) result — never over the fact.
+    """
+    from flinkexp_spark.catalog._util import dec
+
+    o = datasets.load(spark, sf_dir, "orders")
+    c = datasets.load(spark, sf_dir, "customer")
+    n = datasets.load(spark, sf_dir, "nation")
+    r = datasets.load(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        Window.partitionBy("region")
+    ).cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("share_of_region"),
+    )

@@ -302,3 +302,70 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri)
         .select("n_nodes", "n_edges", F.col("n_triangles").cast("long").alias("n_triangles"))
     )
+
+
+ATTR_WINDOW_S = 7 * 86400  # attribution lookback: 7 days
+
+
+@register(
+    "pattern_attribution_last_touch",
+    oracle=f"""
+        WITH pur AS (SELECT event_id, user_id, ts, value FROM events
+                     WHERE event_type = 'purchase'),
+        clk AS (SELECT event_id AS cid, user_id, ts AS cts FROM events
+                WHERE event_type = 'click'),
+        j AS (
+            SELECT p.event_id, p.value, c.cid,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.cts DESC, c.cid DESC) AS rn
+            FROM pur p JOIN clk c
+              ON p.user_id = c.user_id
+             AND c.cts <= p.ts
+             AND c.cts >= p.ts - INTERVAL {ATTR_WINDOW_S} SECONDS),
+        best AS (SELECT event_id, value FROM j WHERE rn = 1)
+        SELECT
+            CAST((SELECT COUNT(*) FROM pur) AS BIGINT) AS n_purchases,
+            CAST((SELECT COUNT(*) FROM best) AS BIGINT) AS n_attributed,
+            CAST((SELECT SUM(CAST(value AS DECIMAL(18,2))) FROM best)
+                 AS DOUBLE) AS attributed_value
+    """,
+    tags=("J7", "J9", "W1"),
+)
+def q_pattern_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the LAST click within a
+    7-day lookback (last-touch).
+
+    A bounded interval join on the entity key (state O(events-in-window),
+    the same eviction bound as every CEP pattern here) followed by a
+    per-purchase rank — deterministic tiebreak on the click id.  At scale
+    this is the streaming as-of shape: the click side is watermark-bounded
+    to the lookback horizon.
+    """
+    from flinkexp_spark.catalog._util import dec
+
+    ev = datasets.load(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+    )
+    j = pur.join(
+        clk,
+        (pur.user_id == clk.cuid)
+        & (clk.cts <= pur.ts)
+        & (clk.cts >= pur.ts - F.expr(f"INTERVAL {ATTR_WINDOW_S} SECONDS")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("cts"), F.desc("cid")
+    )
+    best = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    n_pur = pur.agg(F.count("*").alias("n_purchases"))
+    attr = best.agg(
+        F.count("*").alias("n_attributed"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+    )
+    return n_pur.crossJoin(attr)
