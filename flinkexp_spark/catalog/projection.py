@@ -277,3 +277,44 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("h").cast("long").alias("fingerprint"),
         )
     )
+
+
+@register(
+    "quality_fk_orphans",
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+                 AS BIGINT) AS orphan_lineitems,
+            CAST((SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey))
+                 AS BIGINT) AS childless_orders,
+            CAST((SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+                 AS BIGINT) AS orphan_orders
+    """,
+    tags=("J4", "A2"),
+)
+def q_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphans on both sides of the FK edges.
+
+    Each check is one ANTI join — at 100 TB the dim side broadcasts (or a
+    runtime bloom filter prunes the fact scan), so auditing every FK edge
+    of a star schema costs one pass per edge, not a join materialization.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = datasets.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = datasets.load(spark, sf_dir, "customer").select("c_custkey")
+    orphan_li = li.join(
+        o, li.l_orderkey == o.o_orderkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_lineitems"))
+    childless = o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_anti"
+    ).agg(F.count("*").alias("childless_orders"))
+    orphan_o = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_orders"))
+    return orphan_li.crossJoin(childless).crossJoin(orphan_o)
