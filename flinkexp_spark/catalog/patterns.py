@@ -369,3 +369,61 @@ def q_pattern_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(dec("value")).cast("double").alias("attributed_value"),
     )
     return n_pur.crossJoin(attr)
+
+
+@register(
+    "pattern_conversion_latency",
+    oracle="""
+        WITH first_signup AS (
+            SELECT user_id, MIN(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+        first_purchase AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN first_signup s
+              ON e.user_id = s.user_id AND e.ts > s.s_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id),
+        lat AS (
+            SELECT s.user_id,
+                   (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000
+                       AS latency_s
+            FROM first_signup s JOIN first_purchase p
+              ON s.user_id = p.user_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+               round(quantile_cont(latency_s, 0.9), 4) AS p90_s
+        FROM lat
+    """,
+    tags=("A6", "J1", "W2"),
+)
+def q_pattern_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort conversion latency: signup -> first-purchase delay percentiles.
+
+    Two keyed min-aggregates (map-side combined) and one tiny per-user
+    join — the latency table is O(users), so the exact percentile sorts
+    users, never events.  At 100 TB swap the exact percentile for the
+    mergeable histogram (`agg_histogram_quantile`) on the same latencies.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = s.join(p, "user_id").select(
+        (
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 1000000
+        ).cast("long").alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("latency_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", 0.9), 4).alias("p90_s"),
+    )

@@ -1294,3 +1294,57 @@ def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@register(
+    "stream_pipeline_enriched",
+    oracle="""
+        WITH uniq AS (
+            SELECT DISTINCT event_id, ts, user_id, event_type FROM events),
+        enriched AS (
+            SELECT u.*, n.n_name
+            FROM uniq u JOIN nation n
+              ON (u.user_id % 25) = n.n_nationkey)
+        SELECT strftime(make_timestamp(
+                   CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) * 1000000),
+                   '%Y-%m-%d %H:%M:%S') AS window_start,
+               n_name,
+               COUNT(*) AS n
+        FROM enriched
+        GROUP BY 1, 2
+    """,
+    tags=("T6", "J8", "T2", "T9"),
+)
+def q_stream_pipeline_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COMPOSITE: dedup -> static-dim enrich -> windowed count,
+    chained in ONE streaming query (the shape real ingest pipelines run).
+
+    The input is replayed with a duplicated file so the dedup stage is
+    load-bearing; state = dedup keys (watermark-evictable via
+    dropDuplicatesWithinWatermark at scale) + O(windows x dims) window
+    counts; the dim join broadcasts per micro-batch (stream-static).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    nation = datasets.load(spark, sf_dir, "nation")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        uniq = stream.dropDuplicates(["event_id"])
+        enriched = uniq.join(
+            F.broadcast(nation),
+            (F.col("user_id") % 25) == F.col("n_nationkey"),
+        )
+        return (
+            enriched.groupBy(F.window("ts", "1 day"), "n_name")
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = replay(
+        spark,
+        events,
+        transform,
+        output_mode="complete",
+        extra_files=[events],  # duplicate the input: dedup must earn its keep
+    )
+    return out.select(
+        F.expr(_WS).alias("window_start"), "n_name", "n"
+    )
