@@ -429,3 +429,58 @@ def q_agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "window_period_over_period",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+                   event_type,
+                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2),
+        w AS (
+            SELECT day_idx, event_type, cents,
+                   lag(cents) OVER (PARTITION BY event_type
+                                    ORDER BY day_idx) AS prev
+            FROM daily)
+        SELECT day_idx, event_type,
+               CAST(cents AS BIGINT) AS cents,
+               round((CAST(cents AS DOUBLE) - prev) / prev, 6) AS dod_change
+        FROM w WHERE prev IS NOT NULL AND day_idx < 19740
+    """,
+    tags=("W2", "A1"),
+)
+def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percentage change per series — the period-over-period
+    window every metrics dashboard runs.
+
+    The daily rollup is the only fact-sized stage (map-side-combined
+    integer cents, order-independent); lag() runs over the O(days x types)
+    series table.  Day 19740+ is excluded so sf-dir fixtures with partial
+    final days stay deterministic.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day_idx"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    prev = F.lag("cents").over(w)
+    return (
+        daily.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull() & (F.col("day_idx") < 19740))
+        .select(
+            "day_idx",
+            "event_type",
+            F.col("cents").cast("long").alias("cents"),
+            F.round(
+                (F.col("cents").cast("double") - F.col("prev")) / F.col("prev"), 6
+            ).alias("dod_change"),
+        )
+    )
