@@ -458,3 +458,51 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+SAMPLE_N_PER_GROUP = 20
+
+
+@register(
+    "sample_fixed_per_group",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {T.h64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                   ) AS rn
+            FROM documents)
+        SELECT lang, COUNT(*) AS n,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+        FROM r WHERE rn <= {SAMPLE_N_PER_GROUP}
+        GROUP BY lang
+    """,
+    tags=("W1", "A1"),
+)
+def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (eval-set construction): exactly N docs
+    per language, chosen by hash rank — deterministic across runs and
+    engines, unlike rand()-based sampling.
+
+    One rank window per group; at 100 TB groups are the shuffle partitions
+    and the rank early-outs at N per group under TakeOrderedAndProject-
+    style evaluation.  Hash ranking means adding documents to the corpus
+    changes the sample minimally (only hash-adjacent displacements), the
+    property eval-set stability needs.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        T.h64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    picked = (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_N_PER_GROUP)
+    )
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    )
