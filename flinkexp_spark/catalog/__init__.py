@@ -3,52 +3,52 @@
 Each module maps to a SURVEY.md §2 operator group.
 
 IMPORT ORDER IS REGISTRATION ORDER, and the driver's correctness gate walks
-the registry in registration order under a finite budget (round 1 stopped at
-50/104 queries).  Modules are therefore ordered by gate priority, NOT
-alphabetically:
+the registry in registration order under a finite budget (rounds 1 and 2
+each checked exactly the first 50 registered queries).  Modules are
+therefore ordered by gate priority, NOT alphabetically.
 
-1. Modules with no official green row in CORRECTNESS_r01.json register
-   FIRST (cheapest first), so they earn rows even if the gate stops early.
-2. Modules fully green in r01 follow (cheap before expensive; the
-   dedup/similarity/pipeline family — the most expensive oracle runs — go
-   last).
+Round-3 window (positions 1-50, pinned by tests/test_registry_window.py):
+    sources_io (15) + llm_textprep (5) + changelog (2) + retrieval (3)
+    + streaming_replay (25) = 50
+This gives first-ever official CORRECTNESS rows to every operator the
+round-2 judge flagged as never-checked: the whole S1-S11 source/sink
+surface and the streaming state ops T1, T5-T8, T10.  temporal + patterns
+register at positions 51-59 and lead the round-4 window together with the
+remaining never-official tail (sql_queries 10, projection 5, joins 3,
+aggregates 8, text_analysis 4, llm_multimodal 3, llm_similarity 3,
+llm_dedup 5, pipeline 4 — see COVERAGE.md rotation ledger).
 
-Round-2 note: the full registry (194 queries) clears the local gate sim in
-~200 s at sf0.01 (tools/gate_sim.py; hostile-conditions twin:
-tools/driver_sim.py — fresh /tmp cwd, plain session, non-UTC DuckDB TZ —
-193/193 plus entry), helped by the shared MinHash
-signature table and Lloyd-centroid cache — total cost is the knob that
-keeps every operator inside the driver's official artifact.  Every query
-also passes the hostile-session sweep (fresh /tmp process, non-UTC TZ,
-default-conf session — the driver's actual conditions).
+NEW QUERIES added this round MUST register at position 51+ (i.e. in a
+module imported after streaming_replay) so they cannot push a source or
+streaming query out of the official artifact; the window-pin test fails
+otherwise.
 """
 
 from flinkexp_spark.catalog import (  # noqa: F401
-    # --- no official r01 row yet: cheap batch groups first ----------------
-    scalar_funcs,  # F1-F9 (func_string was r01's last checked row)
-    setops,  # O1-O5
-    windows,  # W1-W5
-    subqueries,
-    wordcount,  # E2-E4 batch parity
-    udfs,  # U1-U4
-    sql_queries,  # TPC-H SQL surface
-    sources_io,  # S1-S11
-    llm_textprep,  # X4+ chunk/tokenize/redact (new in r2: no official row)
-    changelog,  # upsert/dynamic-table parity (new in r2: no official row)
-    patterns,  # CEP/MATCH_RECOGNIZE analogs (new in r2: no official row)
-    temporal,  # SCD2 build + point-in-time join (new in r2)
-    retrieval,  # BM25 search + prefix-filter exact Jaccard (new in r2)
-    # --- no official r01 row yet: streaming replays (highest fixed cost
-    #     of the unchecked set, so they close that block) ------------------
-    streaming_replay,  # T1-T10, E1-E7
-    # --- green in r01: cheap first ----------------------------------------
+    # --- round-3 official window: never-checked modules, cheap first ------
+    sources_io,  # S1-S11 (15)
+    llm_textprep,  # X4+ chunk/tokenize/redact (5)
+    changelog,  # upsert/dynamic-table parity (2)
+    retrieval,  # BM25 search + prefix-filter exact Jaccard (3)
+    streaming_replay,  # T1-T10, E1-E7 (25; highest fixed cost -> close the window)
+    # --- positions 51+: next rotation (r04 window head) -------------------
+    temporal,  # SCD2 build + point-in-time join (2)
+    patterns,  # CEP/MATCH_RECOGNIZE analogs (7)
+    # --- never-official tails of partially-green modules ------------------
+    sql_queries,  # TPC-H SQL surface (13 green r02, 10 unofficial)
     projection,  # P1-P4
     joins,  # J1-J9
     aggregates,  # A1-A9
     text_analysis,  # X4
     llm_multimodal,  # X5
-    # --- green in r01: the expensive tail ---------------------------------
     llm_similarity,  # X3
     llm_dedup,  # X1, X2
     pipeline,  # composites
+    # --- fully green in r01/r02 -------------------------------------------
+    scalar_funcs,  # F1-F9
+    setops,  # O1-O5
+    windows,  # W1-W5
+    subqueries,
+    wordcount,  # E2-E4 batch parity
+    udfs,  # U1-U4
 )
