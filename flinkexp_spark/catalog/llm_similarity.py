@@ -189,10 +189,18 @@ IVF_FP = 1_000_000  # fixed-point scale for centroid means (see below)
 # queries stay bit-aligned.
 
 def _int8_scale(vec: str = "embedding"):
-    return F.aggregate(
-        F.transform(F.col(vec), lambda x: F.abs(x.cast("double"))),
-        F.lit(float("-inf")).cast("double"),
-        lambda a, b: F.greatest(a, b),
+    # Clamped to 1e-30: an all-zero vector has max-abs 0 (x*127/0 -> NaN/Inf
+    # codes, which Spark casts to NULL but DuckDB's CAST(floor(nan)) errors),
+    # and an empty vector leaves the fold at its -inf init.  The clamp maps
+    # both to codes of all-zero / empty in BOTH engines (mirrored in
+    # _SCALE_SQL below).
+    return F.greatest(
+        F.aggregate(
+            F.transform(F.col(vec), lambda x: F.abs(x.cast("double"))),
+            F.lit(float("-inf")).cast("double"),
+            lambda a, b: F.greatest(a, b),
+        ),
+        F.lit(1e-30),
     )
 
 
@@ -569,8 +577,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ADC search: int8 coarse scan + float re-rank ---------------------------
 ADC_COARSE_C = 40  # candidates per probe surviving the int8 stage
 
+# coalesce: DuckDB's list_aggregate over an empty list yields NULL (Spark's
+# fold yields its -inf init); greatest+1e-30 clamp matches _int8_scale.
 _SCALE_SQL = (
-    "list_aggregate(list_transform({v}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+    "greatest(coalesce(list_aggregate("
+    "list_transform({v}, x -> abs(CAST(x AS DOUBLE))), 'max'), 0.0), 1e-30)"
 )
 _QV_SQL = (
     "list_transform({v}, x -> "

@@ -1,0 +1,51 @@
+"""Make ``google.protobuf`` importable without pip when possible.
+
+``transformWithStateInPandas`` (the T7 forward path) talks to Spark's
+state server over protobuf-serialized messages, so both the driver and the
+Python workers must import ``google.protobuf``.  The test container has no
+pip protobuf and no network, but the host's Google Cloud SDK bundles the
+pure-Python protobuf runtime.  ``ensure_protobuf()`` feature-detects in
+order:
+
+1. a real installed ``google.protobuf`` — use it, no shim;
+2. the bundled SDK runtime — bridge it in via ``pbshim/google`` (which
+   extends the namespace path and relaxes the gencode/runtime
+   minor-version validator; see that module's docstring);
+3. neither — return False, callers skip.
+
+Worker processes see the same shim because the shim directory is prepended
+to ``PYTHONPATH`` — call this BEFORE the SparkSession (and its JVM) is
+created so the Python-worker environment inherits it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+
+
+def ensure_protobuf() -> bool:
+    """True if ``google.protobuf`` is importable (natively or via shim)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if "google" in sys.modules:  # a half-imported 'google' would shadow the shim
+        del sys.modules["google"]
+    if _SHIM_DIR not in sys.path:
+        sys.path.insert(0, _SHIM_DIR)
+    existing = os.environ.get("PYTHONPATH", "")
+    if _SHIM_DIR not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _SHIM_DIR + (os.pathsep + existing if existing else "")
+        )
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False

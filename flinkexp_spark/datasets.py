@@ -10,6 +10,7 @@ pushes filters into the parquet row-group stats.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,26 +89,27 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
-# app_id -> the sf_dir whose tables the views CURRENTLY point at.  A plain
-# "seen" set would be wrong: the view names are unqualified, so alternating
-# sf_dirs in one session must re-register (last writer wins), and a skip
-# would silently query the other scale's tables.
-_VIEWS_CURRENT: dict[str, str] = {}
+# SparkSession -> the sf_dir whose tables the views CURRENTLY point at.
+# Keyed by the SESSION (weakly), not applicationId: temp views are
+# session-scoped, so two sessions in one application (spark.newSession())
+# must each register their own views — an app-level memo would skip the
+# second session and its SQL queries would fail on missing views.  A plain
+# "seen" set would also be wrong: the view names are unqualified, so
+# alternating sf_dirs in one session must re-register (last writer wins).
+_VIEWS_CURRENT: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql`` queries.
 
-    Memoized per application: ~24 SQL-entry queries call this on every
+    Memoized per session: ~24 SQL-entry queries call this on every
     invocation, and re-reading 10 parquet footers per query is pure
-    repeated I/O.  Re-registers whenever sf_dir differs from what the views
-    currently point at; entries of stopped applications are evicted.
+    repeated I/O.  Re-registers whenever sf_dir differs from what this
+    session's views currently point at; stopped sessions fall out of the
+    weak dict on their own.
     """
-    app_id = spark.sparkContext.applicationId
-    for stale in [k for k in _VIEWS_CURRENT if k != app_id]:
-        del _VIEWS_CURRENT[stale]
-    if _VIEWS_CURRENT.get(app_id) == sf_dir:
+    if _VIEWS_CURRENT.get(spark) == sf_dir:
         return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_CURRENT[app_id] = sf_dir
+    _VIEWS_CURRENT[spark] = sf_dir

@@ -60,20 +60,51 @@ def merge_upsert(
     updates,
     key: str,
     op_col: str = "op",
+    check_unique: bool = True,
 ):
     """MERGE INTO semantics as one full-outer join (Delta/Iceberg analog).
 
     ``updates[op_col]``: 'U'/'I' rows replace-or-insert, 'D' rows delete.
     Returns the merged table with the target's columns.
 
+    Contract (enforced, matching SQL MERGE): ``updates`` must carry every
+    target column (schema-checked eagerly) and at most one row per key —
+    SQL MERGE raises on multiple source matches, so by default this runs a
+    small uniqueness assertion on the change set (one extra tiny job; pass
+    ``check_unique=False`` only when the caller has already deduped, e.g.
+    a keyed ``row_number() == 1``).
+
     Scale design: MERGE is exactly one join on the key — broadcast when
     the change set is small (the overwhelmingly common case: daily deltas
     vs a 100 TB base), else a key shuffle that a bucketed base avoids on
-    its side.  Real lakehouse MERGE additionally limits the rewrite to
-    files containing matched keys (copy-on-write); the join below is that
-    operation's dataflow, with file pruning delegated to the table format.
+    its side.  The uniqueness check aggregates only the change set (never
+    the base table).  Real lakehouse MERGE additionally limits the rewrite
+    to files containing matched keys (copy-on-write); the join below is
+    that operation's dataflow, with file pruning delegated to the table
+    format.
     """
     from pyspark.sql import functions as F
+
+    missing = [c for c in target.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"merge_upsert: updates is missing target columns {missing}; "
+            "MERGE needs every target value column in the change set"
+        )
+    if check_unique:
+        dup = (
+            updates.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .select(key)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert: duplicate keys in change set (SQL MERGE "
+                f"raises on multiple source matches): {[r[0] for r in dup]}"
+            )
 
     t = target.alias("t")
     u = updates.alias("u")

@@ -46,6 +46,14 @@ def get_session(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # Before the JVM launches: make google.protobuf importable (natively or
+    # via the SDK bridge) so transformWithStateInPandas workers — which
+    # inherit PYTHONPATH from this process — can reach the state server.
+    # No-op when protobuf is pip-installed; harmless when unavailable.
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -79,12 +79,19 @@ class _stream_partitions:
         "spark.sql.streaming.stateStore.providerClass": REPLAY_STATE_PROVIDER,
     }
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, state_provider: str | None = None):
         self.spark = spark
+        self.keys = dict(self._KEYS)
+        if state_provider is not None:
+            # Per-replay override: transformWithStateInPandas needs multiple
+            # state column families, which only RocksDB supports.
+            self.keys["spark.sql.streaming.stateStore.providerClass"] = (
+                _PROVIDERS[state_provider]
+            )
 
     def __enter__(self):
-        self.saved = {k: self.spark.conf.get(k) for k in self._KEYS}
-        for k, v in self._KEYS.items():
+        self.saved = {k: self.spark.conf.get(k) for k in self.keys}
+        for k, v in self.keys.items():
             self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
@@ -108,6 +115,7 @@ def replay(
     sentinel_df: DataFrame | None = None,
     use_checkpoint: bool = False,
     extra_files: list[DataFrame] | None = None,
+    state_provider: str | None = None,
 ) -> DataFrame:
     """Replay ``source_df`` through Structured Streaming; return the sink table.
 
@@ -180,7 +188,7 @@ def replay(
             writer = writer.option(
                 "checkpointLocation", os.path.join(work, "checkpoint")
             )
-        with _stream_partitions(spark):
+        with _stream_partitions(spark, state_provider=state_provider):
             q = writer.start()
             q.awaitTermination()
         # Materialize before dropping the sink table.

@@ -289,8 +289,12 @@ def test_kv_sink_no_driver_collect():
 
 def test_transform_with_state_parity(spark):
     """T7 forward path (transformWithStateInPandas): gated on protobuf,
-    which the state-server IPC requires."""
-    pytest.importorskip("google.protobuf.descriptor")
+    which the state-server IPC requires (pip install OR the SDK bridge in
+    flinkexp_spark/compat/protobuf_shim.py)."""
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available (pip or SDK bridge)")
     from flinkexp_spark.streaming.replay import replay
     from flinkexp_spark.streaming.stateful import running_totals_tws_transform
 
@@ -304,6 +308,7 @@ def test_transform_with_state_parity(spark):
     out = replay(
         spark, events, running_totals_tws_transform,
         output_mode="update", use_checkpoint=True,
+        state_provider="rocksdb",  # multiple column families need RocksDB
     )
     got = {r.user_id: (r.n_events, r.value_cents) for r in out.collect()}
     assert got == {7: (2, 375), 9: (1, 75)}
