@@ -117,6 +117,42 @@ def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_meta",
+    # Oracle mirrors the JFIF construction arithmetically: SOF0 dimensions
+    # from the row, DQT coefficient i = (md5_byte0 + 7i) % 255 + 1 — so the
+    # PARSED header fields and coefficient sum are exactly checkable
+    # without a JPEG library.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) % {M.JPEG_MAX_DIM} + 1 AS w,
+                   doc_id % {M.JPEG_MAX_DIM} + 1 AS h,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        qc AS (SELECT doc_id, w, h, s, unnest(range(64)) AS i FROM m)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_components,
+               CAST(8 AS BIGINT) AS precision,
+               CAST(SUM((s + 7 * i) % 255 + 1) AS BIGINT) AS dqt_sum
+        FROM qc GROUP BY 1, 2, 3
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL compressed-container metadata parse — encode each doc as a
+    marker-correct baseline JPEG (JFIF APP0, DQT, SOF0, DHT, SOS segments
+    with true big-endian lengths), then walk the segments back in
+    mapInPandas pulling dimensions, precision, component count, and the
+    quantization-table sum.  This is what `identify`/PIL `.size` do; only
+    the entropy decode stays stubbed (functions/multimodal.py
+    decode_image)."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.decode_jpeg_meta(M.with_jpeg_payload(docs))
+
+
+@register(
     "multimodal_decode_wav",
     # Oracle mirrors the PCM synthesis arithmetically: rate and sample count
     # from the row, sample_i = (md5_byte0*257 + i*9973) % 65536 - 32768 — so

@@ -170,14 +170,22 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_K = 8       # coarse-quantizer cells; seed centroids = embeddings vec_id < K
-# nprobe is THE recall/cost knob: cost ~ nprobe/K of brute force.  Measured
-# recall@10 on the sf0.01 fixture (500 vecs, Lloyd-refined cells): nprobe=2
-# -> 0.63, 3 -> 0.76, 4 -> 0.82.  The fixture corpus is tiny, so the exact
-# top-10 necessarily spans cells (beyond-cluster neighbors) — recall at
-# fixed nprobe is a property of the DATA's neighbor structure, not centroid
-# quality; at production scale (cells >> probes, neighbors concentrated)
-# the same index runs nprobe<<K.  Default 4 = floor-tested recall >=0.8.
-IVF_NPROBE = 4
+# Recall/cost knobs.  Scan cost ~ (IVF_REPL * IVF_NPROBE)/K of brute force:
+# each corpus vector is indexed into its IVF_REPL nearest cells (boundary
+# replication, the SPANN/cluster-overlap trick), and each query probes its
+# IVF_NPROBE nearest cells.  Measured recall@10 on the sf0.01 fixture
+# (500 vecs, 2 Lloyd rounds):
+#     R=1: nprobe 2 -> 0.63, 3 -> 0.76, 4 -> 0.82   (more Lloyd iters do
+#          NOT move these — recall at fixed nprobe is bound by the DATA's
+#          neighbor structure, not centroid quality)
+#     R=2: nprobe 2 -> 0.82, 3 -> 0.905
+# R=2/nprobe=2 scans the same candidate volume as R=1/nprobe=4 but halves
+# the query-side probe fan-out by paying 2x index storage — the right trade
+# when queries outnumber index builds (always, at serving scale).  Boundary
+# vectors are exactly the ones replication catches: their true neighbors
+# straddle the cell wall.  Default floor-tested recall >=0.8 at nprobe=2.
+IVF_NPROBE = 2
+IVF_REPL = 2    # corpus-side multi-assignment (cells per indexed vector)
 IVF_ITERS = 2   # Lloyd refinement rounds (k-means with deterministic seed)
 IVF_FP = 1_000_000  # fixed-point scale for centroid means (see below)
 
@@ -354,11 +362,14 @@ def _ivf_oracle_sql() -> str:
                    ) AS crnk
             FROM embeddings e CROSS JOIN {final} c),
         cells AS (SELECT vec_id AS match_id, embedding AS cv, cent_id AS cell
-                  FROM aff WHERE crnk = 1),
+                  FROM aff WHERE crnk <= {IVF_REPL}),
         probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
                    FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {IVF_NPROBE}),
+        -- DISTINCT: with replication a (query, match) pair can meet in up to
+        -- REPL*NPROBE shared cells; score is pair-deterministic so dedup is
+        -- exact
         p AS (
-            SELECT q.query_id, c.match_id,
+            SELECT DISTINCT q.query_id, c.match_id,
                    round({V.cosine_sql('q.qv', 'c.cv')},
                          {V.COS_DECIMALS}) AS score
             FROM probes q JOIN cells c
@@ -380,16 +391,18 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer sums are order-independent, so Spark and the oracle build
     bit-identical centroids — no RNG, no float-sum drift).  Corpus side:
     each round is one pass scoring K broadcast centroids + one (cell, pos)
-    agg — the standard distributed k-means cost.  Then the candidate join
-    touches only nprobe/K of the corpus per query.  At 100 TB the cells are
-    the partition key of the index layout, so a probe reads nprobe
-    partitions instead of the full corpus; recall is tuned by nprobe, cost
-    is nprobe/K of brute force.
+    agg — the standard distributed k-means cost.  The index lists each
+    corpus vector under its IVF_REPL nearest cells (boundary replication),
+    and the candidate join then touches only REPL*nprobe/K of the corpus
+    per query.  At 100 TB the cells are the partition key of the index
+    layout, so a probe reads nprobe partitions instead of the full corpus;
+    recall is tuned by (REPL, nprobe), cost is REPL*nprobe/K of brute
+    force — see the knob comment above for measured recall.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
     cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
     ranked = _ivf_assign_df(emb, cent)
-    cells = ranked.filter(F.col("crnk") == 1).select(
+    cells = ranked.filter(F.col("crnk") <= IVF_REPL).select(
         F.col("vec_id").alias("match_id"),
         F.col("embedding").alias("cv"),
         F.col("cent_id").alias("cell"),
@@ -411,6 +424,10 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_id",
             F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
         )
+        # with replication a pair can meet in several shared cells; the
+        # score is pair-deterministic, so pair-dedup is exact (oracle
+        # mirrors with SELECT DISTINCT)
+        .dropDuplicates(["query_id", "match_id"])
     )
     return _topk(scored)
 

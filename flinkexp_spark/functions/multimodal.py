@@ -225,6 +225,141 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# --- real codec: JPEG (baseline JFIF, metadata) -----------------------------
+# Compressed-format seam exercised for REAL at the container level: the
+# payload is a structurally valid baseline JPEG (SOI, APP0/JFIF, DQT, SOF0,
+# DHT, SOS, EOI — true markers with big-endian segment lengths), and the
+# decoder is a genuine segment walker that skips unknown segments by length
+# and extracts SOF0 dimensions + DQT coefficients, i.e. exactly what
+# identify/PIL's .size does without entropy-decoding the image.  Only the
+# entropy-coded MCU payload is absent (that step needs a Huffman decoder —
+# the one remaining stub, decode_image below).
+
+JPEG_MAX_DIM = 16  # fixture images are (strlen%16+1) x (doc_id%16+1)
+
+
+def with_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload: marker-correct JFIF stream whose
+    SOF0 dimensions derive from the row and whose DQT coefficients cycle
+    from md5(text)'s first byte — deterministic, so the parsed metadata is
+    oracle-checkable."""
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def jpeg(doc_id: int, text: str) -> bytes:
+            w = len(text.encode("utf-8")) % JPEG_MAX_DIM + 1
+            h = doc_id % JPEG_MAX_DIM + 1
+            s = hashlib.md5(text.encode("utf-8")).digest()[0]
+            out = bytearray(b"\xff\xd8")  # SOI
+            # APP0 / JFIF: version 1.1, no density, no thumbnail
+            out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            out += struct.pack(">HHBB", 1, 1, 0, 0)
+            # DQT: one 8-bit table (pq=0, tq=0), 64 coefficients in 1..255
+            q = bytes((s + i * 7) % 255 + 1 for i in range(64))
+            out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+            # SOF0: precision 8, h x w, 3 components (4:2:0 luma sampling)
+            out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            out += bytes((1, 0x22, 0)) + bytes((2, 0x11, 0)) + bytes((3, 0x11, 0))
+            # DHT: one table slot with zero codes (no entropy data follows)
+            out += b"\xff\xc4" + struct.pack(">H", 19) + b"\x00" + b"\x00" * 16
+            # SOS: 3 components, spectral selection 0..63
+            out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+            out += bytes((1, 0x00, 2, 0x11, 3, 0x11)) + bytes((0, 63, 0))
+            out += b"\xff\xd9"  # EOI
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        jpeg(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def decode_jpeg_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG metadata parse: walk the marker segments (skipping
+    unknown ones by their big-endian length — the property that makes this
+    work on ANY baseline JFIF, not just the fixture's), pull dimensions /
+    precision / component count from SOF0 and the coefficient sum from DQT,
+    stop at SOS.  No entropy decode (that is decode_image's stub)."""
+
+    def decode(batches):
+        import struct
+
+        import pandas as pd
+
+        def meta(payload: bytes):
+            if payload[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG (missing SOI)")
+            pos = 2
+            width = height = n_comp = precision = None
+            dqt_sum = 0
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    raise ValueError(f"bad marker alignment at {pos}")
+                marker = payload[pos + 1]
+                if marker == 0xD9:  # EOI
+                    break
+                (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+                body = payload[pos + 4 : pos + 2 + seg_len]
+                if marker == 0xDB:  # DQT: 1+ tables per segment
+                    i = 0
+                    while i < len(body):
+                        pq = body[i] >> 4  # 0 = 8-bit, 1 = 16-bit entries
+                        n = 64 * (2 if pq else 1)
+                        tbl = body[i + 1 : i + 1 + n]
+                        if pq:
+                            dqt_sum += sum(
+                                struct.unpack(f">{64}H", tbl)
+                            )
+                        else:
+                            dqt_sum += sum(tbl)
+                        i += 1 + n
+                elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    precision, height, width, n_comp = struct.unpack_from(
+                        ">BHHB", body, 0
+                    )
+                elif marker == 0xDA:  # SOS: entropy data follows, stop
+                    break
+                pos += 2 + seg_len
+            if width is None:
+                raise ValueError("no SOF marker before SOS")
+            return width, height, n_comp, precision, dqt_sum
+
+        for pdf in batches:
+            rows = [meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "height": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "n_components": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "precision": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "dqt_sum": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, n_components long, "
+            "precision long, dqt_sum long"
+        ),
+    )
+
+
 # --- real codec: WAV (RIFF PCM) ---------------------------------------------
 # Second modality exercised END-TO-END: 16-bit mono PCM WAV, written and
 # parsed with the stdlib ``wave`` module — a true container encode/decode
@@ -327,10 +462,13 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # --- stubbed codecs (no media libraries in this environment) ---------------
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: decode image bytes -> (height, width, channels).
+    """STUB: decode compressed image bytes -> pixel data.
 
     Requires an image codec (PIL/opencv) — not available here.  The
-    mapInPandas shape is identical to :func:`extract_binary_metadata`.
+    container-level JPEG metadata parse (dimensions, DQT) is handled for
+    real by :func:`decode_jpeg_meta`; this stub is the remaining
+    entropy-decode step.  The mapInPandas shape is identical to
+    :func:`extract_binary_metadata`.
     """
     raise NotImplementedError(
         "image decode requires PIL/opencv; wire the codec into a mapInPandas "

@@ -102,6 +102,21 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """S5 option wiring, jar-free: exactly the keys Spark's kafka connector
+    reads (KafkaSourceProvider).  Split out so the wiring is testable in
+    environments without the connector jars/broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -117,11 +132,20 @@ def kafka_source(
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
     )
+
+
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """S5 sink option wiring, jar-free (see kafka_source_options)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
 
 
 def kafka_sink_writer(
@@ -129,11 +153,8 @@ def kafka_sink_writer(
 ):
     """S5 sink side: value must be string/binary; returns the unstarted writer."""
     out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
-    return (
-        out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+    return out.writeStream.format("kafka").options(
+        **kafka_sink_options(bootstrap_servers, topic, checkpoint)
     )
 
 

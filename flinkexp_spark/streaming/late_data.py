@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -44,26 +44,34 @@ class LateRowRouter:
         self.watermark: datetime | None = None
 
     def __call__(self, df: DataFrame, epoch: int) -> None:
-        df = df.persist()
+        # max(ts) rides the cache-materializing pass as an observed metric —
+        # no separate agg/collect job over the batch.  count() (not
+        # isEmpty/limit) so the observation sees EVERY row; the late/on_time
+        # subsets below then scan the populated cache.
+        obs = Observation()
+        df = df.observe(obs, F.max(F.col(self.ts_col)).alias("max_ts")).persist()
         try:
+            n_rows = df.count()
             if self.watermark is None:
                 late = df.limit(0)
+                late_empty = True
                 on_time = df
             else:
                 is_late = F.col(self.ts_col) < F.lit(self.watermark)
                 late = df.filter(is_late)
+                late_empty = late.isEmpty()
                 on_time = df.filter(~is_late)
 
             # skip the write when nothing is late (incl. the guaranteed-
             # empty first batch): one empty parquet file per micro-batch is
             # exactly the small-file blowup maintenance.compact exists for
-            if self.side_path is not None and not late.isEmpty():
+            if self.side_path is not None and not late_empty:
                 late.write.mode("append").parquet(self.side_path)
             if self.on_late is not None:
                 self.on_late(late, epoch)
             self.on_time(on_time, epoch)
 
-            mx = df.agg(F.max(self.ts_col).alias("m")).collect()[0]["m"]
+            mx = obs.get["max_ts"] if n_rows else None
             if mx is not None:
                 cand = mx - self.delay
                 if self.watermark is None or cand > self.watermark:

@@ -168,6 +168,44 @@ def test_y4m_sampler_rejects_malformed_streams(spark, sf_dir):
         run(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + b"\x00" * 5)
 
 
+def test_jpeg_meta_parser_rejects_malformed_streams(spark, sf_dir):
+    """Corrupt JPEG containers must fail loudly, not produce silent garbage;
+    and the parser must handle real-JFIF variations the fixture doesn't
+    emit (16-bit DQT tables, skipped unknown segments)."""
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    def run(payload: bytes):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+            schema="doc_id long, payload binary",
+        )
+        return M.decode_jpeg_meta(df).collect()
+
+    with _pytest.raises(Exception, match="missing SOI"):
+        run(b"\x89PNG\r\n")
+    with _pytest.raises(Exception, match="bad marker alignment"):
+        run(b"\xff\xd8" + b"\x00\x00\x00\x00")
+    with _pytest.raises(Exception, match="no SOF marker"):
+        # SOI then straight to SOS: dimensions never declared
+        run(b"\xff\xd8\xff\xda" + struct.pack(">HB", 12, 3) + b"\x00" * 9)
+
+    # generality: 16-bit (pq=1) DQT + an APPn segment the fixture never
+    # writes; the walker must skip/parse both
+    seg = bytearray(b"\xff\xd8")
+    seg += b"\xff\xee" + struct.pack(">H", 8) + b"Adobe!"  # APP14, skipped
+    q16 = struct.pack(">64H", *range(1, 65))
+    seg += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + b"\x10" + q16
+    seg += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 4, 6, 3)
+    seg += bytes((1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg += b"\xff\xd9"
+    row = run(bytes(seg))[0]
+    assert (row.width, row.height, row.precision, row.n_components) == (6, 4, 8, 3)
+    assert row.dqt_sum == sum(range(1, 65))
+
+
 def test_binary_payload_schema(spark, sf_dir):
     docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(5))
     schema = dict(docs.dtypes)
@@ -176,12 +214,12 @@ def test_binary_payload_schema(spark, sf_dir):
 
 
 def test_ivf_recall_beats_floor(spark, sf_dir):
-    """IVF (Lloyd-refined cells, nprobe=4 of 8) must recover >=80% of the
-    exact top-10.
+    """IVF (Lloyd-refined cells, R=2 boundary replication, nprobe=2 of 8)
+    must recover >=80% of the exact top-10.
 
-    (Measured 0.82 at sf0.01 / higher at sf0.001; a random cell assignment
-    would score ~nprobe/K = 0.5, a broken quantizer well below that plus a
-    broken candidate join near zero.)
+    (Measured 0.82 at sf0.01 / higher at sf0.001; without replication
+    nprobe=2 measures 0.63, a random cell assignment ~R*nprobe/K = 0.5,
+    and a broken candidate join near zero.)
     """
     from flinkexp_spark.registry import queries
 
@@ -216,6 +254,56 @@ def test_bucketed_signature_table_matches_checkpoint(spark, sf_dir):
         with contextlib.redirect_stdout(buf):
             bk.join(probe.hint("merge"), "doc_id").explain("formatted")
         assert "Bucketed: true" in buf.getvalue()
+    finally:
+        _SIG_CACHE.pop(
+            (spark.sparkContext.applicationId, sf_dir, "bucketed"), None
+        )
+
+
+def test_bucketed_sig_mode_env_var_drives_lsh(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_SIG_MATERIALIZE=bucketed (the 100 TB materialization
+    path) must flow through the env var into `dedup_minhash_lsh`: same
+    pairs as checkpoint mode, bucketed signature scans in the executed
+    plan, and bucket pruning (SelectedBucketsCount) on doc_id-filtered
+    access."""
+    import contextlib
+    import io
+
+    from flinkexp_spark.catalog.llm_dedup import _SIG_CACHE, signature_table
+    from flinkexp_spark.registry import queries
+
+    baseline = sorted(
+        map(tuple, queries()["dedup_minhash_lsh"](spark, sf_dir).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SIG_MATERIALIZE", "bucketed")
+    try:
+        out = queries()["dedup_minhash_lsh"](spark, sf_dir)
+        assert sorted(map(tuple, out.collect())) == baseline
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        assert "Bucketed: true" in buf.getvalue(), (
+            "env-var mode did not route the LSH join through the bucketed "
+            "signature table"
+        )
+
+        # bucket pruning: an equality predicate on the bucket column must
+        # restrict the scan to 1 of the 16 buckets.  autoBucketedScan is
+        # toggled off for the probe because DisableUnnecessaryBucketedScan
+        # strips bucket info from filter-only scans (no shuffle to save);
+        # pruning evidence needs the bucketed scan kept.
+        bk = signature_table(spark, sf_dir, mode="bucketed")
+        auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        saved = spark.conf.get(auto_key)
+        try:
+            spark.conf.set(auto_key, "false")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                bk.filter(F.col("doc_id") == 5).explain("formatted")
+            assert "SelectedBucketsCount: 1 out of 16" in buf.getvalue()
+        finally:
+            spark.conf.set(auto_key, saved)
     finally:
         _SIG_CACHE.pop(
             (spark.sparkContext.applicationId, sf_dir, "bucketed"), None

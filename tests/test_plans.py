@@ -144,10 +144,43 @@ def test_aqe_splits_skewed_join(spark):
             spark.conf.set(k, v)
 
 
+def test_kafka_option_wiring_offline(spark):
+    """S5 structural contract, jar-free: CANNOT skip.  The option wiring is
+    pure python; assert the exact keys Spark's KafkaSourceProvider reads,
+    so S5 always has an executed structural check even in sandboxes
+    without connector jars or a broker."""
+    from flinkexp_spark.sources.connectors import (
+        kafka_sink_options,
+        kafka_sink_writer,
+        kafka_source_options,
+    )
+
+    src_opts = kafka_source_options("broker:9092", "events_topic")
+    assert src_opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "events_topic",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_source_options("b:9092", "t", "latest")["startingOffsets"] == "latest"
+    snk_opts = kafka_sink_options("broker:9092", "out_topic", "/ckpt")
+    assert snk_opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "topic": "out_topic",
+        "checkpointLocation": "/ckpt",
+    }
+    # the sink writer builds (to_json projection + format binding) without
+    # jars — nothing connects until start()
+    stream_like = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS v"
+    )
+    assert kafka_sink_writer(stream_like, "broker:9092", "out_topic", "/ckpt") is not None
+
+
 def test_kafka_source_builds_streaming_plan(spark):
-    """S5 structural contract: the Kafka reader builds a STREAMING DataFrame
-    with the connector's canonical schema — verifiable without a broker
-    (.load() only binds options; no connection happens until start())."""
+    """S5 structural contract, jar-gated: the Kafka reader builds a
+    STREAMING DataFrame with the connector's canonical schema — verifiable
+    without a broker (.load() only binds options; no connection happens
+    until start())."""
     import pytest
 
     from flinkexp_spark.sources.connectors import kafka_sink_writer, kafka_source
