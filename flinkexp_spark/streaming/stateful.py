@@ -49,11 +49,12 @@ def running_totals_tws_transform(stream: DataFrame) -> DataFrame:
     Same contract as :func:`running_totals_transform` — per-user
     (count, cents) running totals emitted each batch.
 
-    ENVIRONMENT-GATED: the state-server IPC needs ``google.protobuf``,
-    absent in this container — the replay test skips when the import fails
-    (tests/test_streaming.py::test_transform_with_state_parity); the
-    registered T7 query uses :func:`running_totals_transform`, which has no
-    extra dependency.
+    CAPABILITY-GATED: the state-server IPC needs ``google.protobuf`` on
+    driver AND workers (compat/protobuf_shim.py bridges the host SDK's
+    runtime when pip protobuf is absent).  The registered query
+    ``stream_stateful_totals_tws`` (catalog/streaming_tws.py) probes the
+    worker environment and falls back to :func:`running_totals_transform`
+    — same contract, no extra dependency — when the probe fails.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor

@@ -92,6 +92,10 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
     df.collect()
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
+    # An executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections; keep only the final one or every
+    # operator double-counts.
+    plan = plan.split("== Initial Plan ==")[0]
     formatted = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -103,7 +107,12 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
         "smj": plan.count("SortMergeJoin"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": plan.count("CartesianProduct"),
-        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # tree strings mark codegen spans as "*(n) Operator"; the formatted
+        # mode's "WholeStageCodegen (n)" headers also appear there
+        "codegen": len(
+            set(re.findall(r"\*\((\d+)\)", plan))
+            | set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted))
+        ),
         "python": sorted({op for op in PY_OPS if op in plan}),
         "pushed": [s for s in scans if s],
         "schemas": [s[: 100] + ("..." if len(s) > 100 else "") for s in schemas],
