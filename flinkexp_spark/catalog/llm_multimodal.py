@@ -191,6 +191,80 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_ogg_meta",
+    # Oracle mirrors the Ogg construction arithmetically: page count from
+    # doc_id, page-i body length (strlen + i) % 32 + 1, body byte j =
+    # (md5_byte0 + j) % 256, granule accumulating body bytes — so the
+    # WALKED page metadata is exactly checkable without a vorbis decoder.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   doc_id % {M.OGG_MAX_PAGES} + 1 AS n_pages,
+                   strlen(text) AS bl,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        pg AS (SELECT doc_id, s, bl, unnest(range(n_pages)) AS i FROM m),
+        pl AS (SELECT doc_id, s, i, (bl + i) % {M.OGG_MAX_BODY} + 1 AS L
+               FROM pg),
+        bt AS (SELECT doc_id, s, i, L, unnest(range(L)) AS j FROM pl),
+        pp AS (SELECT doc_id, s, i, L, SUM((s + j) % 256) AS psum
+               FROM bt GROUP BY 1, 2, 3, 4)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(L) AS BIGINT) AS n_body_bytes,
+               CAST(SUM(psum) AS BIGINT) AS body_sum,
+               CAST(SUM(L) AS BIGINT) AS last_granule,
+               CAST(s AS BIGINT) AS serial
+        FROM pp GROUP BY doc_id, s
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL Ogg container walk — encode each doc as a spec-correct Ogg
+    page sequence (captures, LE header fields, BOS/EOS flags, lacing),
+    then walk the pages back in mapInPandas checking flag placement and
+    sequence continuity.  ogginfo-level metadata; only the packet DSP
+    decode stays stubbed (functions/multimodal.py decode_audio)."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.decode_ogg_meta(M.with_ogg_payload(docs))
+
+
+@register(
+    "multimodal_decode_mp3_meta",
+    # Oracle mirrors the MP3 frame arithmetic: frame count and bitrate
+    # index from doc_id, frame length 144*kbps*1000 // 44100 + padding
+    # (padding alternates), duration n*1152*1000 // rate — the exact
+    # constant-bitrate duration-probe math.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   doc_id % {M.MP3_MAX_FRAMES} + 1 AS n_frames,
+                   CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+                        ELSE 320 END AS kbps
+            FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(kbps AS BIGINT) AS bitrate_kbps,
+               CAST({M.MP3_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+               CAST(n_frames * 1152 * 1000 // {M.MP3_SAMPLE_RATE} AS BIGINT)
+                   AS duration_ms,
+               CAST(n_frames * (144 * kbps * 1000 // {M.MP3_SAMPLE_RATE})
+                    + n_frames // 2 AS BIGINT) AS n_bytes
+        FROM m
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL MP3 frame walk — encode each doc as sync-correct MPEG-1
+    Layer III frames (true bitrate/samplerate table indices, alternating
+    padding bit), then traverse them in mapInPandas by computing each
+    frame's length from the header tables.  Constant-bitrate duration
+    probing; only the Huffman/MDCT audio decode stays stubbed."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.decode_mp3_meta(M.with_mp3_payload(docs))
+
+
+@register(
     "multimodal_video_frames",
     # Oracle mirrors the Y4M construction arithmetically: dimensions and
     # frame count from the row, frame f filled with (md5_byte0 + 7f) % 256 —

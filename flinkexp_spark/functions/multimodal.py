@@ -459,6 +459,274 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# --- real codec: Ogg (page transport, metadata) ------------------------------
+# Container-level Ogg exercised for REAL: the payload is a spec-correct Ogg
+# page sequence (OggS captures, little-endian granule/serial/sequence
+# fields, BOS/EOS header-type flags, lacing tables) and the decoder is a
+# genuine page walker — what `ogginfo` does before handing packets to a
+# vorbis/opus decoder.  Only the packet DSP decode needs a codec lib.
+
+OGG_MAX_PAGES = 4    # n_pages = doc_id % 4 + 1
+OGG_MAX_BODY = 32    # page i body = (strlen + i) % 32 + 1 bytes
+
+
+def with_ogg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL Ogg payload: page headers with correct capture
+    pattern, flags, lacing, and a granule position accumulating the body
+    size — deterministic, so the walked metadata is oracle-checkable.
+    (CRCs are left zero: checksum validation is optional for readers and
+    zero keeps the oracle arithmetic-only.)"""
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def ogg(doc_id: int, text: str) -> bytes:
+            n_pages = doc_id % OGG_MAX_PAGES + 1
+            blen = len(text.encode("utf-8"))
+            serial = hashlib.md5(text.encode("utf-8")).digest()[0]
+            out = bytearray()
+            granule = 0
+            for i in range(n_pages):
+                body_len = (blen + i) % OGG_MAX_BODY + 1
+                granule += body_len
+                htype = (0x02 if i == 0 else 0) | (
+                    0x04 if i == n_pages - 1 else 0
+                )
+                body = bytes((serial + j) % 256 for j in range(body_len))
+                out += b"OggS" + struct.pack(
+                    "<BBqIIIB",
+                    0,        # stream structure version
+                    htype,    # BOS/EOS/continued flags
+                    granule,  # granule position (cumulative body bytes)
+                    serial,   # bitstream serial number
+                    i,        # page sequence number
+                    0,        # CRC (unvalidated)
+                    1,        # one lacing segment (body_len < 255)
+                )
+                out += bytes([body_len]) + body
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        ogg(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def decode_ogg_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL Ogg page walk: verify captures, read the little-endian header
+    fields, sum the lacing table for each page body, check BOS/EOS flag
+    placement and page-sequence continuity — ogginfo-level metadata with no
+    packet decode."""
+
+    def decode(batches):
+        import struct
+
+        import pandas as pd
+
+        def meta(payload: bytes):
+            pos = 0
+            n_pages = 0
+            body_bytes = 0
+            body_sum = 0
+            serial = None
+            last_granule = 0
+            while pos < len(payload):
+                if payload[pos : pos + 4] != b"OggS":
+                    raise ValueError(f"bad Ogg capture at {pos}")
+                version, htype, granule, ser, seq, _crc, nseg = struct.unpack_from(
+                    "<BBqIIIB", payload, pos + 4
+                )
+                if version != 0:
+                    raise ValueError(f"unsupported Ogg version {version}")
+                if serial is None:
+                    serial = ser
+                    if not htype & 0x02:
+                        raise ValueError("first page missing BOS flag")
+                elif ser != serial:
+                    raise ValueError("multiplexed streams unsupported")
+                if seq != n_pages:
+                    raise ValueError(f"page sequence gap at {seq}")
+                lacing = payload[pos + 27 : pos + 27 + nseg]
+                body_len = sum(lacing)
+                body = payload[pos + 27 + nseg : pos + 27 + nseg + body_len]
+                if len(body) != body_len:
+                    raise ValueError("truncated page body")
+                n_pages += 1
+                body_bytes += body_len
+                body_sum += sum(body)
+                last_granule = granule
+                pos += 27 + nseg + body_len
+            if n_pages == 0 or not htype & 0x04:
+                raise ValueError("stream missing EOS page")
+            return n_pages, body_bytes, body_sum, last_granule, serial
+
+        for pdf in batches:
+            rows = [meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_pages": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "n_body_bytes": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "body_sum": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "last_granule": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "serial": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_pages long, n_body_bytes long, body_sum long, "
+            "last_granule long, serial long"
+        ),
+    )
+
+
+# --- real codec: MP3 (MPEG-1 Layer III frame transport, metadata) ------------
+# Frame-level MP3 exercised for REAL: the payload is a sequence of
+# sync-correct MPEG-1 Layer III frame headers with true bitrate/samplerate
+# table indices, and the decoder walks frames by COMPUTING each frame
+# length from the header tables (144*bitrate/samplerate + padding) — the
+# exact arithmetic mp3 duration scanners use.  Only the Huffman/MDCT audio
+# decode needs a codec lib.
+
+MP3_MAX_FRAMES = 5  # n_frames = doc_id % 5 + 1
+# MPEG-1 Layer III table entries used by the fixture: index -> kbps
+MP3_BITRATE_KBPS = {9: 128, 11: 192, 14: 320}
+MP3_SAMPLE_RATE = 44100  # sample-rate index 0
+
+
+def with_mp3_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL MP3 payload: frame headers with valid sync, version,
+    layer, bitrate index, and alternating padding bit; frame bodies sized
+    exactly per the header arithmetic so a table-driven walker traverses
+    them."""
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import pandas as pd
+
+        indices = sorted(MP3_BITRATE_KBPS)
+
+        def mp3(doc_id: int, text: str) -> bytes:
+            n_frames = doc_id % MP3_MAX_FRAMES + 1
+            s = hashlib.md5(text.encode("utf-8")).digest()[0]
+            br_idx = indices[doc_id % len(indices)]
+            kbps = MP3_BITRATE_KBPS[br_idx]
+            out = bytearray()
+            for i in range(n_frames):
+                padding = i % 2
+                # header: 11-bit sync | version MPEG-1 (0b11) | layer III
+                # (0b01) | no-CRC (1) ; bitrate idx | samplerate idx 00 |
+                # padding | private 0 ; mode stereo + zeros
+                b1 = 0xFF
+                b2 = 0xFB  # 111 1011 = MPEG-1, Layer III, no CRC
+                b3 = (br_idx << 4) | (0 << 2) | (padding << 1)
+                b4 = 0x00
+                frame_len = 144 * kbps * 1000 // MP3_SAMPLE_RATE + padding
+                body = bytes(
+                    (s + i + j) % 256 for j in range(frame_len - 4)
+                )
+                out += bytes((b1, b2, b3, b4)) + body
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        mp3(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def decode_mp3_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL MP3 frame walk: validate sync/version/layer per frame, look the
+    bitrate up in the MPEG-1 Layer III table, compute each frame's length
+    (144*bitrate/samplerate + padding) to reach the next header, and
+    derive the duration from the frame count (1152 samples/frame) — what
+    every constant-bitrate duration probe does."""
+
+    def decode(batches):
+        import pandas as pd
+
+        # full MPEG-1 Layer III bitrate table (kbps), index 1..14
+        table = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+        rates = [44100, 48000, 32000]
+
+        def meta(payload: bytes):
+            pos = 0
+            n_frames = 0
+            kbps = None
+            rate = None
+            while pos + 4 <= len(payload):
+                b1, b2, b3, _b4 = payload[pos : pos + 4]
+                if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+                    raise ValueError(f"lost frame sync at {pos}")
+                if (b2 & 0x18) != 0x18 or (b2 & 0x06) != 0x02:
+                    raise ValueError("not MPEG-1 Layer III")
+                br_idx = b3 >> 4
+                sr_idx = (b3 >> 2) & 0x03
+                if br_idx in (0, 15) or sr_idx == 3:
+                    raise ValueError("free-format/invalid header")
+                padding = (b3 >> 1) & 0x01
+                f_kbps, f_rate = table[br_idx], rates[sr_idx]
+                if kbps is None:
+                    kbps, rate = f_kbps, f_rate
+                elif (f_kbps, f_rate) != (kbps, rate):
+                    raise ValueError("VBR streams unsupported by this probe")
+                frame_len = 144 * f_kbps * 1000 // f_rate + padding
+                if pos + frame_len > len(payload):
+                    raise ValueError("truncated frame")
+                n_frames += 1
+                pos += frame_len
+            if n_frames == 0:
+                raise ValueError("no MP3 frames")
+            duration_ms = n_frames * 1152 * 1000 // rate
+            return n_frames, kbps, rate, duration_ms, len(payload)
+
+        for pdf in batches:
+            rows = [meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_frames": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "bitrate_kbps": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "sample_rate": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "duration_ms": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "n_bytes": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_frames long, bitrate_kbps long, sample_rate long, "
+            "duration_ms long, n_bytes long"
+        ),
+    )
+
+
 # --- stubbed codecs (no media libraries in this environment) ---------------
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -477,10 +745,14 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: decode compressed audio bytes -> (sample_rate, n_samples,
-    duration_s).  Uncompressed PCM WAV is handled for real by
-    :func:`decode_wav`; compressed formats (mp3/ogg/flac) need
-    soundfile/librosa — wire them into the same mapInPandas closure."""
+    """STUB: decode compressed audio bytes -> PCM samples.
+
+    Uncompressed PCM WAV decodes for real via :func:`decode_wav`, and the
+    container/frame layers of Ogg and MP3 parse for real via
+    :func:`decode_ogg_meta` / :func:`decode_mp3_meta`; this stub is only
+    the remaining DSP step (vorbis/opus packet decode, Layer III
+    Huffman+MDCT), which needs soundfile/librosa — wire them into the same
+    mapInPandas closure."""
     raise NotImplementedError(
         "compressed audio decode requires soundfile/librosa; wire the codec "
         "into a mapInPandas closure exactly like decode_wav()"

@@ -206,6 +206,73 @@ def test_jpeg_meta_parser_rejects_malformed_streams(spark, sf_dir):
     assert row.dqt_sum == sum(range(1, 65))
 
 
+def test_ogg_walker_rejects_malformed_streams(spark, sf_dir):
+    """Corrupt Ogg containers must fail loudly, not produce silent garbage."""
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    def run(payload: bytes):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+            schema="doc_id long, payload binary",
+        )
+        return M.decode_ogg_meta(df).collect()
+
+    def page(htype: int, seq: int, body: bytes, serial: int = 7) -> bytes:
+        return (
+            b"OggS"
+            + struct.pack("<BBqIIIB", 0, htype, len(body), serial, seq, 0, 1)
+            + bytes([len(body)])
+            + body
+        )
+
+    with _pytest.raises(Exception, match="bad Ogg capture"):
+        run(b"RIFF" + b"\x00" * 30)
+    with _pytest.raises(Exception, match="missing BOS"):
+        run(page(0x00, 0, b"ab") + page(0x04, 1, b"cd"))
+    with _pytest.raises(Exception, match="sequence gap"):
+        run(page(0x02, 0, b"ab") + page(0x04, 2, b"cd"))
+    with _pytest.raises(Exception, match="missing EOS"):
+        run(page(0x02, 0, b"ab") + page(0x00, 1, b"cd"))
+    with _pytest.raises(Exception, match="multiplexed"):
+        run(page(0x02, 0, b"ab", serial=7) + page(0x04, 1, b"cd", serial=8))
+    # well-formed two-page stream parses
+    row = run(page(0x02, 0, b"ab") + page(0x04, 1, b"cde"))[0]
+    assert (row.n_pages, row.n_body_bytes, row.serial) == (2, 5, 7)
+
+
+def test_mp3_walker_rejects_malformed_streams(spark, sf_dir):
+    """Bad sync / wrong layer / truncated MP3 frames must fail loudly; a
+    hand-built 48 kHz frame (a rate the fixture never emits) must parse —
+    the walker is table-driven, not fixture-shaped."""
+    import pandas as pd
+    import pytest as _pytest
+
+    def run(payload: bytes):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "payload": [payload]}),
+            schema="doc_id long, payload binary",
+        )
+        return M.decode_mp3_meta(df).collect()
+
+    with _pytest.raises(Exception, match="lost frame sync"):
+        run(b"ID3\x04" + b"\x00" * 10)
+    with _pytest.raises(Exception, match="not MPEG-1 Layer III"):
+        run(b"\xff\xf3\x90\x00" + b"\x00" * 100)  # MPEG-2 sync
+    with _pytest.raises(Exception, match="truncated frame"):
+        run(b"\xff\xfb\x90\x00" + b"\x00" * 10)  # header says 417 bytes
+    with _pytest.raises(Exception, match="no MP3 frames"):
+        run(b"")
+    # 96 kbps @ 48 kHz (bitrate idx 7, samplerate idx 1): 144*96000/48000
+    # = 288-byte frame
+    frame = b"\xff\xfb\x74\x00" + b"\x00" * 284
+    row = run(frame)[0]
+    assert (row.n_frames, row.bitrate_kbps, row.sample_rate) == (1, 96, 48000)
+    assert row.duration_ms == 1152 * 1000 // 48000
+
+
 def test_binary_payload_schema(spark, sf_dir):
     docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(5))
     schema = dict(docs.dtypes)
