@@ -64,18 +64,29 @@ def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (tiny) probe x corpus score set.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
+    # norms precomputed per ROW (one corpus pass), so each probe x corpus
+    # pair pays one dot — dot/(nq*nc) is float-identical to V.cosine
     q = F.broadcast(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            V.norm(F.col("embedding")).alias("nq"),
         )
     )
-    c = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("nc"),
+    )
     scored = (
         q.join(c, F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",
             "match_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
+            F.round(
+                V.dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                V.COS_DECIMALS,
+            ).alias("score"),
         )
     )
     return _topk(scored)
@@ -108,26 +119,34 @@ def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
     b = emb.select(
-        "vec_id", "embedding", V.lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        V.lsh_bucket(F.col("embedding")).alias("bucket"),
+        V.norm(F.col("embedding")).alias("nv"),
     )
     q = F.broadcast(
         b.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("bucket").alias("qb"),
+            F.col("nv").alias("nq"),
         )
     )
     c = b.select(
         F.col("vec_id").alias("match_id"),
         F.col("embedding").alias("cv"),
         F.col("bucket").alias("cb"),
+        F.col("nv").alias("nc"),
     )
     scored = (
         q.join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("match_id")))
         .select(
             "query_id",
             "match_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
+            F.round(
+                V.dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                V.COS_DECIMALS,
+            ).alias("score"),
         )
     )
     return _topk(scored)
@@ -154,14 +173,21 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard structure for embedding dedup at scale (cluster first, then
     pairwise inside cells).
     """
-    emb = datasets.load(spark, sf_dir, "embeddings")
+    emb = datasets.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nv")
+    )
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("va"), F.col("nv").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"), F.col("nv").alias("nb"),
     )
-    score = F.round(V.cosine(F.col("va"), F.col("vb")), V.COS_DECIMALS)
+    score = F.round(
+        V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        V.COS_DECIMALS,
+    )
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", score.alias("score"))
@@ -406,6 +432,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("match_id"),
         F.col("embedding").alias("cv"),
         F.col("cent_id").alias("cell"),
+        V.norm(F.col("embedding")).alias("nc"),
     )
     probes = F.broadcast(
         ranked.filter(
@@ -414,6 +441,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
             F.col("cent_id").alias("cell"),
+            V.norm(F.col("embedding")).alias("nq"),
         )
     )
     scored = (
@@ -422,7 +450,10 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "match_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS).alias("score"),
+            F.round(
+                V.dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                V.COS_DECIMALS,
+            ).alias("score"),
         )
         # with replication a pair can meet in several shared cells; the
         # score is pair-deterministic, so pair-dedup is exact (oracle
@@ -560,21 +591,34 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
     cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    # Per-vector norm computed BEFORE the pair join: each of the
+    # sum-of-cell² pairs then pays one dot product instead of three
+    # (dot/(na*nb) is float-identical to V.cosine — same fold, same sqrt).
     cells = (
         _ivf_assign_df(emb, cent)
         .filter(F.col("crnk") == 1)
-        .select("vec_id", F.col("embedding").alias("cv"), F.col("cent_id").alias("cell"))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("cv"),
+            F.col("cent_id").alias("cell"),
+            V.norm(F.col("embedding")).alias("nv"),
+        )
     )
     a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("cv").alias("va"), F.col("cell").alias("ca")
+        F.col("vec_id").alias("id_a"), F.col("cv").alias("va"),
+        F.col("cell").alias("ca"), F.col("nv").alias("na"),
     )
     b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"), F.col("cell").alias("cb")
+        F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"),
+        F.col("cell").alias("cb"), F.col("nv").alias("nb"),
     )
     dropped = (
         a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
         .filter(
-            F.round(V.cosine(F.col("va"), F.col("vb")), V.COS_DECIMALS)
+            F.round(
+                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                V.COS_DECIMALS,
+            )
             >= SEMDEDUP_COS
         )
         .select(F.col("id_b").alias("vec_id"))

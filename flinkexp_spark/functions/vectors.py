@@ -64,6 +64,19 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    """sqrt(a·a) — precompute per ROW before a pair join so each pair pays
+    one dot instead of three.  ``dot(a,b)/(norm(a)*norm(b))`` is
+    float-identical to :func:`cosine` (same fold order, same sqrt), so
+    swapping it in under a rounded comparison cannot move any hash."""
+    return F.sqrt(_dot(a, a))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Public dot product (the cosine numerator); see :func:`norm`."""
+    return _dot(a, b)
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0, list_transform(range({DIM}), "
