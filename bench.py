@@ -69,6 +69,9 @@ HEADLINE = [
     "vocab_encode_ids",
     "pack_sequences",
     "multimodal_video_frames",
+    "multimodal_decode_jpeg_meta",  # container walkers (new in r3; doc_id<100
+    "multimodal_decode_ogg_meta",   # so cost is sf-constant)
+    "multimodal_decode_mp3_meta",
     "maintenance_compact",
     "maintenance_merge_upsert",
     "layout_zorder_scan",
