@@ -51,6 +51,81 @@ def workers_have_protobuf(spark: SparkSession) -> bool:
 
 
 @register(
+    "stream_session_timers_tws",
+    # identical contract (and oracle) to stream_session_timers: batch
+    # gaps-and-islands over (user, ts) with a 30-minute gap
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                   AS duration_s
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    tags=("T7", "T4", "T5"),
+)
+def q_stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 timers on the forward API: explicit ``registerTimer`` /
+    ``deleteTimer`` / ``handleExpiredTimer`` sessionization — the literal
+    Flink ``KeyedProcessFunction`` + ``onTimer`` shape
+    (study/pom.xml:72) — when the workers can reach the protobuf
+    state-server; otherwise the same contract through
+    ``applyInPandasWithState`` + EventTimeTimeout.
+
+    Sessions close in-band (gap-exceeding event) or by timer (watermark
+    passes last_event + gap); a far-future sentinel drives the final
+    no-data micro-batch that fires the remaining timers.
+    """
+    from datetime import datetime
+
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+    from flinkexp_spark.streaming.stateful import (
+        sessionize_tws_transform,
+        stateful_sessionize,
+    )
+
+    use_tws = ensure_protobuf() and workers_have_protobuf(spark)
+    events = datasets.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sentinel = datasets.local_df(
+        spark,
+        [(int(-1), datetime(2030, 1, 1), int(-1), 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = replay(
+        spark,
+        events,
+        sessionize_tws_transform if use_tws else stateful_sessionize,
+        output_mode="append",
+        n_files=2,
+        order_col="ts",
+        sentinel_df=sentinel,
+        state_provider="rocksdb" if use_tws else None,
+    )
+    from pyspark.sql import functions as F
+
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
     "stream_stateful_totals_tws",
     oracle="""
         SELECT user_id, COUNT(*) AS n_events,

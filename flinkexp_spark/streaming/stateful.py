@@ -248,6 +248,138 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
     )
 
 
+# state for the tws sessionizer: the 4-long session struct plus the armed
+# timer's expiry (ms) so stale timers can be deleted before re-arming
+SESSION_TWS_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ns", LongType()),
+        StructField("last_ns", LongType()),
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("timer_ms", LongType()),
+    ]
+)
+
+
+def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
+    """T7 timers on the FORWARD API: gap sessionization through
+    ``transformWithStateInPandas`` with EXPLICIT timer management —
+    ``handle.registerTimer`` / ``deleteTimer`` re-armed per event batch and
+    ``handleExpiredTimer`` flushing the open session when the watermark
+    passes its gap horizon.  This is the literal Flink
+    ``KeyedProcessFunction`` shape (``ctx.timerService()
+    .registerEventTimeTimer`` + ``onTimer``), one step more explicit than
+    :func:`stateful_sessionize`'s EventTimeTimeout.
+
+    Same contract as :func:`stateful_sessionize` (identical oracle).
+    Capability-gated like :func:`running_totals_tws_transform`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Sessionizer(StatefulProcessor):
+        # defined inside the closure: pickled by value (module doc)
+        def init(self, handle):
+            self._handle = handle
+            self._state = handle.getValueState("session", SESSION_TWS_STATE_SCHEMA)
+
+        @staticmethod
+        def _emit(key, s_ns, e_ns, n, cents):
+            import math
+
+            start = pd.Timestamp(s_ns)
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start.strftime("%Y-%m-%d %H:%M:%S")],
+                    "n_events": [n],
+                    "cents": [cents],
+                    "duration_s": [
+                        math.floor(e_ns / 1e9) - math.floor(s_ns / 1e9)
+                    ],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            gap_ns = SESSION_GAP_S * 1_000_000_000
+            cur = None
+            if self._state.exists():
+                s_ns, e_ns, n, cents, timer_ms = self._state.get()
+                cur = (s_ns, e_ns, n, cents)
+                # the armed timer is stale the moment new data arrives
+                self._handle.deleteTimer(timer_ms)
+            out = []
+            whole = pd.concat(list(rows), ignore_index=True)
+            if len(whole):
+                # same vectorized gaps-and-islands as stateful_sessionize:
+                # sort the batch, break where the gap exceeds, stitch the
+                # carried session across batches
+                pdf = whole.sort_values(["ts", "event_id"])
+                t = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+                c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+                brk = np.empty(len(t), dtype=bool)
+                brk[0] = cur is None or (t[0] - cur[1]) > gap_ns
+                brk[1:] = (t[1:] - t[:-1]) > gap_ns
+                starts = np.flatnonzero(brk)
+                ends = np.append(starts[1:], len(t))
+                if brk[0] and cur is not None:
+                    out.append(self._emit(key, *cur))
+                    cur = None
+                if not brk[0]:
+                    cont = int(starts[0]) if len(starts) else len(t)
+                    cur = (
+                        cur[0],
+                        max(cur[1], int(t[cont - 1])),
+                        cur[2] + cont,
+                        cur[3] + int(c[:cont].sum()),
+                    )
+                    if len(starts):
+                        out.append(self._emit(key, *cur))
+                        cur = None
+                for i, (s, e) in enumerate(zip(starts, ends)):
+                    span = (
+                        int(t[s]), int(t[e - 1]), int(e - s), int(c[s:e].sum())
+                    )
+                    if i < len(starts) - 1:
+                        out.append(self._emit(key, *span))
+                    else:
+                        cur = span
+            if cur is not None:
+                # re-arm: fire when the watermark passes the gap horizon
+                timer_ms = cur[1] // 1_000_000 + SESSION_GAP_S * 1000
+                self._handle.registerTimer(timer_ms)
+                self._state.update((*cur, timer_ms))
+            else:
+                # every session closed in-band; nothing to time out
+                self._state.clear()
+            for o in out:
+                yield o
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # stale timers are deleted on every update, so a firing timer is
+            # the live horizon: flush the open session
+            if self._state.exists():
+                s_ns, e_ns, n, cents, _timer_ms = self._state.get()
+                self._state.clear()
+                yield self._emit(key, s_ns, e_ns, n, cents)
+
+        def close(self):
+            pass
+
+    return (
+        stream.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Sessionizer(),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 EWMA_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

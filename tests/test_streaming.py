@@ -312,3 +312,51 @@ def test_transform_with_state_parity(spark):
     )
     got = {r.user_id: (r.n_events, r.value_cents) for r in out.collect()}
     assert got == {7: (2, 375), 9: (1, 75)}
+
+
+def test_tws_timer_sessionizer_matches_timeout_sessionizer(spark):
+    """The explicit-timer tws sessionizer and the EventTimeTimeout
+    sessionizer must produce identical sessions, including a TIMER-closed
+    one (a key whose last event is followed only by the sentinel)."""
+    from datetime import datetime, timedelta
+
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+    from flinkexp_spark.datasets import local_df
+    from flinkexp_spark.streaming.replay import replay
+    from flinkexp_spark.streaming.stateful import (
+        sessionize_tws_transform,
+        stateful_sessionize,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available (pip or SDK bridge)")
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions split in-band by a >30 min gap
+        (1, t0, 1, 1.00),
+        (2, t0 + timedelta(minutes=10), 1, 2.00),
+        (3, t0 + timedelta(minutes=50), 1, 4.00),
+        # user 2: one session, closed ONLY by the timer (no later event)
+        (4, t0 + timedelta(minutes=5), 2, 8.00),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    events = local_df(spark, rows, schema)
+    sentinel = local_df(spark, [(-1, datetime(2030, 1, 1), -1, 0.0)], schema)
+
+    def run(transform, provider):
+        out = replay(
+            spark, events, transform, output_mode="append",
+            n_files=2, order_col="ts", sentinel_df=sentinel,
+            state_provider=provider,
+        )
+        return sorted(
+            (r.user_id, r.session_start, r.n_events, r.cents, r.duration_s)
+            for r in out.collect() if r.user_id >= 0
+        )
+
+    timers = run(sessionize_tws_transform, "rocksdb")
+    timeout = run(stateful_sessionize, None)
+    assert timers == timeout
+    assert [r[0] for r in timers] == [1, 1, 2]  # 2 sessions for u1, 1 for u2
+    assert timers[0][2] == 2 and timers[0][3] == 300  # 1.00+2.00 in cents
