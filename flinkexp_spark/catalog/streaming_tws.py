@@ -51,6 +51,52 @@ def workers_have_protobuf(spark: SparkSession) -> bool:
 
 
 @register(
+    "stream_map_state_totals_tws",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id, event_type
+    """,
+    tags=("T7",),
+)
+def q_stream_map_state_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 MapState: per-user per-event-type running totals through the
+    forward API's ``MapState`` primitive (Flink MapState analog,
+    study/pom.xml:72) — a state shape ``applyInPandasWithState`` cannot
+    express (single-value GroupState).  When workers lack protobuf the
+    same contract runs as a watermarkless streaming groupBy aggregation
+    (update mode), which is its relational equivalent.
+    """
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+    from flinkexp_spark.streaming.stateful import map_totals_tws_transform
+
+    use_tws = ensure_protobuf() and workers_have_protobuf(spark)
+    events = datasets.load(spark, sf_dir, "events")
+
+    if use_tws:
+        transform = map_totals_tws_transform
+    else:
+
+        def transform(stream):
+            from pyspark.sql import functions as F
+
+            cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            return stream.groupBy("user_id", "event_type").agg(
+                F.count("*").alias("n"), F.sum(cents).alias("cents")
+            )
+
+    return replay(
+        spark,
+        events,
+        transform,
+        output_mode="update",
+        use_checkpoint=True,
+        state_provider="rocksdb" if use_tws else None,
+    )
+
+
+@register(
     "stream_session_timers_tws",
     # identical contract (and oracle) to stream_session_timers: batch
     # gaps-and-islands over (user, ts) with a 30-minute gap

@@ -380,6 +380,77 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
     )
 
 
+MAP_TOTALS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+
+def map_totals_tws_transform(stream: DataFrame) -> DataFrame:
+    """T7 MapState on the forward API: per-user ``MapState[event_type ->
+    (n, cents)]`` — Flink's ``MapState`` keyed-state primitive
+    (study/pom.xml:72), which applyInPandasWithState cannot express (its
+    GroupState is a single value).  Each batch updates the per-type slots
+    it touched and emits every slot's running totals (update mode);
+    single-batch replay -> the emitted rows are the final per-(user, type)
+    totals.
+
+    Scale: state per user is O(distinct event types), and only touched
+    slots serialize per batch — the point of MapState over a value-typed
+    dict blob.  Capability-gated like the other tws transforms.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class MapTotals(StatefulProcessor):
+        # defined inside the closure: pickled by value (module doc)
+        def init(self, handle):
+            self._m = handle.getMapState(
+                "totals", "event_type string", "n long, cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            for pdf in rows:
+                cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(
+                    "int64"
+                )
+                g = pd.DataFrame(
+                    {"event_type": pdf["event_type"], "cents": cents}
+                ).groupby("event_type", sort=False)
+                for etype, grp in g:
+                    k = (str(etype),)
+                    if self._m.containsKey(k):
+                        n0, c0 = self._m.getValue(k)
+                    else:
+                        n0, c0 = 0, 0
+                    self._m.updateValue(
+                        k, (n0 + len(grp), c0 + int(grp["cents"].sum()))
+                    )
+            out = [
+                (key[0], k[0], v[0], v[1])
+                for k, v in self._m.iterator()
+            ]
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n", "cents"]
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=MapTotals(),
+        outputStructType=MAP_TOTALS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 EWMA_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
