@@ -16,6 +16,7 @@ Registered AFTER the round-3 official window (see catalog/__init__.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
 from flinkexp_spark.registry import register
@@ -79,8 +80,6 @@ def q_stream_map_state_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame
     else:
 
         def transform(stream):
-            from pyspark.sql import functions as F
-
             cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
             return stream.groupBy("user_id", "event_type").agg(
                 F.count("*").alias("n"), F.sum(cents).alias("cents")
@@ -89,6 +88,154 @@ def q_stream_map_state_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame
     return replay(
         spark,
         events,
+        transform,
+        output_mode="update",
+        use_checkpoint=True,
+        state_provider="rocksdb" if use_tws else None,
+    )
+
+
+@register(
+    "stream_list_state_recent_tws",
+    # last-3 events per user by (ts, event_id) DESC, slot 1 = newest
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS slot
+            FROM events)
+        SELECT user_id, CAST(slot AS BIGINT) AS slot, event_id
+        FROM r WHERE slot <= 3
+    """,
+    tags=("T7",),
+)
+def q_stream_list_state_recent_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 ListState: per-user last-3 event buffer through the forward
+    API's ``ListState`` primitive (Flink ListState analog,
+    study/pom.xml:72) — the CEP-lookback state shape.  When workers lack
+    protobuf the same contract runs as a ranking window (its batch
+    equivalent over the single replay batch)."""
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+    from flinkexp_spark.streaming.stateful import recent_events_tws_transform
+
+    use_tws = ensure_protobuf() and workers_have_protobuf(spark)
+    events = datasets.load(spark, sf_dir, "events")
+
+    if use_tws:
+        transform = recent_events_tws_transform
+    else:
+
+        def transform(stream):
+            # streaming-compatible equivalent for the single-batch replay:
+            # foreachBatch-free ranking is not allowed on streams, so rank
+            # inside applyInPandas-style batch semantics via groupBy agg
+            pairs = F.struct(F.col("ts"), F.col("event_id"))
+            top = stream.groupBy("user_id").agg(
+                F.reverse(F.array_sort(F.collect_list(pairs))).alias("all")
+            )
+            return top.select(
+                "user_id",
+                F.posexplode(F.slice(F.col("all"), 1, 3)).alias("pos", "p"),
+            ).select(
+                "user_id",
+                (F.col("pos") + 1).alias("slot"),
+                F.col("p.event_id").alias("event_id"),
+            )
+
+    return replay(
+        spark,
+        events,
+        transform,
+        output_mode="update",
+        use_checkpoint=True,
+        state_provider="rocksdb" if use_tws else None,
+    )
+
+
+@register(
+    "stream_stateful_bootstrap_tws",
+    # full-table totals, restricted to users that appear in the STREAMED
+    # half (odd event_id) — users living only in the savepoint have no
+    # batch-1 input row and correctly emit nothing in update mode
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY user_id
+        HAVING SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) >= 1
+    """,
+    tags=("T7", "T10"),
+)
+def q_stream_stateful_bootstrap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/T10 state BOOTSTRAP: seed per-user totals state from a batch
+    "savepoint" table (the even-event_id half, pre-aggregated), then
+    stream the odd half on top via ``initialState`` +
+    ``handleInitialState`` — Flink's State Processor API / savepoint
+    bootstrap, the capability that lets an engine migration carry its
+    state.  Emitted totals = savepoint + streamed = whole-table oracle.
+
+    When workers lack protobuf, the same bootstrap runs through
+    ``applyInPandasWithState`` with the savepoint shipped as a
+    closure-carried dict (per-user table: MBs at any scale) seeding each
+    key's first-batch state.
+    """
+    from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
+    from flinkexp_spark.streaming.stateful import bootstrapped_totals_tws_transform
+
+    use_tws = ensure_protobuf() and workers_have_protobuf(spark)
+    events = datasets.load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    savepoint = (
+        events.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    )
+    streamed = events.filter(F.col("event_id") % 2 == 1)
+
+    if use_tws:
+        transform = bootstrapped_totals_tws_transform(savepoint)
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        from flinkexp_spark.streaming.stateful import OUTPUT_SCHEMA, STATE_SCHEMA
+
+        sp_map = {
+            int(r.user_id): (int(r.n), int(r.cents)) for r in savepoint.collect()
+        }
+
+        def transform(stream):
+            def totals(key, pdfs, state):
+                # closure: pickled by value (streaming/stateful.py module doc)
+                import numpy as np
+                import pandas as pd
+
+                if state.exists:
+                    n, c = state.get
+                else:
+                    n, c = sp_map.get(int(key[0]), (0, 0))
+                for pdf in pdfs:
+                    n += len(pdf)
+                    c += int(
+                        np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                        .astype("int64")
+                        .sum()
+                    )
+                state.update((n, c))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "value_cents": [c]}
+                )
+
+            return stream.groupBy("user_id").applyInPandasWithState(
+                totals,
+                OUTPUT_SCHEMA,
+                STATE_SCHEMA,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+
+    return replay(
+        spark,
+        streamed,
         transform,
         output_mode="update",
         use_checkpoint=True,
@@ -166,8 +313,6 @@ def q_stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel_df=sentinel,
         state_provider="rocksdb" if use_tws else None,
     )
-    from pyspark.sql import functions as F
-
     return out.filter(F.col("user_id") >= 0)
 
 

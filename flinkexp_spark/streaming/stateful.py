@@ -451,6 +451,124 @@ def map_totals_tws_transform(stream: DataFrame) -> DataFrame:
     )
 
 
+RECENT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("slot", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+RECENT_N = 3
+
+
+def recent_events_tws_transform(stream: DataFrame) -> DataFrame:
+    """T7 ListState on the forward API: per-user bounded buffer of the
+    RECENT_N latest (ts, event_id) — Flink's ``ListState`` primitive
+    (study/pom.xml:72), the state shape behind CEP lookback and
+    "last-N actions" features.  Each batch appends its events, truncates
+    to the N latest by (ts, event_id), and emits the buffer with slot
+    ranks (1 = newest); single-batch replay -> final last-N per user.
+
+    Scale: state per key is a constant N rows — the buffer IS the bound.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RecentEvents(StatefulProcessor):
+        # defined inside the closure: pickled by value (module doc)
+        def init(self, handle):
+            self._buf = handle.getListState("recent", "ts_ns long, event_id long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            items = (
+                [tuple(r) for r in self._buf.get()] if self._buf.exists() else []
+            )
+            for pdf in rows:
+                t = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+                items.extend(zip(t.tolist(), pdf["event_id"].tolist()))
+            items.sort(reverse=True)  # newest first by (ts, event_id)
+            items = items[:RECENT_N]
+            self._buf.put([(int(t), int(e)) for t, e in items])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "slot": list(range(1, len(items) + 1)),
+                    "event_id": [e for _, e in items],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentEvents(),
+        outputStructType=RECENT_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def bootstrapped_totals_tws_transform(initial_state_df):
+    """T7 state bootstrap on the forward API: seed per-key state from a
+    BATCH DataFrame via ``initialState`` + ``handleInitialState`` — the
+    Flink savepoint-bootstrap analog (State Processor API): migrate an
+    engine by materializing its state as a table and resuming the stream
+    on top of it.
+
+    ``initial_state_df`` carries (user_id, n, cents) "savepoint" rows;
+    the returned transform seeds ValueState from them in batch 0, then
+    accumulates streamed events on top — totals emitted per batch equal
+    savepoint + streamed.
+    """
+
+    def transform(stream: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class Bootstrapped(StatefulProcessor):
+            # defined inside the closure: pickled by value (module doc)
+            def init(self, handle):
+                self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+            def handleInitialState(self, key, initialState, timerValues):
+                # one pandas row group per key from the initialState plan
+                self._state.update(
+                    (
+                        int(initialState["n"].sum()),
+                        int(initialState["cents"].sum()),
+                    )
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                import numpy as np
+
+                n, cents = self._state.get() if self._state.exists() else (0, 0)
+                for pdf in rows:
+                    n += len(pdf)
+                    cents += int(
+                        np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                        .astype("int64")
+                        .sum()
+                    )
+                self._state.update((n, cents))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+                )
+
+            def close(self):
+                pass
+
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Bootstrapped(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+            initialState=initial_state_df.groupBy("user_id"),
+        )
+
+    return transform
+
+
 EWMA_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
