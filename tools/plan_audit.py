@@ -40,6 +40,9 @@ AUDIT = [
     "wordcount_batch",
     "wordcount_datastream_api",
     "multimodal_video_frames",
+    "multimodal_decode_jpeg_meta",
+    "multimodal_decode_ogg_meta",
+    "multimodal_decode_mp3_meta",
     "agg_pricing_summary",
     "agg_salted_skew",
     "sql_tpch_q5",
