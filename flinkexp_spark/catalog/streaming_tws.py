@@ -26,11 +26,13 @@ _PROBE_CACHE: dict[str, bool] = {}
 
 
 def workers_have_protobuf(spark: SparkSession) -> bool:
-    """True if the Python workers can import google.protobuf (one tiny job,
-    memoized per application)."""
+    """True if the Python workers can import google.protobuf (one tiny job;
+    only True is memoized — a False re-probes, so an environment fixed
+    after the first check self-heals at the cost of one small job per
+    fallback query)."""
     app_id = spark.sparkContext.applicationId
-    if app_id in _PROBE_CACHE:
-        return _PROBE_CACHE[app_id]
+    if _PROBE_CACHE.get(app_id):
+        return True
 
     def probe(batches):
         # closure: pickled by value (see streaming/stateful.py module doc)
@@ -47,7 +49,8 @@ def workers_have_protobuf(spark: SparkSession) -> bool:
 
     rows = spark.range(1).mapInPandas(probe, "ok long").collect()
     result = bool(rows and rows[0][0] == 1)
-    _PROBE_CACHE[app_id] = result
+    if result:
+        _PROBE_CACHE[app_id] = True
     return result
 
 

@@ -24,6 +24,11 @@ import os
 import sys
 
 _SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+# mirror of pbshim/google/__init__.py — probed here so a missing SDK leaves
+# the process environment completely untouched
+_SDK_CANDIDATES = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google",
+)
 
 
 def ensure_protobuf() -> bool:
@@ -34,6 +39,13 @@ def ensure_protobuf() -> bool:
         return True
     except ImportError:
         pass
+    if not any(
+        os.path.isdir(os.path.join(p, "protobuf")) for p in _SDK_CANDIDATES
+    ):
+        # nothing to bridge: do NOT touch sys.path/PYTHONPATH/sys.modules —
+        # installing the shim without a runtime would only shadow other
+        # google.* namespace packages for no gain
+        return False
     if "google" in sys.modules:  # a half-imported 'google' would shadow the shim
         del sys.modules["google"]
     if _SHIM_DIR not in sys.path:

@@ -358,6 +358,11 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
                 yield o
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # expired timers are NOT auto-removed: without the delete the
+            # registration would linger in the timer column family and
+            # re-fire every micro-batch (harmless output-wise once state is
+            # cleared, but a per-key state leak on long streams)
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
             # stale timers are deleted on every update, so a firing timer is
             # the live horizon: flush the open session
             if self._state.exists():
