@@ -116,8 +116,11 @@ def q_stream_list_state_recent_tws(spark: SparkSession, sf_dir: str) -> DataFram
     """T7 ListState: per-user last-3 event buffer through the forward
     API's ``ListState`` primitive (Flink ListState analog,
     study/pom.xml:72) — the CEP-lookback state shape.  When workers lack
-    protobuf the same contract runs as a ranking window (its batch
-    equivalent over the single replay batch)."""
+    protobuf the same contract runs as a collect_list + sort + slice
+    aggregation — correct for the bounded replay contract but it
+    materializes each key's full event list, so the tws path (constant
+    N-row state per key) is the only 100 TB-safe variant; the fallback
+    exists for capability parity, not scale."""
     from flinkexp_spark.compat.protobuf_shim import ensure_protobuf
     from flinkexp_spark.streaming.stateful import recent_events_tws_transform
 

@@ -16,6 +16,27 @@ def test_engine_sql_entry_point(spark, sf_dir):
     assert len(out) >= 1 and all(r.n > 0 for r in out)
 
 
+def test_engine_sql_ddl_roundtrip(spark, sf_dir, tmp_path):
+    """Flink Table-envelope parity: DDL + DML through the engine's sql()
+    entry — CREATE TABLE ... USING parquet, INSERT INTO, SELECT back,
+    DROP.  The statements run through Spark's catalog, so the same path
+    serves metastore-backed tables on a cluster."""
+    eng = FlinkexpEngine(spark, data_dir=sf_dir)
+    loc = (tmp_path / "ddl_t").as_posix()
+    eng.sql(
+        f"CREATE TABLE ddl_t (k BIGINT, v STRING) USING parquet LOCATION '{loc}'"
+    )
+    try:
+        eng.sql("INSERT INTO ddl_t VALUES (1, 'a'), (2, 'b')")
+        eng.sql("INSERT INTO ddl_t SELECT 3, 'c'")
+        got = sorted((r.k, r.v) for r in eng.sql("SELECT * FROM ddl_t").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+        n = eng.sql("SELECT count(*) AS n FROM ddl_t WHERE k >= 2").collect()[0].n
+        assert n == 2
+    finally:
+        eng.sql("DROP TABLE IF EXISTS ddl_t")
+
+
 def test_engine_table_entry_point(spark, sf_dir):
     eng = FlinkexpEngine(spark, data_dir=sf_dir)
     n = eng.table("nation").count()
