@@ -57,6 +57,7 @@ HEADLINE = [
     "stream_temporal_join",
     "stream_window_topn",
     "stream_window_join",
+    "stream_stateful_totals_tws",  # T7 forward API (transformWithState+RocksDB)
     # LLM-pipeline extensions (X1–X5)
     "dedup_exact",
     "dedup_incremental",  # crawl batch vs historical corpus (exact + LSH)
