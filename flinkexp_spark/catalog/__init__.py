@@ -35,6 +35,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     temporal,  # SCD2 build + point-in-time join (2)
     patterns,  # CEP/MATCH_RECOGNIZE analogs (7)
     streaming_tws,  # T7 forward API (transformWithStateInPandas), new in r3
+    evolution,  # S2 parquet schema evolution (mergeSchema), new in r3
     # --- never-official tails of partially-green modules ------------------
     sql_queries,  # TPC-H SQL surface (13 green r02, 10 unofficial)
     projection,  # P1-P4
