@@ -74,6 +74,98 @@ def q_sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "source_csv_malformed_modes",
+    # documents with doc_id % 5 == 0 become malformed lines (non-numeric
+    # second field); PERMISSIVE captures them in the corrupt-record column,
+    # DROPMALFORMED removes them — both counts derive from doc_id
+    oracle="""
+        SELECT 'permissive_rows' AS metric,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT 'corrupt_rows',
+               CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT 'dropmalformed_rows',
+               CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT 'clean_len_sum',
+               CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0
+                             ELSE strlen(text) END) AS BIGINT)
+        FROM documents WHERE doc_id < 200
+    """,
+    tags=("S3", "S4"),
+)
+def q_source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 depth: CSV parse-failure policy — the same malformed file read
+    under PERMISSIVE (bad rows land NULL-typed with the raw line captured
+    in ``columnNameOfCorruptRecord``, the dead-letter input) and
+    DROPMALFORMED (bad rows vanish).  At 100 TB ingest this is the
+    contract that decides whether one corrupt shard poisons a job, gets
+    quarantined, or silently shrinks the data — so both counts are pinned
+    against construction arithmetic.
+
+    Lines with doc_id % 5 == 0 are written with a non-numeric length
+    field; the clean-row length sum proves surviving rows parse intact.
+
+    Gotcha pinned here: CSV column pruning means a bare ``count()`` parses
+    NO data columns, so DROPMALFORMED drops nothing (nothing failed to
+    parse) — the drop count must be measured by an aggregate that
+    references the typed columns, forcing them into the parser's required
+    schema.  At scale this is the difference between "the job counted the
+    file" and "the job validated the file".
+    """
+    docs = (
+        datasets.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.length("text").alias("len"))
+    )
+    work = os.path.join(SCRATCH_ROOT, f"csvmal_{uuid.uuid4().hex[:12]}")
+    try:
+        line = F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(",", F.col("doc_id"), F.lit("not-a-number")),
+        ).otherwise(F.concat_ws(",", F.col("doc_id"), F.col("len")))
+        docs.select(line.alias("value")).write.mode("overwrite").text(work)
+
+        schema = "doc_id long, len long"
+        permissive = spark.read.csv(
+            work,
+            schema=schema + ", _corrupt string",
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+        ).cache()
+        dropped = spark.read.csv(work, schema=schema, mode="DROPMALFORMED")
+        # reference BOTH typed columns so the parser must convert them —
+        # a bare count() would prune the schema and drop nothing
+        drow = dropped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("len").alias("len_sum"),
+            F.count("doc_id").alias("n_ids"),
+        ).collect()[0]
+
+        rows = [
+            ("permissive_rows", permissive.count()),
+            ("corrupt_rows", permissive.filter(F.col("_corrupt").isNotNull()).count()),
+            ("dropmalformed_rows", drow.n),
+            (
+                "clean_len_sum",
+                permissive.filter(F.col("_corrupt").isNull())
+                .agg(F.sum("len"))
+                .collect()[0][0],
+            ),
+        ]
+        permissive.unpersist()
+        return datasets.local_df(
+            spark, [(m, int(n)) for m, n in rows], "metric string, n long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "source_parquet_schema_evolution",
     # v1 rows (o_orderkey % 4 < 2) were written before o_orderstatus
     # existed -> NULL after the merged read; v2 rows carry it
