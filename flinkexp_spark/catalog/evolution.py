@@ -166,6 +166,55 @@ def q_source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_file_metadata_lineage",
+    # four single-file writes, one per doc_id residue class -> per-file row
+    # counts equal the class sizes; ranked by count so the opaque file
+    # names never enter the comparison
+    oracle="""
+        WITH per_file AS (
+            SELECT doc_id % 4 AS cls, COUNT(*) AS n
+            FROM documents GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY n, cls) AS BIGINT) AS rnk,
+               n
+        FROM per_file
+    """,
+    tags=("S2",),
+)
+def q_source_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: file-level lineage via the ``_metadata`` hidden column — every
+    row knows which physical file produced it, without any data column
+    spent on it.  This is the backbone of incremental processing at
+    100 TB (process only files newer than the last watermark) and of
+    shard-level forensics (which file poisoned the aggregate).
+
+    Four single-file writes (one per doc_id residue class) make the
+    per-file row counts deterministic; reading back grouped by
+    ``_metadata.file_path`` must reproduce exactly those class sizes.
+    """
+    docs = datasets.load(spark, sf_dir, "documents").select("doc_id")
+    work = os.path.join(SCRATCH_ROOT, f"lineage_{uuid.uuid4().hex[:12]}")
+    try:
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(work)
+        back = spark.read.parquet(work).select(
+            F.col("_metadata.file_path").alias("src_file")
+        )
+        per_file = back.groupBy("src_file").agg(F.count("*").alias("n"))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("n"), F.col("src_file"))
+        out = per_file.select(
+            F.row_number().over(w).alias("rnk"), F.col("n")
+        )
+        rows = out.collect()  # materialize before the scratch dir disappears
+        return datasets.local_df(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "source_parquet_schema_evolution",
     # v1 rows (o_orderkey % 4 < 2) were written before o_orderstatus
     # existed -> NULL after the merged read; v2 rows carry it
