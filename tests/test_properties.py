@@ -259,6 +259,40 @@ def test_merge_upsert_matches_dict_model(spark, case):
     assert got == model
 
 
+def test_merge_upsert_contract_violations(spark):
+    """SQL-MERGE parity contract: duplicate source keys and missing target
+    columns must raise, not silently merge (round-3 review fix)."""
+    import pytest as _pytest
+
+    from flinkexp_spark.operators.maintenance import merge_upsert
+
+    t = spark.createDataFrame([(1, 10)], "k long, v long")
+    dup = spark.createDataFrame(
+        [(1, "U", 1), (1, "U", 2)], "k long, op string, v long"
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(t, dup, "k")
+    # explicit opt-out skips the check (caller asserts uniqueness upstream)
+    assert merge_upsert(t, dup, "k", check_unique=False) is not None
+
+    missing = spark.createDataFrame([(1, "U")], "k long, op string")
+    with _pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(t, missing, "k")
+
+
+def test_register_views_per_session(spark, sf_dir):
+    """Temp views are session-scoped: a second session in the same
+    application must get its own registration, not a memo skip
+    (round-3 review fix — weak-keyed per-session memo)."""
+    from flinkexp_spark.datasets import register_views
+
+    register_views(spark, sf_dir)
+    s2 = spark.newSession()
+    register_views(s2, sf_dir)
+    assert s2.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+    assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+
+
 @st.composite
 def jaccard_corpus(draw):
     # token sets over a small alphabet so collisions and near-dups happen
