@@ -8,15 +8,13 @@ Registered AFTER the round-3 official window (see catalog/__init__.py).
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
 from flinkexp_spark.registry import register
-from flinkexp_spark.streaming.replay import SCRATCH_ROOT
+from flinkexp_spark.streaming.replay import scratch_dir
 
 
 @register(
@@ -49,28 +47,27 @@ def q_sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
     orders = datasets.load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    work = os.path.join(SCRATCH_ROOT, f"dpo_{uuid.uuid4().hex[:12]}")
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(work)
-        fixed = (
-            orders.filter(F.col("o_orderstatus") == "O")
-            .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        fixed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(work)
-        back = spark.read.parquet(work)
-        out = back.groupBy(F.col("o_orderstatus").alias("status")).agg(
-            F.count("*").alias("n"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-            ).alias("cents"),
-        )
-        rows = out.collect()  # materialize before the scratch dir disappears
-        return datasets.local_df(spark, rows, out.schema)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-        shutil.rmtree(work, ignore_errors=True)
+    with scratch_dir("dpo") as work:
+        try:
+            orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(work)
+            fixed = (
+                orders.filter(F.col("o_orderstatus") == "O")
+                .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            fixed.write.mode("overwrite").partitionBy("o_orderstatus").parquet(work)
+            back = spark.read.parquet(work)
+            out = back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+            rows = out.collect()  # materialize before the scratch dir disappears
+            return datasets.local_df(spark, rows, out.schema)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
 
 @register(
@@ -120,10 +117,11 @@ def q_source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         datasets.load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
-        .select("doc_id", F.length("text").alias("len"))
+        # octet_length == DuckDB strlen (BYTES); F.length would count
+        # CHARACTERS and diverge on any multi-byte text
+        .select("doc_id", F.octet_length("text").alias("len"))
     )
-    work = os.path.join(SCRATCH_ROOT, f"csvmal_{uuid.uuid4().hex[:12]}")
-    try:
+    with scratch_dir("csvmal") as work:
         line = F.when(
             F.col("doc_id") % 5 == 0,
             F.concat_ws(",", F.col("doc_id"), F.lit("not-a-number")),
@@ -161,8 +159,6 @@ def q_source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return datasets.local_df(
             spark, [(m, int(n)) for m, n in rows], "metric string, n long"
         )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -192,8 +188,7 @@ def q_source_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFram
     ``_metadata.file_path`` must reproduce exactly those class sizes.
     """
     docs = datasets.load(spark, sf_dir, "documents").select("doc_id")
-    work = os.path.join(SCRATCH_ROOT, f"lineage_{uuid.uuid4().hex[:12]}")
-    try:
+    with scratch_dir("lineage") as work:
         for i in range(4):
             docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
                 "append"
@@ -210,8 +205,6 @@ def q_source_file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFram
         )
         rows = out.collect()  # materialize before the scratch dir disappears
         return datasets.local_df(spark, rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -241,8 +234,7 @@ def q_source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
     applies to each generation.
     """
     orders = datasets.load(spark, sf_dir, "orders")
-    work = os.path.join(SCRATCH_ROOT, f"evolve_{uuid.uuid4().hex[:12]}")
-    try:
+    with scratch_dir("evolve") as work:
         gen = F.col("o_orderkey") % 4
         v1 = orders.filter(gen < 2).select("o_orderkey", "o_totalprice")
         v2 = orders.filter(gen >= 2).select(
@@ -267,5 +259,3 @@ def q_source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
         # materialize before the scratch dir disappears
         rows = out.collect()
         return datasets.local_df(spark, rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)

@@ -24,6 +24,7 @@ Key mechanics:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import time
@@ -103,6 +104,18 @@ def _scratch(tag: str) -> str:
     path = os.path.join(SCRATCH_ROOT, f"{tag}_{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+@contextlib.contextmanager
+def scratch_dir(tag: str):
+    """Self-cleaning scratch directory under SCRATCH_ROOT — THE shared
+    write-then-read-back workspace for source/sink queries (one place for
+    naming, creation, and cleanup policy)."""
+    path = _scratch(tag)
+    try:
+        yield path
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def replay(

@@ -15,12 +15,13 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# BASELINE.md row -> (budget per entry in seconds, headline queries covered).
-# "suite" rows additionally state a total budget.
+# BASELINE.md row -> (budget per entry in seconds, optional GROUP-TOTAL
+# budget in seconds, headline queries covered).
 ROWS = [
     (
         "relational suite (≤10 s/query, ≤300 s total)",
         10.0,
+        300.0,
         [
             "agg_pricing_summary", "sql_tpch_q5", "sql_tpch_q9",
             "join_broadcast_star", "join_bucketed_colocated", "join_asof",
@@ -31,26 +32,31 @@ ROWS = [
     (
         "batch word count (≥100 K rows/s → ≲6 s at sf0.1)",
         6.0,
+        None,
         ["wordcount_batch", "wordcount_union", "wordcount_datastream_api"],
     ),
     (
         "streaming window replays (≤60 s)",
         60.0,
+        None,
         ["stream_tumbling_window", "stream_session_window", "stream_window_topn"],
     ),
     (
         "streaming word count parity (≤30 s)",
         30.0,
+        None,
         ["stream_wordcount_update"],
     ),
     (
         "stream-stream interval join (≤90 s)",
         90.0,
+        None,
         ["stream_interval_join", "stream_window_join", "stream_temporal_join"],
     ),
     (
         "MinHash-LSH dedup (≤120 s)",
         120.0,
+        None,
         [
             "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
             "dedup_semantic",
@@ -59,6 +65,7 @@ ROWS = [
     (
         "embedding similarity top-k (≤60 s)",
         60.0,
+        None,
         ["sim_search_topk", "sim_search_ivf", "sim_search_adc_rerank"],
     ),
 ]
@@ -80,22 +87,42 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     worst = 0.0
-    for label, budget, names in ROWS:
-        for i, n in enumerate(names):
+    missing_any = False
+    for label, budget, group_total, names in ROWS:
+        first = True
+        group_sum = 0.0
+        for n in names:
+            cell = label if first else ""
+            first = False
             if n not in med:
+                # surface the gap — a silent skip would read as coverage
+                missing_any = True
+                out.append(
+                    f"| {cell} | ≤{budget:g} s | `{n}` | **MISSING** | — |"
+                )
                 continue
+            group_sum += med[n]
             r = med[n] / budget
             worst = max(worst, r)
             out.append(
-                f"| {label if i == 0 else ''} | ≤{budget:g} s | `{n}` "
+                f"| {cell} | ≤{budget:g} s | `{n}` "
                 f"| {med[n]:.2f} s | {r:.2f}x |"
             )
-    covered = {n for _, _, names in ROWS for n in names}
+        if group_total is not None:
+            r = group_sum / group_total
+            worst = max(worst, r)
+            out.append(
+                f"| | ≤{group_total:g} s total | _group total_ "
+                f"| {group_sum:.2f} s | {r:.2f}x |"
+            )
+    covered = {n for _, _, _, names in ROWS for n in names}
     rest = sorted(set(med) - covered)
     out += [
         "",
         f"**Worst ratio: {worst:.2f}x** (gate: ≤2x of budget; ≤1x = inside "
-        "the budget itself).",
+        "the budget itself)."
+        + (" **Some mapped queries are MISSING from the bench run — "
+           "coverage above is incomplete.**" if missing_any else ""),
         "",
         f"Headline queries outside any BASELINE row ({len(rest)}; engine "
         "extensions with no reference analog): "
