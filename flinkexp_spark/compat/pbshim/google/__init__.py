@@ -44,7 +44,12 @@ try:
         gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
     ):
         # tolerate minor/patch skew inside one major version; defer to the
-        # real validator (which raises) across majors
+        # real validator (which raises) across majors.  NOTE: this patch is
+        # PROCESS-WIDE — every protobuf consumer in the interpreter inherits
+        # the relaxed minor-version check, not just Spark's state-server
+        # gencode.  Acceptable here because the shim only activates in
+        # environments with no native protobuf install at all (the bridged
+        # SDK runtime is the process's only runtime); see protobuf_shim.py.
         if gen_major != _rv.MAJOR:
             _original_validate(
                 gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location

@@ -47,7 +47,18 @@ def ensure_protobuf() -> bool:
         # google.* namespace packages for no gain
         return False
     if "google" in sys.modules:  # a half-imported 'google' would shadow the shim
+        # Re-importing the parent orphans any already-loaded google.*
+        # subpackages (google.auth etc. stay in sys.modules but vanish as
+        # attributes of the fresh parent) — remember them so they can be
+        # re-attached after the shim import.
+        _loaded_subs = {
+            name: mod
+            for name, mod in sys.modules.items()
+            if name.startswith("google.") and "." not in name[len("google."):]
+        }
         del sys.modules["google"]
+    else:
+        _loaded_subs = {}
     if _SHIM_DIR not in sys.path:
         sys.path.insert(0, _SHIM_DIR)
     existing = os.environ.get("PYTHONPATH", "")
@@ -57,7 +68,14 @@ def ensure_protobuf() -> bool:
         )
     try:
         import google.protobuf.descriptor  # noqa: F401
-
-        return True
     except Exception:
         return False
+    # Re-attach previously-loaded subpackages to the re-imported parent so
+    # attribute access like ``google.auth`` keeps working for other code.
+    parent = sys.modules.get("google")
+    if parent is not None:
+        for name, mod in _loaded_subs.items():
+            attr = name.split(".", 1)[1]
+            if not hasattr(parent, attr):
+                setattr(parent, attr, mod)
+    return True

@@ -306,11 +306,20 @@ def decode_jpeg_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             pos = 2
             width = height = n_comp = precision = None
             dqt_sum = 0
-            while pos + 4 <= len(payload):
+            while pos + 2 <= len(payload):
                 if payload[pos] != 0xFF:
                     raise ValueError(f"bad marker alignment at {pos}")
+                # legal JFIF allows 0xFF fill bytes before any marker
+                while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                    pos += 1
                 marker = payload[pos + 1]
                 if marker == 0xD9:  # EOI
+                    break
+                # standalone (length-less) markers: TEM + RSTn
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if pos + 4 > len(payload):
                     break
                 (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
                 body = payload[pos + 4 : pos + 2 + seg_len]

@@ -93,9 +93,12 @@ def merge_upsert(
         )
     if check_unique:
         dup = (
+            # count("*") under an explicit alias: a bare .count() would name
+            # the column "count", ambiguous if the change set itself carries
+            # a "count" column — the contract check must never error.
             updates.groupBy(key)
-            .count()
-            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("__merge_dup_n"))
+            .filter(F.col("__merge_dup_n") > 1)
             .select(key)
             .limit(5)
             .collect()

@@ -358,11 +358,10 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
                 yield o
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            # expired timers are NOT auto-removed: without the delete the
-            # registration would linger in the timer column family and
-            # re-fire every micro-batch (harmless output-wise once state is
-            # cleared, but a per-key state leak on long streams)
-            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            # No deleteTimer here: PySpark 4.1 removes each expired timer
+            # right after this hook returns (stateful_processor_util.py), and
+            # a redundant delete logs a TimerStateImpl WARN per firing.
+            pass
             # stale timers are deleted on every update, so a firing timer is
             # the live horizon: flush the open session
             if self._state.exists():

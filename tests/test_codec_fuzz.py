@@ -108,8 +108,14 @@ def test_jpeg_walker_roundtrips_random_headers(spark):
         n_comp = rng.choice([1, 3])
         sof = rng.choice([0xC0, 0xC1, 0xC2])  # baseline/extended/progressive
         out = bytearray(b"\xff\xd8")
-        # random APPn noise segments the walker must skip by length
+        # random APPn noise segments the walker must skip by length;
+        # legal-but-unusual inter-segment junk too: 0xFF fill bytes and
+        # standalone TEM/RSTn markers (no length word follows either)
         for _ in range(rng.randint(0, 3)):
+            if rng.random() < 0.3:
+                out += b"\xff" * rng.randint(1, 4)  # fill bytes
+            if rng.random() < 0.3:
+                out += bytes((0xFF, rng.choice([0x01, *range(0xD0, 0xD8)])))
             app = 0xE0 + rng.randint(0, 15)
             blob = bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
             out += bytes((0xFF, app)) + struct.pack(">H", 2 + len(blob)) + blob
