@@ -49,6 +49,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     subqueries,
     wordcount,  # E2-E4 batch parity
     udfs,  # U1-U4
+    sql_modern,  # recursive CTE / HLL sketches / VARIANT / LISTAGG / pipe (new r4)
 )
 
 # --------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
-from flinkexp_spark.catalog._util import fmt_ts, o_dsum, o_fmt_ts
+from flinkexp_spark.catalog._util import dsum, fmt_ts, o_dsum, o_fmt_ts
 from flinkexp_spark.operators.asof import asof_join
 from flinkexp_spark.registry import register
 
@@ -491,4 +491,55 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_fuzzy_pairs"),
         F.sum("d").cast("long").alias("dist_sum"),
         F.min("d").cast("long").alias("min_dist"),
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {o_dsum('o_totalprice', 'revenue')}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 9000
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("J6", "J1", "A1"),
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter prefilter ahead of a fact join
+    (operators/bloom.py).
+
+    The selective dimension side (high-balance customers) builds a KB-sized
+    bitset over its keys; the bitset broadcasts and drops non-joinable
+    orders AT THE SCAN, before any shuffle or join work.  The exact join
+    afterwards removes Bloom false positives, so the result — and the
+    oracle — is exactly the plain join.  Spark's automatic runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) is the planner-driven
+    version of this; the operator form composes where the heuristic can't
+    reach (reuse across consumers, prefilter before UDF stages).
+    """
+    from flinkexp_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    cust = (
+        datasets.load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = datasets.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    bloom = bloom_build(cust, "c_custkey", m_bits=8192, k=3)
+    candidates = bloom_prefilter(orders, bloom, "o_custkey", m_bits=8192, k=3)
+    return (
+        candidates.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("c_mktsegment")
     )
