@@ -98,3 +98,53 @@ def q_stream_changelog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.event_type").alias("last_type"),
         F.col("last.value").alias("last_value"),
     )
+
+
+_CDC_ORACLE = """
+    SELECT user_id,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           last_value
+    FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END AS op,
+               value AS last_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM events
+    ) v
+    WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply_ops", oracle=_CDC_ORACLE, tags=("W1", "P2"))
+def q_cdc_apply_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC op-log application: I/U/D change feed -> live-row snapshot.
+
+    The third changelog shape (after compaction and upsert replay): the feed
+    carries an operation column, and a key whose LAST op is a delete must be
+    absent from the snapshot.  One window pass — row_number for the winner
+    and a windowed count for audit, same single shuffle on the key; deletes
+    are a post-window filter, never a join.  This is how a Debezium/binlog
+    feed lands in a lakehouse table at any scale.
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        events.select(
+            "user_id", "ts", "event_id", op.alias("op"),
+            F.col("value").alias("last_value"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count("*").over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", "n_ops", "last_value")
+    )

@@ -318,3 +318,54 @@ def q_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, o.o_custkey == c.c_custkey, "left_anti"
     ).agg(F.count("*").alias("orphan_orders"))
     return orphan_li.crossJoin(childless).crossJoin(orphan_o)
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_v,
+           CAST(MAX({c}) AS DOUBLE) AS max_v
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+) + " ORDER BY col_name"
+
+
+@register("profile_table", oracle=_PROFILE_ORACLE, tags=("A2", "A3", "P1"))
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary: per-column count/nulls/distinct/min/max over
+    the fact table in ONE aggregate (the oracle spells it as N scans; the
+    engine runs one).
+
+    The single wide agg computes every measure for every column together —
+    one pass over the fact, one Expand for the multi-distinct — then a
+    ``stack`` unpivot reshapes the 1-row result into a row per column.
+    This is the landing-zone audit every ingest pipeline runs; at 100 TB
+    one pass vs N-columns passes is the difference between minutes and
+    hours.  (Exact distincts here; the mergeable-sketch variant for
+    continuous profiling is ``sketch_hll_mergeable``.)
+    """
+    li = datasets.load(spark, sf_dir, "lineitem")
+    measures = []
+    for c in _PROFILE_COLS:
+        measures += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*measures)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__nd, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
+    ).orderBy("col_name")
