@@ -740,3 +740,70 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_MIN)
         .select("id_a", "id_b", F.round(cont, 4).alias("containment"))
     )
+
+
+# Segments appearing in >= BOILER_MIN_DOCS distinct documents are treated as
+# boilerplate (nav bars, cookie banners, license footers at corpus scale).
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "boilerplate_strip",
+    oracle=f"""
+        WITH t0 AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                    FROM documents),
+        segs AS (
+            SELECT doc_id, i AS seg_idx,
+                   array_to_string(
+                       toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}],
+                       ' ') AS seg
+            FROM t0, (SELECT unnest(range(200)) AS i)
+            WHERE i < CAST(floor(len(toks) / {SEG_TOKENS}) AS BIGINT)),
+        docfreq AS (
+            SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
+        SELECT s.doc_id,
+               COUNT(*) AS n_segments,
+               CAST(SUM(CASE WHEN d.ndocs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler
+        FROM segs s JOIN docfreq d ON s.seg = d.seg
+        WHERE s.doc_id < {SEG_REPORT_DOCS}
+        GROUP BY s.doc_id
+    """,
+    tags=("X1", "X4"),
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate detection (the OTHER C4 cleanup:
+    dedup_lines keeps first occurrences; THIS flags spans that recur across
+    >= {BOILER_MIN_DOCS} distinct documents — nav bars, cookie banners,
+    license footers — for stripping from EVERY document).
+
+    Two shuffles, both on the segment hash: distinct-doc frequency, then
+    the flag join back.  At 100 TB the segment key becomes md5(seg) before
+    the shuffle and the docfreq table is tiny (only segments over the
+    threshold matter) — broadcast it for the second pass.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    n_seg = F.floor(F.size("toks") / SEG_TOKENS).cast("int")
+    seg_list = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i * SEG_TOKENS + 1, SEG_TOKENS)),
+    )
+    segs = (
+        t0.filter(n_seg > 0)
+        .select("doc_id", F.posexplode(seg_list).alias("seg_idx", "seg"))
+    )
+    docfreq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        segs.join(docfreq, "seg")
+        .filter(F.col("doc_id") < SEG_REPORT_DOCS)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(F.col("ndocs") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+    )

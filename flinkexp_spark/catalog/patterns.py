@@ -427,3 +427,126 @@ def q_pattern_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_s", 0.5), 4).alias("p50_s"),
         F.round(F.percentile("latency_s", 0.9), 4).alias("p90_s"),
     )
+
+
+PAGERANK_ITERS = 3
+_PR_EDGES = """
+    SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name
+"""
+_PR_ITER = """
+    r{next} AS (
+        SELECT nodes.node,
+               (SELECT 0.15 / n FROM nn)
+               + 0.85 * COALESCE(SUM(r{cur}.r * e.w / outw.tw), 0) AS r
+        FROM nodes
+        LEFT JOIN e    ON e.dst = nodes.node
+        LEFT JOIN outw ON outw.src = e.src
+        LEFT JOIN r{cur} ON r{cur}.node = e.src
+        GROUP BY nodes.node
+    )
+"""
+_PR_ORACLE = (
+    f"""
+    WITH e AS ({_PR_EDGES}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+    r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS r FROM nodes),
+    """
+    + ",".join(
+        _PR_ITER.format(cur=i, next=i + 1) for i in range(PAGERANK_ITERS)
+    )
+    + f"""
+    SELECT node, ROUND(r, 6) AS rank
+    FROM r{PAGERANK_ITERS} ORDER BY node
+    """
+)
+
+
+@register("graph_pagerank", oracle=_PR_ORACLE, tags=("J1", "A1", "J6"))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (supplier nation
+    -> customer nation, edge weight = shipment count), PAGERANK_ITERS
+    synchronous iterations, damping 0.85.
+
+    The iterative-algorithm shape on DataFrames: each iteration is ONE
+    hash join (ranks x out-edges) + ONE aggregation on dst — the Pregel
+    step expressed relationally.  Node/edge/out-weight frames are reused
+    across iterations; at 100 TB you persist (or checkpoint every ~5
+    iterations to cut lineage) and pre-partition edges by src so every
+    iteration reuses the same exchange.  The oracle unrolls the identical
+    recurrence in SQL; ROUND(6) absorbs float summation-order differences.
+    Dangling mass is not redistributed (both sides implement the same
+    convention).
+    """
+    li = datasets.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = datasets.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = datasets.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = datasets.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = datasets.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "src")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "dst")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    ew = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("frac")
+    )
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("frac")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node", F.round("r", 6).alias("rank")
+    ).orderBy("node")

@@ -506,3 +506,54 @@ def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.sum("doc_id").cast("long").alias("doc_id_sum"),
     )
+
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "curriculum_order",
+    oracle=f"""
+        WITH phased AS (
+            SELECT doc_id,
+                   NTILE({CURRICULUM_PHASES}) OVER (ORDER BY n_chars, doc_id)
+                       AS phase
+            FROM documents
+        )
+        SELECT doc_id, phase,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY phase
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS BIGINT) AS pos
+        FROM phased
+        ORDER BY phase, pos
+    """,
+    tags=("W1", "O1"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: quartile documents by a difficulty
+    proxy (length) into phases, then give each phase a DETERMINISTIC
+    pseudo-random intra-phase order (md5 of the id — engine-independent,
+    seedable by salting the string, and reproducible across reruns, unlike
+    rand()).
+
+    ntile + per-phase row_number is two window passes over one sort each.
+    At 100 TB you'd replace ntile's global sort with approx percentile
+    boundaries (computed once, broadcast) and make the phase assignment a
+    stateless map — the hash order needs no global sort at all if shards
+    read (phase, md5-range) buckets.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    phase_w = Window.orderBy("n_chars", "doc_id")
+    d = docs.select(
+        "doc_id", F.ntile(CURRICULUM_PHASES).over(phase_w).alias("phase"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    pos_w = Window.partitionBy("phase").orderBy("h", "doc_id")
+    return (
+        d.select(
+            "doc_id", "phase",
+            F.row_number().over(pos_w).cast("long").alias("pos"),
+        )
+        .orderBy("phase", "pos")
+    )
