@@ -84,6 +84,13 @@ HEADLINE = [
     "table_fingerprint",
     "graph_triangle_count",
     "join_salted_skew",
+    # round-4 additions: modern SQL + explicit runtime filter + iteration
+    "sql_recursive_cte",
+    "sketch_hll_mergeable",
+    "join_bloom_prefilter",
+    "graph_pagerank",
+    "boilerplate_strip",
+    "stream_dedup_within_watermark",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

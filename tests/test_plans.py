@@ -568,6 +568,17 @@ SHUFFLE_BUDGET = {
     "text_classifier_score": 0,
     "maintenance_merge_upsert": 3,
     "pipeline_training_data": 5,
+    # round-4 additions
+    "join_bloom_prefilter": 4,
+    "sketch_hll_mergeable": 5,
+    "profile_table": 2,
+    "boilerplate_strip": 3,
+    "curriculum_order": 1,
+    "cdc_apply_ops": 1,
+    "sql_recursive_cte": 2,
+    "graph_pagerank": 8,  # post-checkpoint loop: 1 agg exchange/iteration
+    "sql_variant_json": 2,
+    "agg_approx_top_k": 1,
 }
 
 
