@@ -563,3 +563,71 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round("r", 6).alias("rank")
     ).orderBy("node")
+
+
+# MATCH_RECOGNIZE PATTERN (V+ C P) over the per-user event stream, encoded
+# as regex over a per-key sequence string: one char per event type.
+CEP_PATTERN = "v+cp"
+_CEP_CHR = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END"
+)
+
+
+@register(
+    "pattern_regex_cep",
+    oracle=f"""
+        SELECT user_id,
+               CAST(len(regexp_extract_all(seq, '{CEP_PATTERN}')) AS BIGINT)
+                   AS n_matches,
+               CAST(len(seq) AS BIGINT) AS seq_len
+        FROM (
+            SELECT user_id,
+                   string_agg({_CEP_CHR}, '' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        WHERE len(regexp_extract_all(seq, '{CEP_PATTERN}')) > 0
+        ORDER BY user_id
+    """,
+    tags=("F1", "A7", "W2"),
+)
+def q_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General CEP via regex-over-sequence: MATCH_RECOGNIZE's
+    ``PATTERN (V+ C P)`` (one-or-more views, then a click, then a purchase,
+    contiguous per user) as pure codegen — encode each user's time-ordered
+    events as a one-char-per-event string, then count non-overlapping regex
+    matches.  ANY regular pattern (alternation, bounded repeats, absence
+    via negative classes) compiles to the same two-operator plan: one
+    grouped sort-agg to build sequences, one regex pass.
+
+    The interval-join formulations above are the right shape when patterns
+    carry TIME constraints; this one trades them for full regular-language
+    power at one shuffle.  At 100 TB per-key sequences are bounded by
+    per-user activity (chars, not rows); a 10M-event hot key would need the
+    windowed variant (split sequences at session gaps first).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    chr_col = F.expr(_CEP_CHR)
+    seqs = (
+        events.select("user_id", F.struct("ts", "event_id").alias("k"), chr_col.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "c"))),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    n = F.regexp_count("seq", F.lit(CEP_PATTERN))
+    return (
+        seqs.select(
+            "user_id",
+            n.cast("long").alias("n_matches"),
+            F.length("seq").cast("long").alias("seq_len"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )

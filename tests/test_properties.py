@@ -358,3 +358,24 @@ def test_prefix_filter_jaccard_is_lossless(spark, case):
             if len(a & b) / len(a | b) >= T:
                 brute.add((i, j))
     assert got == brute
+
+
+@given(
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60, unique=True),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_never_drops_a_member(spark, members, probes):
+    """Bloom prefilter soundness: EVERY probe key that is a member must
+    survive the filter, for arbitrary (including negative/huge) keys."""
+    from flinkexp_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    mdf = spark.createDataFrame([(k,) for k in members], "k long")
+    pdf = spark.createDataFrame([(k,) for k in probes], "k long")
+    bloom = bloom_build(mdf, "k", m_bits=512, k=4)
+    kept = {r.k for r in bloom_prefilter(pdf, bloom, "k", m_bits=512, k=4).collect()}
+    assert (set(members) & set(probes)) <= kept
