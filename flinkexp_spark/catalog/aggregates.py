@@ -741,3 +741,126 @@ def q_agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.round(share, 6).alias("share_of_region"),
     )
+
+
+@register(
+    "rollup_continuous_aggregate",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) AS avg_cents,
+               CAST(MIN(value) AS DOUBLE) AS min_v,
+               CAST(MAX(value) AS DOUBLE) AS max_v,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A1", "A2", "A7"),
+)
+def q_rollup_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate: a per-(event_type, day) PARTIAL
+    table is materialized once (count / cents-sum / min / max — every
+    measure mergeable), and query time only MERGES partials: sums of sums,
+    min of mins, count of partial rows for active-days, and the average
+    reconstructed as merged-sum / merged-count (never an average of
+    averages).
+
+    The oracle computes the same result directly from raw events — the
+    parity check IS the rollup contract.  At 100 TB the partial table is
+    ~5 orders of magnitude smaller than raw, refreshed incrementally per
+    day-partition; every dashboard query reads partials only.  Non-mergeable
+    measures ride along as sketches (sketch_hll_mergeable,
+    agg_histogram_quantile).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    partials = (
+        events.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum(cents).alias("p_cents"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+        .localCheckpoint()  # the materialized rollup table (session-scoped)
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("p_n").cast("long").alias("n"),
+            F.sum("p_cents").cast("long").alias("cents"),
+            (F.sum("p_cents").cast("double") / F.sum("p_n")).alias("avg_cents"),
+            F.min("p_min").cast("double").alias("min_v"),
+            F.max("p_max").cast("double").alias("max_v"),
+            F.count("*").cast("long").alias("active_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quality_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type),
+        mad AS (
+            SELECT e.event_type,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN abs(e.value - m.med)
+                                  > 3 * 1.4826 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad d ON e.event_type = d.event_type
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("A6", "A5", "J6"),
+)
+def q_quality_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: modified z-score via median absolute
+    deviation (|x - med| > 3 * 1.4826 * MAD) per group — the outlier gate
+    that, unlike mean/stddev, a few extreme points cannot drag.
+
+    Two grouped percentile passes with the tiny per-group stats BROADCAST
+    back between them (med table, then mad table — K rows each), so the
+    fact is scanned three times but never shuffled on value.  Both engines
+    round med/MAD to 6 digits BEFORE thresholding so interpolation noise
+    can't flip a boundary point.  At scale swap exact percentile for
+    approx_percentile and the pass count drops to two.
+    """
+    events = datasets.load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -65,3 +65,95 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         output_mode="append",
         extra_files=[resent],
     )
+
+
+@register(
+    "stream_foreachbatch_merge",
+    oracle="""
+        SELECT user_id,
+               CAST(ts AS STRING) AS ts_s,
+               event_type AS last_type,
+               value AS last_value
+        FROM (
+            SELECT user_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) v WHERE rn = 1
+    """,
+    tags=("T9", "T7", "S7"),
+)
+def q_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: a 3-micro-batch replay drives
+    ``foreachBatch`` -> compact-the-batch -> ``merge_upsert`` into a
+    parquet snapshot, write-new-then-swap per epoch (the manual form of a
+    lakehouse table's atomic snapshot commit — same dataflow, with the
+    table format supplying the manifest atomicity at scale).
+
+    Batch-vs-incremental parity is the checked contract: after replaying
+    the whole feed incrementally, the snapshot must equal the one-shot
+    batch compaction (changelog_compact's oracle).  The foreachBatch writer
+    runs ON THE DRIVER per epoch but every frame it touches is distributed
+    — batch compaction is a keyed max_by, the MERGE is one join.
+    """
+    import os
+    import shutil
+
+    from flinkexp_spark.operators.maintenance import merge_upsert
+    from flinkexp_spark.streaming.replay import _scratch, replay_foreach_batch
+
+    events = datasets.load(spark, sf_dir, "events")
+    work = _scratch("merge_sink")
+    snap = os.path.join(work, "snapshot")
+    out_schema = "user_id long, ts timestamp, event_type string, value double"
+    try:
+
+        def writer(batch_df: DataFrame, epoch_id: int) -> None:
+            # compact the epoch to one row per key (last by version vector);
+            # epochs arrive time-ordered, so later epochs legitimately
+            # overwrite earlier keys
+            compact = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("ts", "event_type", "value"),
+                        F.struct("ts", "event_id"),
+                    ).alias("last")
+                )
+                .select(
+                    "user_id", "last.ts", "last.event_type", "last.value",
+                    F.lit("U").alias("op"),
+                )
+            )
+            if os.path.isdir(snap):
+                target = spark.read.schema(out_schema).parquet(snap)
+            else:
+                target = spark.createDataFrame([], out_schema)
+            merged = merge_upsert(target, compact, "user_id", check_unique=False)
+            # write-new-then-swap: the merged plan lazily READS the current
+            # snapshot, so overwriting it in place would corrupt the read
+            merged.write.mode("overwrite").parquet(snap + ".next")
+            shutil.rmtree(snap, ignore_errors=True)
+            os.rename(snap + ".next", snap)
+
+        replay_foreach_batch(
+            spark,
+            events.select("user_id", "ts", "event_id", "event_type", "value"),
+            lambda s: s,
+            writer,
+            output_mode="append",
+            n_files=3,
+            order_col="ts",
+        )
+        rows = spark.read.schema(out_schema).parquet(snap).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = datasets.local_df(
+        spark, rows, out_schema
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

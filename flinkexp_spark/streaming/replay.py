@@ -141,32 +141,7 @@ def replay(
     try:
         schema = source_df.schema
 
-        parts = []
-        if n_files <= 1:
-            parts = [source_df]
-        else:
-            if order_col is None:
-                raise ValueError("n_files > 1 requires order_col for the time split")
-            # ntile-style split by order_col quantiles (cast to double so
-            # timestamps work), computed driver-side on the bounds only
-            # (fixture scale); keeps files time-ordered.
-            fracs = ",".join(str((i + 1) / n_files) for i in range(n_files - 1))
-            bounds = source_df.selectExpr(
-                f"percentile(cast({order_col} as double), array({fracs})) as b"
-            ).collect()[0]["b"]
-            prev = None
-            from pyspark.sql import functions as F
-
-            ocol = F.col(order_col).cast("double")
-            for i in range(n_files):
-                cond = None
-                if prev is not None:
-                    cond = ocol > F.lit(prev)
-                if i < n_files - 1:
-                    upper = ocol <= F.lit(bounds[i])
-                    cond = upper if cond is None else (cond & upper)
-                    prev = bounds[i]
-                parts.append(source_df if cond is None else source_df.filter(cond))
+        parts = _time_split(source_df, n_files, order_col)
 
         if extra_files:
             parts.extend(extra_files)
@@ -214,26 +189,67 @@ def replay(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _time_split(
+    source_df: DataFrame, n_files: int, order_col: str | None
+) -> list[DataFrame]:
+    """ntile-style split by order_col quantiles (cast to double so
+    timestamps work), computed driver-side on the bounds only (fixture
+    scale); keeps files time-ordered."""
+    if n_files <= 1:
+        return [source_df]
+    if order_col is None:
+        raise ValueError("n_files > 1 requires order_col for the time split")
+    fracs = ",".join(str((i + 1) / n_files) for i in range(n_files - 1))
+    bounds = source_df.selectExpr(
+        f"percentile(cast({order_col} as double), array({fracs})) as b"
+    ).collect()[0]["b"]
+    prev = None
+    from pyspark.sql import functions as F
+
+    ocol = F.col(order_col).cast("double")
+    parts = []
+    for i in range(n_files):
+        cond = None
+        if prev is not None:
+            cond = ocol > F.lit(prev)
+        if i < n_files - 1:
+            upper = ocol <= F.lit(bounds[i])
+            cond = upper if cond is None else (cond & upper)
+            prev = bounds[i]
+        parts.append(source_df if cond is None else source_df.filter(cond))
+    return parts
+
+
 def replay_foreach_batch(
     spark: SparkSession,
     source_df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
     writer: Callable[[DataFrame, int], None],
     output_mode: str = "update",
+    n_files: int = 1,
+    order_col: str | None = None,
 ) -> None:
     """Replay through a custom ``foreachBatch`` writer (S7 kv-sink shape and
     any external store: the writer receives each micro-batch DataFrame plus
-    the epoch id and performs its own idempotent upserts)."""
+    the epoch id and performs its own idempotent upserts).  ``n_files`` > 1
+    splits the input by ``order_col`` quantiles and runs one micro-batch per
+    file, so the writer sees a real incremental sequence."""
     work = _scratch("feb")
     input_dir = os.path.join(work, "input")
     os.makedirs(input_dir)
     try:
-        source_df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(input_dir, "f0000")
-        )
-        reader = spark.readStream.schema(source_df.schema).parquet(
-            os.path.join(input_dir, "f*")
-        )
+        parts = _time_split(source_df, n_files, order_col)
+        for i, p in enumerate(parts):
+            fdir = os.path.join(input_dir, f"f{i:04d}")
+            p.coalesce(1).write.mode("overwrite").parquet(fdir)
+            ts = time.time() - (len(parts) - i) * 10
+            for root, _, files in os.walk(fdir):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+        reader = spark.readStream.schema(source_df.schema)
+        if len(parts) > 1:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        reader = reader.parquet(os.path.join(input_dir, "f*"))
         with _stream_partitions(spark):
             q = (
                 transform(reader)
