@@ -50,7 +50,8 @@ from flinkexp_spark.catalog import (  # noqa: F401
     wordcount,  # E2-E4 batch parity
     udfs,  # U1-U4
     sql_modern,  # recursive CTE / HLL sketches / VARIANT / LISTAGG / pipe (new r4)
-    streaming_extra,  # dropDuplicatesWithinWatermark (new r4)
+    streaming_extra,  # dropDuplicatesWithinWatermark + foreachBatch MERGE (new r4)
+    timeseries,  # LOCF gap-fill + time-weighted avg (new r4)
 )
 
 # --------------------------------------------------------------------------
