@@ -7,7 +7,7 @@ stage exactly reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -333,4 +333,74 @@ def q_multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("features"), j + 1).alias(f"f_{j}")
             for j in range(M.FAKE_FEATURE_DIM)
         ],
+    )
+
+
+@register(
+    "multimodal_scene_cuts",
+    # Same arithmetic mirror as multimodal_video_frames: frame f's mean
+    # luma is (md5_byte0 + 7f) % 256 exactly, so scene-cut positions (mean
+    # DROPS at the 256-wraparound) are checkable without a demuxer.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   doc_id % {M.Y4M_MAX_FRAMES} + 2 AS nf,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        f AS (
+            SELECT doc_id, nf,
+                   unnest(range(nf)) AS fi,
+                   (s + {M.Y4M_FRAME_STEP} * unnest(range(nf))) % 256
+                       AS mean_luma
+            FROM m),
+        d AS (
+            SELECT doc_id, nf, fi, mean_luma,
+                   mean_luma - LAG(mean_luma) OVER (
+                       PARTITION BY doc_id ORDER BY fi) AS delta
+            FROM f)
+        SELECT doc_id,
+               CAST(MAX(nf) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cuts,
+               CAST(COALESCE(MIN(CASE WHEN delta < 0 THEN fi END), -1)
+                    AS BIGINT) AS first_cut
+        FROM d GROUP BY doc_id
+    """,
+    tags=("X5", "U2", "W2"),
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 temporal analysis: scene-cut detection over REAL demuxed video.
+    Every frame's mean luma comes from the actual plane bytes (sum/size of
+    the decoded C444 buffer), then a lag window flags cuts where mean
+    luminance drops between consecutive frames.
+
+    The decode is per-payload inside mapInPandas (executor-local, no
+    shuffle); only the per-doc frame SERIES — a few ints per frame, not
+    pixels — reaches the window, so the shuffle is O(frames), independent
+    of resolution.  That ordering (decode -> tiny series -> window) is the
+    100 TB video-pipeline shape: pixels never cross the wire.
+    """
+    docs = datasets.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    frames = M.sample_y4m_frames(M.with_y4m_payload(docs), every_n=1)
+    luma = frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("byte_sum") / F.col("frame_bytes")).cast("long").alias(
+            "mean_luma"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = luma.withColumn(
+        "delta", F.col("mean_luma") - F.lag("mean_luma").over(w)
+    )
+    return d.groupBy("doc_id").agg(
+        (F.max("frame_idx") + 1).cast("long").alias("n_frames"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("delta") < 0, F.col("frame_idx"))), F.lit(-1)
+        ).cast("long").alias("first_cut"),
     )
