@@ -91,6 +91,9 @@ HEADLINE = [
     "graph_pagerank",
     "boilerplate_strip",
     "stream_dedup_within_watermark",
+    "pattern_regex_cep",
+    "timeseries_time_weighted_avg",
+    "rollup_continuous_aggregate",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
