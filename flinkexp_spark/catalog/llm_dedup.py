@@ -528,6 +528,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first occurrence corpus-wide by (doc_id, position), all later copies drop.
 SEG_TOKENS = 8
 SEG_REPORT_DOCS = 200
+SEG_MAX_PER_DOC = 200  # both engines truncate at 200 segments/doc
 
 
 @register(
@@ -570,7 +571,13 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = datasets.load(spark, sf_dir, "documents")
     t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    n_seg = F.floor(F.size("toks") / SEG_TOKENS).cast("int")
+    # SEG_MAX_PER_DOC caps BOTH engines: the oracle's unnest(range(200))
+    # bound would silently truncate a >1600-token doc while Spark kept
+    # going — cap here too so the parity contract holds for any fixture.
+    n_seg = F.least(
+        F.floor(F.size("toks") / SEG_TOKENS).cast("int"),
+        F.lit(SEG_MAX_PER_DOC),
+    )
     seg_list = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.concat_ws(" ", F.slice("toks", i * SEG_TOKENS + 1, SEG_TOKENS)),
@@ -784,7 +791,13 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = datasets.load(spark, sf_dir, "documents")
     t0 = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    n_seg = F.floor(F.size("toks") / SEG_TOKENS).cast("int")
+    # SEG_MAX_PER_DOC caps BOTH engines: the oracle's unnest(range(200))
+    # bound would silently truncate a >1600-token doc while Spark kept
+    # going — cap here too so the parity contract holds for any fixture.
+    n_seg = F.least(
+        F.floor(F.size("toks") / SEG_TOKENS).cast("int"),
+        F.lit(SEG_MAX_PER_DOC),
+    )
     seg_list = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.concat_ws(" ", F.slice("toks", i * SEG_TOKENS + 1, SEG_TOKENS)),

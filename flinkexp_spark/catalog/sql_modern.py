@@ -118,8 +118,7 @@ def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = spark.sql(
         """
         SELECT event_type, CAST(ts AS DATE) AS day,
-               hll_sketch_agg(user_id, 14) AS sk,
-               COUNT(DISTINCT user_id) AS part_exact
+               hll_sketch_agg(user_id, 14) AS sk
         FROM events GROUP BY event_type, CAST(ts AS DATE)
         """
     )

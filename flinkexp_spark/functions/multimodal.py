@@ -312,6 +312,8 @@ def decode_jpeg_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # legal JFIF allows 0xFF fill bytes before any marker
                 while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
                     pos += 1
+                if pos + 1 >= len(payload):  # stream ends inside a fill run
+                    break
                 marker = payload[pos + 1]
                 if marker == 0xD9:  # EOI
                     break

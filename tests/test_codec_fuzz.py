@@ -149,3 +149,16 @@ def test_jpeg_walker_roundtrips_random_headers(spark):
         assert (r.width, r.height, r.n_components, r.precision, r.dqt_sum) == (
             w, h, n_comp, 8, dqt_sum
         ), f"case {i}"
+
+
+def test_jpeg_walker_truncated_fill_run_raises_valueerror(spark):
+    """A stream ending inside a 0xFF fill run must exit the walk loop and
+    raise the walker's contractual ValueError (no SOF), never IndexError."""
+    import pytest
+
+    for payload in (b"\xff\xd8\xff\xff", b"\xff\xd8\xff", b"\xff\xd8\xff\xff\xff"):
+        with pytest.raises(Exception) as ei:
+            _run(spark, M.decode_jpeg_meta, [payload])
+        assert "no SOF" in str(ei.value) or "ValueError" in str(ei.value), str(
+            ei.value
+        )[:200]

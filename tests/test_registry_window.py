@@ -53,14 +53,39 @@ def test_window_has_no_already_official_query() -> None:
     assert not overlap, f"window wastes slots on already-official queries: {overlap}"
 
 
-def test_r05_carryover_is_exactly_the_never_official_remainder() -> None:
-    """Positions 51-66 + the window must cover EVERY never-official query."""
-    official = _official()
-    never = [n for n in REGISTRY if n not in official]
-    scheduled = set(catalog._R04_WINDOW) | set(catalog._R05_NEXT)
-    unscheduled = [n for n in never if n not in scheduled]
-    # New queries added this round are expected to be unscheduled (they
-    # rotate in r05+ behind _R05_NEXT); queries that predate r04 must not be.
-    pre_r04 = set(catalog._R04_WINDOW) | set(catalog._R05_NEXT) | official
-    stale = [n for n in unscheduled if n in pre_r04]
-    assert not stale, f"pre-r04 queries missing from the rotation: {stale}"
+def test_every_official_query_is_still_registered() -> None:
+    """A rename/removal of a query with an official CORRECTNESS row would
+    orphan that row (the judge reads query names from the artifacts);
+    every name the driver ever checked must keep resolving."""
+    missing = sorted(_official() - set(REGISTRY))
+    assert not missing, f"official artifact rows point at gone queries: {missing}"
+
+
+def test_rotation_covers_every_pre_r04_query() -> None:
+    """Every query that existed when the r04 rotation was planned must be
+    either already official or scheduled in _R04_WINDOW/_R05_NEXT — a name
+    silently dropped from both lists would fall out of the rotation plan.
+    Queries NEW this round are the remainder; pin their names so additions
+    are a conscious ledger update, not drift."""
+    new_r4 = {
+        "sql_recursive_cte", "sql_date_spine", "sketch_hll_mergeable",
+        "agg_approx_top_k", "sql_variant_json", "sql_listagg",
+        "sql_pipe_syntax", "join_bloom_prefilter",
+        "stream_dedup_within_watermark", "cdc_apply_ops", "profile_table",
+        "boilerplate_strip", "graph_pagerank", "curriculum_order",
+        "pattern_regex_cep", "stream_foreachbatch_merge",
+        "rollup_continuous_aggregate", "quality_anomaly_mad",
+        "timeseries_locf", "timeseries_time_weighted_avg",
+        "multimodal_scene_cuts",
+    }
+    covered = (
+        _official()
+        | set(catalog._R04_WINDOW)
+        | set(catalog._R05_NEXT)
+        | new_r4
+    )
+    dropped = sorted(set(REGISTRY) - covered)
+    assert not dropped, (
+        "queries outside the rotation plan (add to the new-query ledger "
+        f"or a window list): {dropped}"
+    )
