@@ -52,6 +52,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     sql_modern,  # recursive CTE / HLL sketches / VARIANT / LISTAGG / pipe (new r4)
     streaming_extra,  # dropDuplicatesWithinWatermark + foreachBatch MERGE (new r4)
     timeseries,  # LOCF gap-fill + time-weighted avg (new r4)
+    tokenizer,  # distributed BPE merge training (new r4)
 )
 
 # --------------------------------------------------------------------------

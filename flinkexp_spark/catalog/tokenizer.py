@@ -1,0 +1,119 @@
+"""Distributed BPE tokenizer training (round 4) — the canonical
+"train the tokenizer on the corpus" step of an LLM data pipeline.
+
+Classic byte-pair encoding (Sennrich et al. 2016, ACL — public method):
+train on the WORD HISTOGRAM, not the raw corpus.  One corpus pass builds
+(word, count); every merge round then runs over the histogram — at 100 TB
+the histogram is ~1e7 rows where the corpus is 1e12, so the iterative part
+costs megabytes per round.  Each round:
+
+1. adjacent-pair counts, weighted by word frequency (distributed explode +
+   one aggregation — map-side combinable);
+2. argmax pair (count DESC, pair ASC tiebreak — deterministic), a
+   single-row driver collect (the same tiny-aggregate pattern as
+   operators/components.py convergence checks);
+3. apply the merge to every word's token array with a left-to-right fold
+   (``F.aggregate``: merging (a,b) appends the fused token, and a fused
+   token never re-matches its own right side in the same pass — exactly
+   reference BPE's scan-from-i+2).
+
+The merge loop is genuinely iterative (each round's argmax depends on the
+last round's rewrite), so there is NO SQL oracle — the driver records a
+rows-only check, and tests/test_tokenizer.py pins EXACT equality of the
+learned merge table against an independent pure-Python reference
+implementation on the same fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.functions import text as T
+from flinkexp_spark.registry import register
+
+BPE_MERGES = 8
+
+
+def train_bpe_merges(
+    spark: SparkSession, words: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, n) histogram.
+
+    Returns [(rank, left, right, merged, support)]; ``support`` is the
+    weighted pair count that won the round.
+    """
+    hist = words.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+        F.col("n"),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            hist.filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("toks", 1, F.size("toks") - 1).alias("a"),
+                        F.slice("toks", 2, F.size("toks") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("support"))
+        )
+        top = pairs.orderBy(
+            F.desc("support"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, support = top[0]["a"], top[0]["b"], int(top[0]["support"])
+        merged = a + b
+        merges.append((rank, a, b, merged, support))
+        # left-to-right merge fold; the freshly fused token (acc's last
+        # element == merged) can only match pattern-left `a` again if
+        # merged == a, which the scan rule forbids within one pass
+        hist = hist.select(
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("toks"),
+            "n",
+        ).localCheckpoint()
+    return merges
+
+
+@register("tokenizer_bpe_train", oracle=None, tags=("X4", "U2", "A1"))
+def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_MERGES byte-pair merges on the documents corpus and return
+    the learned merge table (rank, left, right, merged, support).
+
+    Iterative (each argmax depends on the previous rewrite), hence no SQL
+    oracle — exactness vs a pure-Python reference is pinned in
+    tests/test_tokenizer.py instead.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = train_bpe_merges(spark, words)
+    return datasets.local_df(
+        spark,
+        merges,
+        "rank long, left string, right string, merged string, support long",
+    )

@@ -76,7 +76,7 @@ def test_rotation_covers_every_pre_r04_query() -> None:
         "pattern_regex_cep", "stream_foreachbatch_merge",
         "rollup_continuous_aggregate", "quality_anomaly_mad",
         "timeseries_locf", "timeseries_time_weighted_avg",
-        "multimodal_scene_cuts",
+        "multimodal_scene_cuts", "tokenizer_bpe_train",
     }
     covered = (
         _official()

@@ -1,0 +1,69 @@
+"""BPE training: the distributed merge loop must EXACTLY reproduce a
+pure-Python reference implementation (same histogram, same tiebreak,
+same left-to-right merge scan)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.catalog.tokenizer import BPE_MERGES, train_bpe_merges
+from flinkexp_spark.functions import text as T
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    hist = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for toks, n in hist.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += n
+        if not pairs:
+            break
+        # max support, then lexicographically smallest pair
+        (a, b), support = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = a + b
+        merges.append((rank, a, b, merged, support))
+        new_hist: dict[tuple, int] = {}
+        for toks, n in hist.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(merged)
+                    i += 2  # scan continues AFTER the fused token
+                else:
+                    out.append(toks[i])
+                    i += 1
+            key = tuple(out)
+            new_hist[key] = new_hist.get(key, 0) + n
+        hist = new_hist
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark, sf_dir):
+    docs = datasets.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = {r.word: r.n for r in words.collect()}
+    expected = _reference_bpe(counts, BPE_MERGES)
+    got = train_bpe_merges(spark, words, BPE_MERGES)
+    assert got == expected
+
+
+def test_bpe_fold_handles_runs_like_reference_scan(spark):
+    """[a,a,a] under (a,a)->aa must give [aa,a] (scan-from-i+2), and
+    [a,a,a,a] must give [aa,aa] — the fold must not re-merge the fused
+    token with the element that follows it."""
+    words = spark.createDataFrame([("aaa", 1), ("aaaa", 1)], "word string, n long")
+    merges = train_bpe_merges(spark, words, 1)
+    assert merges[0][1:4] == ("a", "a", "aa")
+    # support: 'aaa' has 2 adjacent pairs, 'aaaa' has 3
+    assert merges[0][4] == 5
