@@ -117,3 +117,84 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "rank long, left string, right string, merged string, support long",
     )
+
+
+def apply_bpe_merges(
+    toks: F.Column | str, merges: list[tuple[int, str, str, str, int]]
+):
+    """Fold each learned merge over a token array, in rank order — the
+    ENCODE side of BPE.  Merges are literals baked into the plan, so the
+    whole encode is one chained expression per row (no join, no UDF)."""
+    col = F.col(toks) if isinstance(toks, str) else toks
+
+    def merge_fold(a: str, b: str, merged: str):
+        # factory, NOT default-arg capture: PySpark inspects the lambda's
+        # arity and rejects extra (defaulted) parameters
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    for _, a, b, merged, _ in merges:
+        col = F.aggregate(
+            col, F.array().cast("array<string>"), merge_fold(a, b, merged)
+        )
+    return col
+
+
+@register("tokenizer_bpe_encode", oracle=None, tags=("X4", "F6"))
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merges just trained on it: chars per
+    word -> BPE_MERGES folds in rank order -> per-doc subword counts
+    (chars before, subwords after, compression x1000 as an exact int).
+
+    Train-then-apply in one lineage; the merge table is tiny and baked
+    into the plan as literals (the broadcast-model pattern — at scale the
+    merge list is thousands of entries and rides the closure the same
+    way).  Depends on the training loop, so rows-only official check;
+    tests pin the encode fold against the Python reference."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = train_bpe_merges(spark, words)
+    per_word = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
+    ).select(
+        "doc_id",
+        F.length("word").alias("n_chars"),
+        F.size(
+            apply_bpe_merges(
+                F.expr(
+                    "transform(sequence(1, length(word)), "
+                    "i -> substring(word, i, 1))"
+                ),
+                merges,
+            )
+        ).alias("n_subwords"),
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("n_subwords").cast("long").alias("subwords"),
+        )
+        .select(
+            "doc_id",
+            "chars",
+            "subwords",
+            (F.col("chars") * 1000 / F.col("subwords"))
+            .cast("long")
+            .alias("compression_x1000"),
+        )
+        .orderBy("doc_id")
+    )

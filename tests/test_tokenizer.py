@@ -67,3 +67,52 @@ def test_bpe_fold_handles_runs_like_reference_scan(spark):
     assert merges[0][1:4] == ("a", "a", "aa")
     # support: 'aaa' has 2 adjacent pairs, 'aaaa' has 3
     assert merges[0][4] == 5
+
+
+def test_bpe_encode_matches_reference_apply(spark, sf_dir):
+    """The encode fold must subword-tokenize exactly like applying the
+    reference merges with the reference scan."""
+    from flinkexp_spark.catalog.tokenizer import apply_bpe_merges
+
+    docs = datasets.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = {r.word: r.n for r in words.collect()}
+    merges = _reference_bpe(counts, BPE_MERGES)
+
+    def ref_encode(word: str) -> int:
+        toks = list(word)
+        for _, a, b, merged, _ in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    sample = sorted(counts)[:200]
+    wdf = spark.createDataFrame([(w,) for w in sample], "word string")
+    got = {
+        r.word: r.n
+        for r in wdf.select(
+            "word",
+            F.size(
+                apply_bpe_merges(
+                    F.expr(
+                        "transform(sequence(1, length(word)), "
+                        "i -> substring(word, i, 1))"
+                    ),
+                    merges,
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    for w in sample:
+        assert got[w] == ref_encode(w), w
