@@ -631,3 +631,57 @@ def q_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") > 0)
         .orderBy("user_id")
     )
+
+
+COPURCHASE_MIN_SUPPORT = 3
+
+
+@register(
+    "pattern_copurchase_pairs",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+        SELECT part_a, part_b, COUNT(*) AS support
+        FROM pairs
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+        ORDER BY support DESC, part_a, part_b
+    """,
+    tags=("J5", "A1", "A9"),
+)
+def q_pattern_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts bought together in the same order,
+    with minimum support — the candidate-generation step of every
+    association-rule / co-occurrence pipeline (Apriori's L2 layer).
+
+    The pair space is generated WITHIN the basket key only (self-join on
+    l_orderkey with part_a < part_b), so candidates are
+    sum-over-orders(lines²) — bounded by basket size (~7 here), never
+    corpus².  At 100 TB this is the same blocked-pair discipline as the
+    fuzzy join and LSH candidates: the blocking key rides the shuffle,
+    pairs exist only inside each group.
+    """
+    items = (
+        datasets.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= COPURCHASE_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )

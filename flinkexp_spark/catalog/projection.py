@@ -369,3 +369,56 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"
     ).orderBy("col_name")
+
+
+@register(
+    "quality_sequence_gaps",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN n_lines <> max_ln THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gapped,
+               CAST(SUM(CASE WHEN n_lines <> n_distinct THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_duplicated,
+               CAST(SUM(CASE WHEN min_ln <> 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad_start
+        FROM (
+            SELECT l_orderkey,
+                   COUNT(*) AS n_lines,
+                   COUNT(DISTINCT l_linenumber) AS n_distinct,
+                   MIN(l_linenumber) AS min_ln,
+                   MAX(l_linenumber) AS max_ln
+            FROM lineitem GROUP BY l_orderkey
+        )
+    """,
+    tags=("A2", "A3", "A9"),
+)
+def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit: per order, l_linenumber must be exactly
+    1..n (no gaps, no duplicates, correct start) — the CDC-feed sanity
+    check that catches dropped or re-delivered change records.
+
+    count/distinct/min/max per key decide all three violations WITHOUT
+    materializing expected sequences or joining a generator: n_lines ==
+    max implies gap-free given distinctness, so the whole audit is one
+    grouped aggregate + a global rollup.  Map-side combinable everywhere;
+    at 100 TB this is a single shuffle on the key.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        F.min("l_linenumber").alias("min_ln"),
+        F.max("l_linenumber").alias("max_ln"),
+    )
+    return per_order.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("n_lines") != F.col("max_ln"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gapped"),
+        F.sum(F.when(F.col("n_lines") != F.col("n_distinct"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicated"),
+        F.sum(F.when(F.col("min_ln") != 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_start"),
+    )

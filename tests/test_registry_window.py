@@ -77,7 +77,8 @@ def test_rotation_covers_every_pre_r04_query() -> None:
         "rollup_continuous_aggregate", "quality_anomaly_mad",
         "timeseries_locf", "timeseries_time_weighted_avg",
         "multimodal_scene_cuts", "tokenizer_bpe_train",
-        "tokenizer_bpe_encode",
+        "tokenizer_bpe_encode", "pattern_copurchase_pairs",
+        "quality_sequence_gaps",
     }
     covered = (
         _official()
