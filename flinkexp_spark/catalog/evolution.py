@@ -259,3 +259,64 @@ def q_source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
         # materialize before the scratch dir disappears
         rows = out.collect()
         return datasets.local_df(spark, rows, out.schema)
+
+
+SHARD_MAX_RECORDS = 4000
+
+
+@register(
+    "sink_sized_shards",
+    oracle=f"""
+        WITH n AS (SELECT COUNT(*) AS total FROM documents)
+        SELECT CAST(total AS BIGINT) AS total_rows,
+               CAST(CEIL(total / {float(SHARD_MAX_RECORDS)}) AS BIGINT)
+                   AS n_shards,
+               CAST(LEAST(total, {SHARD_MAX_RECORDS}) AS BIGINT)
+                   AS max_shard_rows,
+               CAST(CASE WHEN total % {SHARD_MAX_RECORDS} = 0
+                         THEN LEAST(total, {SHARD_MAX_RECORDS})
+                         ELSE total % {SHARD_MAX_RECORDS} END AS BIGINT)
+                   AS min_shard_rows
+        FROM n
+    """,
+    tags=("S2", "A2"),
+)
+def q_sink_sized_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: write the corpus as size-bounded parquet
+    shards (``maxRecordsPerFile``) and audit the layout from the files
+    themselves via the ``_metadata`` hidden column.
+
+    ``repartition(1)`` + maxRecordsPerFile gives EXACT packing — files of
+    SHARD_MAX_RECORDS rows plus one remainder — which is what makes the
+    layout oracle-checkable arithmetically.  At 100 TB you keep the
+    repartition (on a shard-count divisor, not 1) so each task emits
+    full-sized shards; dataloader-facing manifests then read row counts
+    from footer metadata exactly as this audit does.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    with scratch_dir("shards") as work:
+        out = os.path.join(work, "shards")
+        (
+            docs.repartition(1)
+            .write.option("maxRecordsPerFile", SHARD_MAX_RECORDS)
+            .mode("overwrite")
+            .parquet(out)
+        )
+        per_file = (
+            spark.read.parquet(out)
+            .select(F.col("_metadata.file_name").alias("f"))
+            .groupBy("f")
+            .agg(F.count("*").alias("rows"))
+        )
+        audit = per_file.agg(
+            F.sum("rows").cast("long").alias("total_rows"),
+            F.count("*").cast("long").alias("n_shards"),
+            F.max("rows").cast("long").alias("max_shard_rows"),
+            F.min("rows").cast("long").alias("min_shard_rows"),
+        )
+        rows = audit.collect()
+    return datasets.local_df(
+        spark,
+        rows,
+        "total_rows long, n_shards long, max_shard_rows long, min_shard_rows long",
+    )

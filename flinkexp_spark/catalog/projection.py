@@ -13,7 +13,7 @@ key set), with map-side partial dedup first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
@@ -422,3 +422,99 @@ def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bad_start"),
     )
+
+
+@register(
+    "diagnose_skew",
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders GROUP BY o_custkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(n) AS BIGINT) AS max_rows,
+               ROUND(quantile_cont(n, 0.5), 4) AS p50_rows,
+               ROUND(quantile_cont(n, 0.99), 4) AS p99_rows,
+               ROUND(MAX(n) * COUNT(*) / CAST(SUM(n) AS DOUBLE), 4)
+                   AS skew_factor
+        FROM per_key
+    """,
+    tags=("A2", "A6"),
+)
+def q_diagnose_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: per-key row-count distribution (p50/p99/max)
+    and the skew factor (max/mean) for a prospective join/agg key — the
+    measurement you run BEFORE choosing salting (join_salted_skew) or
+    trusting AQE's skew split.  skew_factor ~1 = uniform; >> 1 = one
+    reducer owns the job's tail latency.
+
+    Two cheap aggregations (per-key counts, then stats over the counts);
+    the second input is one row per key, so the whole diagnostic costs
+    one shuffle of (key, count) pairs regardless of fact size.
+    """
+    orders = datasets.load(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_rows"),
+        F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_rows"),
+        F.round(
+            F.max("n") * F.count("*") / F.sum("n").cast("double"), 4
+        ).alias("skew_factor"),
+    )
+
+
+PROFILE_ENTROPY_COLS = ("event_type", "user_id")
+
+
+@register(
+    "profile_entropy",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               ROUND(-SUM(p * ln(p)), 6) AS entropy_nats,
+               ROUND(SUM(p * p), 6) AS gini_impurity_inv
+        FROM (
+            SELECT {c}, COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS p
+            FROM events GROUP BY {c})
+        """
+        for c in PROFILE_ENTROPY_COLS
+    )
+    + " ORDER BY col_name",
+    tags=("A2", "A3", "F2"),
+)
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-distribution profiling: Shannon entropy (nats) and the
+    Simpson index (sum p² — inverse gini diversity) per column — the
+    signals that decide dictionary encoding, partition keys, and whether
+    a column is worth bucketing (high entropy) or broadcasting as a dim
+    (low).
+
+    Per column: one grouped count + a windowed total (single shuffle of
+    the distinct values), then a scalar aggregation of p-terms.  Entropy
+    sums are rounded on both engines (float summation order differs).
+    """
+    events = datasets.load(spark, sf_dir, "events")
+    outs = []
+    for c in PROFILE_ENTROPY_COLS:
+        counts = events.groupBy(c).agg(F.count("*").alias("cnt"))
+        with_p = counts.select(
+            (F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias("p")
+        )
+        outs.append(
+            with_p.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("long").alias("n_distinct"),
+                F.round(-F.sum(F.col("p") * F.log("p")), 6).alias(
+                    "entropy_nats"
+                ),
+                F.round(F.sum(F.col("p") * F.col("p")), 6).alias(
+                    "gini_impurity_inv"
+                ),
+            ).select("col_name", "n_distinct", "entropy_nats", "gini_impurity_inv")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_name")

@@ -78,7 +78,8 @@ def test_rotation_covers_every_pre_r04_query() -> None:
         "timeseries_locf", "timeseries_time_weighted_avg",
         "multimodal_scene_cuts", "tokenizer_bpe_train",
         "tokenizer_bpe_encode", "pattern_copurchase_pairs",
-        "quality_sequence_gaps",
+        "quality_sequence_gaps", "diagnose_skew", "profile_entropy",
+        "sink_sized_shards",
     }
     covered = (
         _official()
