@@ -541,7 +541,7 @@ SEG_MAX_PER_DOC = 200  # both engines truncate at 200 segments/doc
                    array_to_string(
                        toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}],
                        ' ') AS seg
-            FROM t0, (SELECT unnest(range(200)) AS i)
+            FROM t0, (SELECT unnest(range({SEG_MAX_PER_DOC})) AS i)
             WHERE i < CAST(floor(len(toks) / {SEG_TOKENS}) AS BIGINT)),
         ranked AS (
             SELECT doc_id, seg_idx,
@@ -764,7 +764,7 @@ BOILER_MIN_DOCS = 3
                    array_to_string(
                        toks[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}],
                        ' ') AS seg
-            FROM t0, (SELECT unnest(range(200)) AS i)
+            FROM t0, (SELECT unnest(range({SEG_MAX_PER_DOC})) AS i)
             WHERE i < CAST(floor(len(toks) / {SEG_TOKENS}) AS BIGINT)),
         docfreq AS (
             SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)

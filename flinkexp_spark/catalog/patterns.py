@@ -666,10 +666,14 @@ def q_pattern_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy join and LSH candidates: the blocking key rides the shuffle,
     pairs exist only inside each group.
     """
+    # materialize the distinct projection ONCE: both self-join branches
+    # read it, and without this the lineitem scan + distinct shuffle plans
+    # twice (same shared-branch convention as llm_dedup's index build)
     items = (
         datasets.load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a = items.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")

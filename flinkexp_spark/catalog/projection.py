@@ -477,7 +477,7 @@ PROFILE_ENTROPY_COLS = ("event_type", "user_id")
                ROUND(SUM(p * p), 6) AS gini_impurity_inv
         FROM (
             SELECT {c}, COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS p
-            FROM events GROUP BY {c})
+            FROM events WHERE {c} IS NOT NULL GROUP BY {c})
         """
         for c in PROFILE_ENTROPY_COLS
     )
@@ -498,7 +498,14 @@ def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = datasets.load(spark, sf_dir, "events")
     outs = []
     for c in PROFILE_ENTROPY_COLS:
-        counts = events.groupBy(c).agg(F.count("*").alias("cnt"))
+        # profile NON-NULL values only (both engines): a NULL group would
+        # count toward Spark's distinct-group tally but not the oracle's
+        # COUNT(DISTINCT), silently breaking parity on a nullable fixture
+        counts = (
+            events.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count("*").alias("cnt"))
+        )
         with_p = counts.select(
             (F.col("cnt") / F.sum("cnt").over(Window.partitionBy())).alias("p")
         )

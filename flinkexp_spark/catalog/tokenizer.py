@@ -35,6 +35,25 @@ from flinkexp_spark.registry import register
 
 BPE_MERGES = 8
 
+# Char-split shared by train and encode — MUST stay identical or the pair
+# desyncs.  The empty-string guard matters: sequence(1, 0) is the
+# DESCENDING array [1, 0], so an unguarded split turns '' into ['',''],
+# manufacturing a phantom ('','') pair.
+_CHARS_EXPR = (
+    "CASE WHEN length(word) >= 1 THEN "
+    "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+
+def word_histogram(docs: DataFrame) -> DataFrame:
+    """(word, n) corpus histogram — the single corpus pass BPE trains on."""
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
 
 def train_bpe_merges(
     spark: SparkSession, words: DataFrame, n_merges: int = BPE_MERGES
@@ -45,9 +64,7 @@ def train_bpe_merges(
     weighted pair count that won the round.
     """
     hist = words.select(
-        F.expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-        ).alias("toks"),
+        F.expr(_CHARS_EXPR).alias("toks"),
         F.col("n"),
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
@@ -77,6 +94,7 @@ def train_bpe_merges(
         # left-to-right merge fold; the freshly fused token (acc's last
         # element == merged) can only match pattern-left `a` again if
         # merged == a, which the scan rule forbids within one pass
+        prev = hist
         hist = hist.select(
             F.aggregate(
                 "toks",
@@ -92,7 +110,8 @@ def train_bpe_merges(
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("toks"),
             "n",
-        ).localCheckpoint()
+        ).localCheckpoint()  # eager, so the previous copy is releasable now
+        prev.unpersist()  # don't pin n_merges+1 histogram copies in storage
     return merges
 
 
@@ -106,12 +125,7 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_tokenizer.py instead.
     """
     docs = datasets.load(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-    merges = train_bpe_merges(spark, words)
+    merges = train_bpe_merges(spark, word_histogram(docs))
     return datasets.local_df(
         spark,
         merges,
@@ -155,31 +169,23 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word -> BPE_MERGES folds in rank order -> per-doc subword counts
     (chars before, subwords after, compression x1000 as an exact int).
 
-    Train-then-apply in one lineage; the merge table is tiny and baked
-    into the plan as literals (the broadcast-model pattern — at scale the
-    merge list is thousands of entries and rides the closure the same
-    way).  Depends on the training loop, so rows-only official check;
-    tests pin the encode fold against the Python reference."""
+    Train-then-apply in one lineage; the merge table is baked into the
+    plan as literal folds — the right mechanism for the tens of merges
+    this query learns.  A production vocabulary (thousands of merges)
+    would NOT chain thousands of folds (Catalyst expression-depth and
+    codegen limits); it ships the merge table to an Arrow-batched pandas
+    UDF instead — same dataflow, different expression carrier.  Depends
+    on the training loop, so rows-only official check; tests pin the
+    encode fold against the Python reference."""
     docs = datasets.load(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-    merges = train_bpe_merges(spark, words)
+    merges = train_bpe_merges(spark, word_histogram(docs))
     per_word = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
     ).select(
         "doc_id",
         F.length("word").alias("n_chars"),
         F.size(
-            apply_bpe_merges(
-                F.expr(
-                    "transform(sequence(1, length(word)), "
-                    "i -> substring(word, i, 1))"
-                ),
-                merges,
-            )
+            apply_bpe_merges(F.expr(_CHARS_EXPR), merges)
         ).alias("n_subwords"),
     )
     return (

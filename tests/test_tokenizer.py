@@ -116,3 +116,14 @@ def test_bpe_encode_matches_reference_apply(spark, sf_dir):
     }
     for w in sample:
         assert got[w] == ref_encode(w), w
+
+
+def test_bpe_ignores_empty_words(spark):
+    """sequence(1,0) is DESCENDING in Spark — an unguarded char split turns
+    '' into ['',''], manufacturing a phantom ('','') pair.  The guard must
+    keep empty words contributing zero pairs, like the reference."""
+    words = spark.createDataFrame(
+        [("", 1000), ("ab", 1)], "word string, n long"
+    )
+    merges = train_bpe_merges(spark, words, 1)
+    assert merges == [(0, "a", "b", "ab", 1)]
