@@ -97,3 +97,15 @@ class FlinkexpEngine:
 
         queries()
         return REGISTRY[query_name].fn(self.spark, self.data_dir)
+
+    def explain(self, query_name: str, mode: str = "formatted") -> str:
+        """The physical plan of a registered query (same text the plan
+        audit in PLANS.md reads) — the first thing to check before
+        running anything at scale: pushed filters, broadcast vs
+        sort-merge, partial aggregation, codegen spans."""
+        df = self.run(query_name)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )

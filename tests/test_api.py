@@ -108,3 +108,14 @@ def test_engine_catalog_run_entry_point(spark, sf_dir):
     names = eng.catalog()
     assert len(names) > 180 and "wordcount_topk" in names
     assert eng.run("wordcount_topk").count() == 20
+
+
+def test_engine_explain_entry_point(spark, sf_dir):
+    from flinkexp_spark.api import FlinkexpEngine
+
+    eng = FlinkexpEngine(spark, data_dir=sf_dir)
+    text = eng.explain("sql_tpch_q6")
+    assert "Physical Plan" in text
+    assert "PushedFilters" in text  # formatted mode shows scan pushdown
+    simple = eng.explain("sql_tpch_q6", mode="simple")
+    assert "Physical Plan" in simple
