@@ -525,3 +525,52 @@ def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("col_name")
+
+
+K_ANON_THRESHOLD = 5
+
+
+@register(
+    "quality_k_anonymity",
+    oracle=f"""
+        WITH eq AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+            FROM customer GROUP BY c_nationkey, c_mktsegment)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+               CAST(SUM(CASE WHEN class_size < {K_ANON_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_classes,
+               CAST(SUM(CASE WHEN class_size < {K_ANON_THRESHOLD}
+                             THEN class_size ELSE 0 END) AS BIGINT)
+                   AS n_risky_rows
+        FROM eq
+    """,
+    tags=("A2", "A9"),
+)
+def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation x market segment):
+    the dataset's k = the smallest equivalence class, plus how many
+    classes/rows fall under the release threshold — the privacy gate a
+    training-data pipeline runs before shipping user-derived records
+    (small classes re-identify; they get suppressed or generalized).
+
+    One grouped count + one scalar rollup over the class sizes; the second
+    pass is one row per class, so the audit costs a single shuffle on the
+    quasi-identifier regardless of table size.
+    """
+    cust = datasets.load(spark, sf_dir, "customer")
+    eq = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    risky = F.col("class_size") < K_ANON_THRESHOLD
+    return eq.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias(
+            "n_risky_classes"
+        ),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
