@@ -723,3 +723,50 @@ def q_maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(dec("o_totalprice")).cast("double").alias("total"),
     )
+
+
+@register(
+    "source_python_datasource",
+    # The source derives every field from md5(str(doc_id)), so the oracle
+    # regenerates the dataset arithmetically and checks the aggregate.
+    oracle="""
+        WITH synth AS (
+            SELECT g AS doc_id,
+                   CAST(g % 8 AS INTEGER) AS shard,
+                   CAST(CAST(concat('0x', substr(md5(CAST(g AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 1000 AS BIGINT) AS score
+            FROM (SELECT unnest(range(5000)) AS g))
+        SELECT shard, COUNT(*) AS n,
+               CAST(SUM(score) AS BIGINT) AS score_sum,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM synth GROUP BY shard ORDER BY shard
+    """,
+    tags=("S11", "S1", "U2"),
+)
+def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python DataSource API (Spark 4,
+    sources/pysource.py): a pure-Python batch source whose reader declares
+    its own InputPartitions (one per crawl shard) and generates rows
+    executor-side — the no-JVM connector path for paginated APIs and
+    bespoke formats.  Aggregating per shard proves partition-parallel
+    execution end to end; the md5-derived fields make the whole dataset
+    recomputable by the oracle.
+    """
+    from flinkexp_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthcrawl")
+        .option("rows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score").cast("long").alias("score_sum"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

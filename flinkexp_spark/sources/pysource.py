@@ -1,0 +1,77 @@
+"""Custom connector via the Python DataSource API (Spark 4.0+,
+SPARK-44076) — a batch source implemented entirely in Python, no JVM
+code, planned and scheduled like any other scan.
+
+This is the S-surface answer for systems with no JVM connector: the
+reader declares its partitions (so parallelism and data locality are the
+source's choice, exactly like a JVM `InputPartition`), and each partition
+generates/fetches its own rows on an executor.  The demo source is a
+deterministic synthetic crawl shard — every field derives from
+``md5(str(doc_id))``, the repo's standard cross-engine-reproducible hash,
+so the DuckDB oracle can recompute the whole dataset arithmetically.
+
+SERIALIZATION RULE (same as every executor-bound callable in this repo,
+see streaming/stateful.py): the DataSource classes are defined INSIDE the
+factory below, so cloudpickle ships them BY VALUE.  Module-level classes
+pickle by reference, and workers launched by a driver running outside the
+repo (the driver contract runs from an arbitrary cwd) cannot import
+``flinkexp_spark`` — exactly the ModuleNotFoundError the /tmp driver-sim
+exists to catch (and did).
+
+At 100 TB the same skeleton wraps a real paginated API / blob listing:
+``partitions()`` returns one InputPartition per shard/page-range, and
+``read()`` streams that shard only.  Arrow-batch the yields (the API also
+accepts pyarrow RecordBatches) when row volume makes tuple yields the
+bottleneck.
+"""
+
+from __future__ import annotations
+
+SYNTH_SCHEMA = "doc_id bigint, shard int, score bigint"
+
+
+def make_synth_crawl_source():
+    """Build the DataSource class (closure-scoped -> pickled by value)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _SynthCrawlReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.rows = int(options.get("rows", 1000))
+            self.parts = int(options.get("partitions", 8))
+
+        def partitions(self):  # one InputPartition per crawl shard
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            # runs ON AN EXECUTOR; imports must be local
+            import hashlib
+
+            shard = partition.value
+            for doc_id in range(shard, self.rows, self.parts):
+                h = hashlib.md5(str(doc_id).encode()).hexdigest()
+                yield (doc_id, shard, int(h[:8], 16) % 1000)
+
+    class SynthCrawlSource(DataSource):
+        """``spark.read.format("synthcrawl").option("rows", N)`` after
+        :func:`register_python_sources`."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthcrawl"
+
+        def schema(self) -> str:
+            return SYNTH_SCHEMA
+
+        def reader(self, schema):
+            return _SynthCrawlReader(self.options)
+
+    return SynthCrawlSource
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the engine's Python data sources."""
+    spark.dataSource.register(make_synth_crawl_source())
