@@ -157,3 +157,67 @@ def q_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+        WITH synth AS (
+            SELECT g AS doc_id,
+                   CAST(CAST(concat('0x', substr(md5(CAST(g AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 1000 AS BIGINT) AS score
+            FROM (SELECT unnest(range(2000)) AS g))
+        SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(score) AS BIGINT) AS score_sum
+        FROM synth GROUP BY doc_id % 4 ORDER BY bucket
+    """,
+    tags=("S11", "T9", "E7"),
+)
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming custom connector via the Python DataSource API
+    (sources/pysource.py): a SimpleDataSourceStreamReader paginates the
+    feed in {"pos": n} offsets — checkpointable, with readBetweenOffsets
+    replaying committed ranges for exactly-once restart — and a complete-
+    mode aggregation drains it via processAllAvailable (multiple real
+    micro-batches; 2000 rows at batch=500 is 4+ commits).
+
+    The oracle regenerates the md5-derived feed arithmetically, so the
+    final totals pin both the source's pagination (no row lost or doubled
+    across offset boundaries) and the aggregation.
+    """
+    from flinkexp_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.readStream.format("synthcrawlstream")
+        .option("rows", "2000")
+        .option("batch", "500")
+        .load()
+    )
+    agg = (
+        df.groupBy((F.col("doc_id") % 4).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score").cast("long").alias("score_sum"),
+        )
+    )
+    import uuid
+
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).orderBy("bucket").collect()
+    spark.catalog.dropTempView(name)
+    return datasets.local_df(
+        spark, rows, "bucket long, n bigint, score_sum long"
+    )

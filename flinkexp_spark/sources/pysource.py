@@ -75,3 +75,57 @@ def make_synth_crawl_source():
 def register_python_sources(spark) -> None:
     """Idempotently register the engine's Python data sources."""
     spark.dataSource.register(make_synth_crawl_source())
+    spark.dataSource.register(make_synth_stream_source())
+
+
+def make_synth_stream_source():
+    """Streaming variant: a SimpleDataSourceStreamReader with explicit
+    offset management ({"pos": n} checkpoints; ``readBetweenOffsets``
+    replays a committed range after restart) — the no-JVM path for
+    paginated/poll-based feeds.  Closure-scoped for by-value pickling,
+    like the batch source above."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    def _rows(s: int, e: int):
+        import hashlib
+
+        return [
+            (
+                i,
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000,
+            )
+            for i in range(s, e)
+        ]
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict):
+            self.cap = int(options.get("rows", 1000))
+            self.step = int(options.get("batch", 100))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            s = start["pos"]
+            e = min(s + self.step, self.cap)
+            return iter(_rows(s, e)), {"pos": e}
+
+        def readBetweenOffsets(self, start, end):
+            # exactly-once replay of a committed range on restart
+            return iter(_rows(start["pos"], end["pos"]))
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthcrawlstream"
+
+        def schema(self) -> str:
+            return "doc_id bigint, score bigint"
+
+        def simpleStreamReader(self, schema):
+            return _Reader(self.options)
+
+    return SynthStreamSource
