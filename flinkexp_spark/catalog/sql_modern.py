@@ -251,3 +251,49 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT c_mktsegment, revenue, n_orders
         """
     )
+
+
+GROUP_BY_ALL = """
+    SELECT c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY ALL
+    ORDER BY c_mktsegment, bal_bucket
+"""
+
+
+@register("sql_group_by_all", oracle=GROUP_BY_ALL, tags=("A1",))
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (infer grouping keys = every non-aggregate select
+    item) — identical SQL text on both engines; the analyzer expands it to
+    the explicit key list, so the plan is exactly the plain grouped agg."""
+    datasets.register_views(spark, sf_dir)
+    return spark.sql(GROUP_BY_ALL)
+
+
+PARAM_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=PARAM_ORACLE, tags=("A1", "P2"))
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``:threshold`` markers bound via
+    ``spark.sql(text, args=...)``): the injection-safe templating path for
+    programmatic query services — parameters are bound as typed literals
+    by the parser, never string-spliced, and constant-fold like any
+    literal.  The oracle is the same query with the values inlined."""
+    datasets.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"threshold": 150000.0, "status": "F"},
+    )

@@ -360,3 +360,39 @@ def test_tws_timer_sessionizer_matches_timeout_sessionizer(spark):
     assert timers == timeout
     assert [r[0] for r in timers] == [1, 1, 2]  # 2 sessions for u1, 1 for u2
     assert timers[0][2] == 2 and timers[0][3] == 300  # 1.00+2.00 in cents
+
+
+def test_python_stream_source_checkpoint_restart(spark, tmp_path):
+    """The Python streaming source's offset contract across a RESTART:
+    run with a checkpoint, stop, restart with a larger cap from the same
+    checkpoint — committed offsets must not replay into the sink (no
+    duplicates) and the new range must arrive (no loss)."""
+    from flinkexp_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(cap: int):
+        df = (
+            spark.readStream.format("synthcrawlstream")
+            .option("rows", str(cap))
+            .option("batch", "40")
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(100)
+    run(250)  # restart from the same checkpoint with more data available
+    rows = spark.read.parquet(out).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == list(range(250)), (len(ids), ids[:5], ids[-5:])
