@@ -102,10 +102,27 @@ class FlinkexpEngine:
         """The physical plan of a registered query (same text the plan
         audit in PLANS.md reads) — the first thing to check before
         running anything at scale: pushed filters, broadcast vs
-        sort-merge, partial aggregation, codegen spans."""
+        sort-merge, partial aggregation, codegen spans.
+
+        CAVEAT: building the DataFrame for an EAGER catalog query (the
+        streaming replays and sink round-trips) executes the workload,
+        and the returned plan is then the trivial scan of the collected
+        local result — the annotation below flags that case so the text
+        is never mistaken for the pipeline's plan."""
         df = self.run(query_name)
-        return df._jdf.queryExecution().explainString(
+        text = df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode
             )
         )
+        local_only = (
+            "LocalTableScan" in text or "LocalRelation" in text
+        ) and "Scan " not in text.replace("LocalTableScan", "")
+        if local_only:
+            text = (
+                "NOTE: this catalog query materializes eagerly (streaming "
+                "replay / sink round-trip); building it already ran the "
+                "workload, and the plan below is the scan of its collected "
+                "local result, not the executed pipeline.\n" + text
+            )
+        return text

@@ -725,17 +725,23 @@ def q_maintenance_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark .option() strings and the oracle text MUST agree; single-source
+# them here (same pattern as projection.K_ANON_THRESHOLD).
+PYSRC_ROWS = 5000
+PYSRC_PARTS = 8
+
+
 @register(
     "source_python_datasource",
     # The source derives every field from md5(str(doc_id)), so the oracle
     # regenerates the dataset arithmetically and checks the aggregate.
-    oracle="""
+    oracle=f"""
         WITH synth AS (
             SELECT g AS doc_id,
-                   CAST(g % 8 AS INTEGER) AS shard,
+                   CAST(g % {PYSRC_PARTS} AS INTEGER) AS shard,
                    CAST(CAST(concat('0x', substr(md5(CAST(g AS VARCHAR)), 1, 8))
                              AS BIGINT) % 1000 AS BIGINT) AS score
-            FROM (SELECT unnest(range(5000)) AS g))
+            FROM (SELECT unnest(range({PYSRC_ROWS})) AS g))
         SELECT shard, COUNT(*) AS n,
                CAST(SUM(score) AS BIGINT) AS score_sum,
                CAST(MIN(doc_id) AS BIGINT) AS first_doc
@@ -757,8 +763,8 @@ def q_source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_python_sources(spark)
     df = (
         spark.read.format("synthcrawl")
-        .option("rows", "5000")
-        .option("partitions", "8")
+        .option("rows", str(PYSRC_ROWS))
+        .option("partitions", str(PYSRC_PARTS))
         .load()
     )
     return (

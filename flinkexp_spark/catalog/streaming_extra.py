@@ -159,18 +159,25 @@ def q_stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark .option() strings and the oracle text MUST agree; single-sourced
+# (same pattern as sources_io.PYSRC_ROWS).
+PYSTREAM_ROWS = 2000
+PYSTREAM_BATCH = 500
+PYSTREAM_BUCKETS = 4
+
+
 @register(
     "stream_python_datasource",
-    oracle="""
+    oracle=f"""
         WITH synth AS (
             SELECT g AS doc_id,
                    CAST(CAST(concat('0x', substr(md5(CAST(g AS VARCHAR)), 1, 8))
                              AS BIGINT) % 1000 AS BIGINT) AS score
-            FROM (SELECT unnest(range(2000)) AS g))
-        SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+            FROM (SELECT unnest(range({PYSTREAM_ROWS})) AS g))
+        SELECT CAST(doc_id % {PYSTREAM_BUCKETS} AS BIGINT) AS bucket,
                COUNT(*) AS n,
                CAST(SUM(score) AS BIGINT) AS score_sum
-        FROM synth GROUP BY doc_id % 4 ORDER BY bucket
+        FROM synth GROUP BY doc_id % {PYSTREAM_BUCKETS} ORDER BY bucket
     """,
     tags=("S11", "T9", "E7"),
 )
@@ -191,33 +198,23 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_python_sources(spark)
     df = (
         spark.readStream.format("synthcrawlstream")
-        .option("rows", "2000")
-        .option("batch", "500")
+        .option("rows", str(PYSTREAM_ROWS))
+        .option("batch", str(PYSTREAM_BATCH))
         .load()
     )
     agg = (
-        df.groupBy((F.col("doc_id") % 4).cast("long").alias("bucket"))
+        df.groupBy((F.col("doc_id") % PYSTREAM_BUCKETS).cast("long").alias("bucket"))
         .agg(
             F.count("*").alias("n"),
             F.sum("score").cast("long").alias("score_sum"),
         )
     )
-    import uuid
+    from flinkexp_spark.streaming.replay import drain_memory_sink
 
-    name = f"pysrc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
+    # available_now=False: availableNow snapshots ONE offset step of a
+    # SimpleDataSourceStreamReader; the continuous-trigger drain runs all
+    # pages (see drain_memory_sink)
+    out = drain_memory_sink(
+        spark, agg, output_mode="complete", available_now=False
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    rows = spark.table(name).orderBy("bucket").collect()
-    spark.catalog.dropTempView(name)
-    return datasets.local_df(
-        spark, rows, "bucket long, n bigint, score_sum long"
-    )
+    return out.orderBy("bucket")

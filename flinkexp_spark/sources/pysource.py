@@ -110,7 +110,11 @@ def make_synth_stream_source():
 
         def read(self, start):
             s = start["pos"]
-            e = min(s + self.step, self.cap)
+            # never move the end offset BEHIND a restored checkpoint
+            # position (cap configured below a committed offset would
+            # otherwise regress the offset log into replanning ranges
+            # readBetweenOffsets never generated)
+            e = max(s, min(s + self.step, self.cap))
             return iter(_rows(s, e)), {"pos": e}
 
         def readBetweenOffsets(self, start, end):

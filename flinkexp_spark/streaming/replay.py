@@ -164,29 +164,68 @@ def replay(
             .parquet(os.path.join(input_dir, "f*"))
         )
         out = transform(reader)
-
-        name = f"sink_{uuid.uuid4().hex[:12]}"
-        writer = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-        )
-        if use_checkpoint:
-            writer = writer.option(
-                "checkpointLocation", os.path.join(work, "checkpoint")
-            )
         with _stream_partitions(spark, state_provider=state_provider):
-            q = writer.start()
-            q.awaitTermination()
-        # Materialize before dropping the sink table.
-        rows = spark.table(name).collect()
-        spark.catalog.dropTempView(name)
-        from flinkexp_spark.datasets import local_df
-
-        return local_df(spark, rows, out.schema)
+            return drain_memory_sink(
+                spark,
+                out,
+                output_mode=output_mode,
+                checkpoint=os.path.join(work, "checkpoint")
+                if use_checkpoint
+                else None,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def drain_memory_sink(
+    spark: SparkSession,
+    out: DataFrame,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> DataFrame:
+    """Run a streaming frame to completion through a uuid-named memory
+    sink and return the materialized result (THE shared drain: one place
+    for sink naming, trigger choice, and guaranteed temp-view cleanup).
+
+    ``available_now=True`` is right for file-backed replays (the trigger
+    drains everything then stops).  Custom Python stream sources need
+    ``available_now=False``: availableNow snapshots one offset step of a
+    SimpleDataSourceStreamReader, so the drain instead runs a continuous
+    trigger and blocks on ``processAllAvailable``.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    writer = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="0 seconds")
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    try:
+        q = writer.start()
+        try:
+            if available_now:
+                q.awaitTermination()
+            else:
+                q.processAllAvailable()
+        finally:
+            if not available_now:
+                q.stop()
+        # Materialize before dropping the sink table.
+        rows = spark.table(name).collect()
+    finally:
+        # drop even when the stream fails: the session is long-lived and
+        # every leaked sink_* view stays registered until it dies
+        spark.catalog.dropTempView(name)
+    from flinkexp_spark.datasets import local_df
+
+    return local_df(spark, rows, out.schema)
 
 
 def _time_split(
