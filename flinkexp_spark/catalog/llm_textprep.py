@@ -332,3 +332,75 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TFIDF_TOPK)
     )
+
+
+# Deterministic messy-URL synthesis: every doc gets a crawl URL whose mess
+# (scheme case, default port, tracking params, fragment, trailing slash)
+# derives from doc_id — both engines build and clean the SAME strings.
+_RAW_URL = (
+    "concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END, "
+    "'://', CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END, "
+    "'.example.com', CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END, "
+    "'/doc/', CAST(doc_id % 100 AS {int_t}), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x' "
+    "     ELSE '' END, "
+    "CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+
+def _canon_sql(url: str, duck: bool = False) -> str:
+    """Canonicalization as nested replaces/regexes — same rules both
+    engines: lowercase, drop fragment, drop utm_* params, drop default
+    :443, drop the trailing slash.  DuckDB's regexp_replace is
+    FIRST-MATCH-ONLY unless passed the 'g' option (Spark's is global by
+    default), so the multi-occurrence utm rule needs the flag there."""
+    g = ", 'g'" if duck else ""
+    c = f"lower({url})"
+    c = f"regexp_replace({c}, '#.*$', '')"
+    c = f"regexp_replace({c}, '[?&]utm_[a-z]+=[^&#]*', ''{g})"
+    c = f"regexp_replace({c}, ':443/', '/')"
+    c = f"regexp_replace({c}, '/$', '')"
+    return c
+
+
+@register(
+    "text_url_canonicalize",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id,
+                   {_canon_sql(_RAW_URL.format(int_t="VARCHAR"), duck=True)} AS canon
+            FROM documents)
+        SELECT canon, COUNT(*) AS n_dupes,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+        FROM u GROUP BY canon HAVING COUNT(*) > 1
+        ORDER BY canon
+    """,
+    tags=("F1", "X1"),
+)
+def q_text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + URL-level dedup: lowercase scheme/host,
+    strip fragments, tracking (utm_*) params, default ports, and trailing
+    slashes, then group — the normalization EVERY crawl pipeline runs
+    before URL-keyed dedup, because 'HTTPS://Host…?utm_source=…' and
+    'https://host…' are the same fetch.
+
+    All regexp_replace codegen (no UDF); the dedup is one shuffle on the
+    canonical string (md5 it first at 100 TB).  The messy URLs are
+    synthesized deterministically from doc_id on BOTH engines, so the
+    oracle checks the cleaning rules themselves.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.expr(_canon_sql(_RAW_URL.format(int_t="STRING"))).alias("canon"),
+    )
+    return (
+        u.groupBy("canon")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .filter(F.col("n_dupes") > 1)
+        .orderBy("canon")
+    )

@@ -42,6 +42,10 @@ def make_synth_crawl_source():
         def __init__(self, options: dict):
             self.rows = int(options.get("rows", 1000))
             self.parts = int(options.get("partitions", 8))
+            # arrow=true yields pyarrow RecordBatches instead of tuples:
+            # one columnar handoff per batch instead of one pickled row
+            # each — the volume path (identical results, pinned by test)
+            self.arrow = options.get("arrow", "false").lower() == "true"
 
         def partitions(self):  # one InputPartition per crawl shard
             return [InputPartition(i) for i in range(self.parts)]
@@ -51,9 +55,24 @@ def make_synth_crawl_source():
             import hashlib
 
             shard = partition.value
-            for doc_id in range(shard, self.rows, self.parts):
-                h = hashlib.md5(str(doc_id).encode()).hexdigest()
-                yield (doc_id, shard, int(h[:8], 16) % 1000)
+            ids = list(range(shard, self.rows, self.parts))
+            scores = [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+                for i in ids
+            ]
+            if self.arrow:
+                import pyarrow as pa
+
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "shard": pa.array([shard] * len(ids), pa.int32()),
+                        "score": pa.array(scores, pa.int64()),
+                    }
+                )
+                return
+            for doc_id, score in zip(ids, scores):
+                yield (doc_id, shard, score)
 
     class SynthCrawlSource(DataSource):
         """``spark.read.format("synthcrawl").option("rows", N)`` after

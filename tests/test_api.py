@@ -119,3 +119,24 @@ def test_engine_explain_entry_point(spark, sf_dir):
     assert "PushedFilters" in text  # formatted mode shows scan pushdown
     simple = eng.explain("sql_tpch_q6", mode="simple")
     assert "Physical Plan" in simple
+
+
+def test_python_source_arrow_mode_matches_tuple_mode(spark):
+    """The synthcrawl reader's Arrow path (RecordBatch yields) must return
+    byte-identical data to the tuple path."""
+    from flinkexp_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+
+    def load(arrow: str):
+        return (
+            spark.read.format("synthcrawl")
+            .option("rows", "500")
+            .option("partitions", "4")
+            .option("arrow", arrow)
+            .load()
+            .orderBy("doc_id")
+            .collect()
+        )
+
+    assert load("true") == load("false")
