@@ -484,3 +484,36 @@ def q_window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dod_change"),
         )
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume,
+               NTILE(10) OVER w AS decile
+        FROM customer
+        WHERE c_custkey < 400
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+    tags=("W1",),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 distribution ranks: percent_rank + cume_dist + decile ntile per
+    segment — the percentile-position trio behind score normalization and
+    tiering.  One sort per partition serves all three functions (same
+    window spec); rounded so rank fractions hash identically."""
+    c = datasets.load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 400
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    ).orderBy("c_custkey")
