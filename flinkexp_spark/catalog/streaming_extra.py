@@ -218,3 +218,90 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, agg, output_mode="complete", available_now=False
     )
     return out.orderBy("bucket")
+
+
+@register(
+    "stream_observed_metrics",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents_sum
+        FROM events
+    """,
+    tags=("T9", "A2"),
+)
+def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: ``df.observe()`` attaches named aggregate
+    metrics that ride each micro-batch's execution (no second pass, no
+    extra job) and surface in the query progress — the mechanism behind
+    live row-count/quality dashboards and the late-data router
+    (streaming/late_data.py).
+
+    The checked contract: summing the OBSERVED per-batch metrics across a
+    3-batch replay equals the batch aggregate over the whole feed — the
+    observation path neither drops nor double-counts rows, regardless of
+    how the trigger slices batches.
+    """
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from pyspark.sql import Observation  # noqa: F401  (batch-only helper)
+    from flinkexp_spark.streaming.replay import (
+        _scratch,
+        _stream_partitions,
+        _time_split,
+    )
+
+    events = datasets.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    work = _scratch("observe")
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir)
+    try:
+        parts = _time_split(events, 3, "ts")
+        for i, p in enumerate(parts):
+            fdir = os.path.join(input_dir, f"f{i:04d}")
+            p.coalesce(1).write.mode("overwrite").parquet(fdir)
+            ts = _time.time() - (len(parts) - i) * 10
+            for root, _, files in os.walk(fdir):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(input_dir, "f*"))
+        )
+        observed = reader.observe(
+            "feed_metrics",
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "batch_cents"
+            ),
+        )
+        name = f"obs_{uuid.uuid4().hex[:8]}"
+        with _stream_partitions(spark):
+            q = (
+                observed.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                totals = [0, 0]
+                for prog in q.recentProgress:
+                    m = prog["observedMetrics"].get("feed_metrics")
+                    if m:
+                        totals[0] += m["batch_rows"]
+                        totals[1] += m["batch_cents"]
+            finally:
+                spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return datasets.local_df(
+        spark, [tuple(totals)], "n_rows long, cents_sum long"
+    )

@@ -79,7 +79,7 @@ def test_rotation_covers_every_pre_r04_query() -> None:
         "multimodal_scene_cuts", "tokenizer_bpe_train",
         "tokenizer_bpe_encode", "pattern_copurchase_pairs",
         "quality_sequence_gaps", "diagnose_skew", "profile_entropy",
-        "sink_sized_shards", "quality_k_anonymity", "source_python_datasource", "stream_python_datasource", "sql_group_by_all", "sql_parameterized", "text_url_canonicalize", "window_distribution",
+        "sink_sized_shards", "quality_k_anonymity", "source_python_datasource", "stream_python_datasource", "sql_group_by_all", "sql_parameterized", "text_url_canonicalize", "window_distribution", "stream_observed_metrics",
     }
     covered = (
         _official()
