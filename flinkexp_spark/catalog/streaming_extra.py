@@ -247,7 +247,6 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from pyspark.sql import Observation  # noqa: F401  (batch-only helper)
     from flinkexp_spark.streaming.replay import (
         _scratch,
         _stream_partitions,
