@@ -12,14 +12,13 @@ Rotation history (see COVERAGE.md ledger):
     r01/r02 — first 100 queries in module order (relational core).
     r03     — sources_io + llm_textprep + changelog + retrieval +
               streaming_replay: first-ever rows for S1-S11, T1, T5-T8, T10.
-    r04     — ``_R04_WINDOW`` below: the 50 highest-value queries that have
-              never had an official CORRECTNESS row (temporal, patterns,
-              tws forward path, evolution, TPC-H tail, projection/joins/
-              aggregates/text tails, the two real codec walkers).
-    r05     — ``_R05_NEXT`` (positions 51-66): the remaining 16
-              never-official queries, followed by anything new this round.
+    r04     — temporal, patterns, tws forward path, evolution, TPC-H tail,
+              projection/joins/aggregates/text tails, the two real codec
+              walkers: CORRECTNESS_r04 = 50/50 green, all first-ever rows.
+    r05     — ``_R05_WINDOW`` below: all 52 still-never-official queries
+              minus the 2 deferred to ``_R06_NEXT``.
 
-NEW QUERIES added this round land AFTER position 66 automatically (they
+NEW QUERIES added this round land AFTER position 52 automatically (they
 are in neither priority list); tests/test_registry_window.py fails loudly
 if the window composition drifts.
 """
@@ -56,76 +55,15 @@ from flinkexp_spark.catalog import (  # noqa: F401
 )
 
 # --------------------------------------------------------------------------
-# Round-4 official window: positions 1-50.  Every name here is a query that
-# has NO row in CORRECTNESS_r01/r02/r03 — each slot earns a new official row.
-_R04_WINDOW: tuple[str, ...] = (
-    # temporal (2)
-    "scd2_build",
-    "join_scd2_pit",
-    # patterns (7)
-    "pattern_funnel",
-    "pattern_absence",
-    "cohort_retention",
-    "pattern_transition_matrix",
-    "graph_triangle_count",
-    "pattern_attribution_last_touch",
-    "pattern_conversion_latency",
-    # streaming_tws — T7 forward path (5)
-    "stream_map_state_totals_tws",
-    "stream_list_state_recent_tws",
-    "stream_stateful_bootstrap_tws",
-    "stream_session_timers_tws",
-    "stream_stateful_totals_tws",
-    # evolution — S2/S3 edge behaviors (4)
-    "sink_dynamic_partition_overwrite",
-    "source_csv_malformed_modes",
-    "source_file_metadata_lineage",
-    "source_parquet_schema_evolution",
-    # TPC-H tail + SQL-dialect extras (11)
-    "sql_tpch_q2",
-    "sql_tpch_q9",
-    "sql_tpch_q11",
-    "sql_tpch_q12",
-    "sql_tpch_q16",
-    "sql_tpch_q19",
-    "sql_tpch_q20",
-    "sql_tpch_q21",
-    "sql_tpch_q22",
-    "sql_window_tumble",
-    "sql_lateral_explode",
-    # projection / quality tail (4)
-    "project_unpivot",
-    "quality_constraints_audit",
-    "table_fingerprint",
-    "quality_fk_orphans",
-    # joins tail (3)
-    "join_range_binned",
-    "join_salted_skew",
-    "join_fuzzy_blocked",
-    # aggregates / stats tail (8)
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_histogram_quantile",
-    "agg_regression_ols",
-    "stat_chi_square",
-    "agg_winsorized_mean",
-    "stat_psi_drift",
-    "agg_share_of_parent",
-    # text analysis tail (4)
-    "text_bigram_fluency",
-    "text_quality_ensemble",
-    "text_classifier_score",
-    "sketch_count_min",
-    # real codec walkers (2)
-    "multimodal_decode_jpeg_meta",
-    "multimodal_decode_wav",
-)
-
-# Positions 51-66: the last 16 never-official queries — the whole of the
-# r05 carry-over.  Anything registered after these is new this round and
-# rotates in behind them.
-_R05_NEXT: tuple[str, ...] = (
-    "multimodal_decode_meta",
+# Round-5 official window: positions 1-50.  Every name here is a query that
+# has NO row in CORRECTNESS_r01..r04 — each slot earns a FIRST official row.
+# 52 queries remained never-official after r04; the 2 deferred to _R06_NEXT
+# are the ones with the strongest already-official siblings
+# (multimodal_decode_meta: its jpeg/wav specializations went official in
+# r04 and ogg/mp3 are in this window; dedup_lines: the exact-dedup family
+# has been official since r01).
+_R05_WINDOW: tuple[str, ...] = (
+    # _R05_NEXT carry-over from the r04 plan (14 of the 16; 2 deferred)
     "multimodal_decode_ogg_meta",
     "multimodal_decode_mp3_meta",
     "multimodal_video_frames",
@@ -134,13 +72,65 @@ _R05_NEXT: tuple[str, ...] = (
     "sim_search_adc_rerank",
     "dedup_components_star",
     "dedup_incremental",
-    "dedup_lines",
     "dedup_keep_best",
     "dedup_containment",
     "sample_weighted_hash",
     "mix_rebalance_weights",
     "shard_assign",
     "sample_fixed_per_group",
+    # sql_modern (9)
+    "sql_recursive_cte",
+    "sql_date_spine",
+    "sketch_hll_mergeable",
+    "agg_approx_top_k",
+    "sql_variant_json",
+    "sql_listagg",
+    "sql_pipe_syntax",
+    "sql_group_by_all",
+    "sql_parameterized",
+    # streaming extras (4)
+    "stream_dedup_within_watermark",
+    "stream_foreachbatch_merge",
+    "stream_python_datasource",
+    "stream_observed_metrics",
+    # Python DataSource batch connector (1)
+    "source_python_datasource",
+    # timeseries (2)
+    "timeseries_locf",
+    "timeseries_time_weighted_avg",
+    # tokenizer (2) — oracle-ized this round (literal-VALUES BPE oracle)
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
+    # graph / patterns (3)
+    "graph_pagerank",
+    "pattern_regex_cep",
+    "pattern_copurchase_pairs",
+    # audits / profiling (7)
+    "profile_table",
+    "quality_sequence_gaps",
+    "diagnose_skew",
+    "profile_entropy",
+    "quality_k_anonymity",
+    "quality_anomaly_mad",
+    "rollup_continuous_aggregate",
+    # joins / sinks / text tails (6)
+    "join_bloom_prefilter",
+    "sink_sized_shards",
+    "cdc_apply_ops",
+    "text_url_canonicalize",
+    "boilerplate_strip",
+    "curriculum_order",
+    # windows / multimodal tail (2)
+    "window_distribution",
+    "multimodal_scene_cuts",
+)
+
+# Positions 51-52: the final 2 never-official queries — the whole of the
+# r06 carry-over.  Anything registered after these is new this round and
+# rotates in behind them.
+_R06_NEXT: tuple[str, ...] = (
+    "multimodal_decode_meta",
+    "dedup_lines",
 )
 
 
@@ -152,7 +142,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _R04_WINDOW + _R05_NEXT
+    priority = _R05_WINDOW + _R06_NEXT
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

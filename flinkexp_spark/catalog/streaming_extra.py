@@ -295,8 +295,10 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for prog in q.recentProgress:
                     m = prog["observedMetrics"].get("feed_metrics")
                     if m:
-                        totals[0] += m["batch_rows"]
-                        totals[1] += m["batch_cents"]
+                        # An empty micro-batch reports sum(...) as null —
+                        # the observed metric arrives as None, not 0.
+                        totals[0] += m["batch_rows"] or 0
+                        totals[1] += m["batch_cents"] or 0
             finally:
                 spark.catalog.dropTempView(name)
     finally:

@@ -46,7 +46,8 @@ def ensure_protobuf() -> bool:
         # installing the shim without a runtime would only shadow other
         # google.* namespace packages for no gain
         return False
-    if "google" in sys.modules:  # a half-imported 'google' would shadow the shim
+    saved_parent = sys.modules.get("google")
+    if saved_parent is not None:  # a half-imported 'google' would shadow the shim
         # Re-importing the parent orphans any already-loaded google.*
         # subpackages (google.auth etc. stay in sys.modules but vanish as
         # attributes of the fresh parent) — remember them so they can be
@@ -68,14 +69,22 @@ def ensure_protobuf() -> bool:
         )
     try:
         import google.protobuf.descriptor  # noqa: F401
+
+        ok = True
     except Exception:
-        return False
-    # Re-attach previously-loaded subpackages to the re-imported parent so
-    # attribute access like ``google.auth`` keeps working for other code.
-    parent = sys.modules.get("google")
-    if parent is not None:
-        for name, mod in _loaded_subs.items():
-            attr = name.split(".", 1)[1]
-            if not hasattr(parent, attr):
-                setattr(parent, attr, mod)
-    return True
+        ok = False
+        # The shim import failed; put the original parent module back so
+        # ``google`` keeps resolving for other consumers.
+        if saved_parent is not None and "google" not in sys.modules:
+            sys.modules["google"] = saved_parent
+    finally:
+        # Re-attach previously-loaded subpackages to whichever parent is
+        # live now (shim on success, restored original on failure) so
+        # attribute access like ``google.auth`` keeps working either way.
+        parent = sys.modules.get("google")
+        if parent is not None:
+            for name, mod in _loaded_subs.items():
+                attr = name.split(".", 1)[1]
+                if not hasattr(parent, attr):
+                    setattr(parent, attr, mod)
+    return ok

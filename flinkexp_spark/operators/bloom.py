@@ -82,8 +82,17 @@ def bloom_prefilter(
     The single-row bitset is broadcast (a 1-row cross join the planner turns
     into BroadcastNestedLoopJoin over a KB payload); the k bit tests are
     whole-stage-codegen'd element_at + bit-ands, evaluated at the scan."""
-    pos_cols = [f"__bp{i}" for i in range(k)]
-    with_pos = probe.crossJoin(F.broadcast(bloom)).select(
+    # Internal columns carry an unlikely prefix so a probe frame with its
+    # own ``bloom_words``/``__bp0`` column can't alias-collide or be
+    # silently dropped; a genuine collision is a loud error instead.
+    tok = "__bloomf1lter"
+    words_col = f"{tok}_words"
+    pos_cols = [f"{tok}_p{i}" for i in range(k)]
+    clash = set(probe.columns) & ({words_col, *pos_cols})
+    if clash:
+        raise ValueError(f"probe columns collide with bloom internals: {sorted(clash)}")
+    bloom_renamed = bloom.withColumnRenamed("bloom_words", words_col)
+    with_pos = probe.crossJoin(F.broadcast(bloom_renamed)).select(
         "*",
         *[
             p.alias(c)
@@ -93,11 +102,11 @@ def bloom_prefilter(
     might = None
     for c in pos_cols:
         word = F.element_at(
-            F.col("bloom_words"), (F.col(c) / 64).cast("int") + F.lit(1)
+            F.col(words_col), (F.col(c) / 64).cast("int") + F.lit(1)
         )
         test = (
-            word.bitwiseAND(F.expr(f"shiftleft(1L, CAST({c} % 64 AS INT))"))
+            word.bitwiseAND(F.expr(f"shiftleft(1L, CAST(`{c}` % 64 AS INT))"))
             != 0
         )
         might = test if might is None else (might & test)
-    return with_pos.filter(might).drop("bloom_words", *pos_cols)
+    return with_pos.filter(might).drop(words_col, *pos_cols)

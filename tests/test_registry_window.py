@@ -1,12 +1,12 @@
 """Pin the driver's official-artifact window (registration positions 1-50).
 
 The correctness driver checks exactly the first 50 registered queries per
-round (observed in CORRECTNESS_r01/r02/r03: each contains precisely the
-first 50 names in registration order).  Round 4's window is engineered so
-every slot earns a FIRST-EVER official row (the 50 highest-value queries
-absent from all prior artifacts), and positions 51-66 carry the final 16
-never-official queries into round 5.  A late-added query that registered
-before position 67 would silently push one of those out — this test makes
+round (observed in CORRECTNESS_r01..r04: each contains precisely the
+first 50 names in registration order).  Round 5's window is engineered so
+every slot earns a FIRST-EVER official row (50 of the 52 queries absent
+from all prior artifacts), and positions 51-52 carry the final 2
+never-official queries into round 6.  A late-added query that registered
+before position 53 would silently push one of those out — this test makes
 that a loud failure instead.
 """
 
@@ -24,6 +24,7 @@ PRIOR_ARTIFACTS = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
 )
 
 
@@ -36,14 +37,14 @@ def _official() -> set[str]:
     return names
 
 
-def test_first_50_is_the_r04_window() -> None:
+def test_first_50_is_the_r05_window() -> None:
     names = list(REGISTRY)
-    assert len(names) >= 66
-    assert tuple(names[:50]) == catalog._R04_WINDOW, (
+    assert len(names) >= 52
+    assert tuple(names[:50]) == catalog._R05_WINDOW, (
         "registration order drifted — the official window no longer matches "
-        "the planned r04 rotation"
+        "the planned r05 rotation"
     )
-    assert tuple(names[50:66]) == catalog._R05_NEXT
+    assert tuple(names[50:52]) == catalog._R06_NEXT
 
 
 def test_window_has_no_already_official_query() -> None:
@@ -61,31 +62,18 @@ def test_every_official_query_is_still_registered() -> None:
     assert not missing, f"official artifact rows point at gone queries: {missing}"
 
 
-def test_rotation_covers_every_pre_r04_query() -> None:
-    """Every query that existed when the r04 rotation was planned must be
-    either already official or scheduled in _R04_WINDOW/_R05_NEXT — a name
+def test_rotation_covers_every_pre_r05_query() -> None:
+    """Every query that existed when the r05 rotation was planned must be
+    either already official or scheduled in _R05_WINDOW/_R06_NEXT — a name
     silently dropped from both lists would fall out of the rotation plan.
     Queries NEW this round are the remainder; pin their names so additions
     are a conscious ledger update, not drift."""
-    new_r4 = {
-        "sql_recursive_cte", "sql_date_spine", "sketch_hll_mergeable",
-        "agg_approx_top_k", "sql_variant_json", "sql_listagg",
-        "sql_pipe_syntax", "join_bloom_prefilter",
-        "stream_dedup_within_watermark", "cdc_apply_ops", "profile_table",
-        "boilerplate_strip", "graph_pagerank", "curriculum_order",
-        "pattern_regex_cep", "stream_foreachbatch_merge",
-        "rollup_continuous_aggregate", "quality_anomaly_mad",
-        "timeseries_locf", "timeseries_time_weighted_avg",
-        "multimodal_scene_cuts", "tokenizer_bpe_train",
-        "tokenizer_bpe_encode", "pattern_copurchase_pairs",
-        "quality_sequence_gaps", "diagnose_skew", "profile_entropy",
-        "sink_sized_shards", "quality_k_anonymity", "source_python_datasource", "stream_python_datasource", "sql_group_by_all", "sql_parameterized", "text_url_canonicalize", "window_distribution", "stream_observed_metrics",
-    }
+    new_r5: set[str] = set()
     covered = (
         _official()
-        | set(catalog._R04_WINDOW)
-        | set(catalog._R05_NEXT)
-        | new_r4
+        | set(catalog._R05_WINDOW)
+        | set(catalog._R06_NEXT)
+        | new_r5
     )
     dropped = sorted(set(REGISTRY) - covered)
     assert not dropped, (
