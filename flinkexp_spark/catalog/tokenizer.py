@@ -18,10 +18,17 @@ costs megabytes per round.  Each round:
    reference BPE's scan-from-i+2).
 
 The merge loop is genuinely iterative (each round's argmax depends on the
-last round's rewrite), so there is NO SQL oracle — the driver records a
-rows-only check, and tests/test_tokenizer.py pins EXACT equality of the
-learned merge table against an independent pure-Python reference
-implementation on the same fixture.
+last round's rewrite), but the round count is a FIXED constant
+(``BPE_MERGES``), so the loop UNROLLS into a chain of plain CTEs — which
+is exactly how ``_bpe_oracle_sql`` builds the DuckDB oracle: per round, a
+pair-count CTE, an argmax CTE (``ORDER BY support DESC, a, b LIMIT 1``),
+and a greedy left-to-right non-overlapping rewrite expressed with window
+functions (candidate positions where ``(tok, next) = (a, b)``; within each
+run of CONSECUTIVE candidates — which only arise when ``a = b`` — keep the
+even offsets, the classic greedy-match resolution).  Both queries are
+therefore fully hash-checked against DuckDB like the rest of the catalog;
+tests/test_tokenizer.py additionally pins EXACT equality of the learned
+merge table against an independent pure-Python reference implementation.
 """
 
 from __future__ import annotations
@@ -44,6 +51,112 @@ _CHARS_EXPR = (
     "transform(sequence(1, length(word)), i -> substring(word, i, 1)) "
     "ELSE CAST(array() AS array<string>) END"
 )
+
+
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> tuple[str, str]:
+    """(train_sql, encode_sql) DuckDB oracles for the BPE pair.
+
+    The fixed ``n_merges`` round count lets the training loop unroll into
+    a chain of CTEs — one (pair-count, argmax, rewrite) triple per round.
+    The rewrite mirrors the Spark-side fold exactly: greedy left-to-right
+    non-overlapping merging.  Candidate positions are where
+    ``(tok, lead(tok)) = (a, b)``; two candidates can only be adjacent
+    when ``a = b``, and within each run of consecutive candidates the
+    greedy scan keeps the even offsets from the run start.  A merged
+    position emits ``a || b``; the position immediately after a kept
+    candidate is dropped.
+
+    Training rewrites the DISTINCT-WORD histogram, so the encode oracle
+    just joins the final token arrays back onto per-document word
+    occurrences — per-word BPE is deterministic, making the histogram the
+    natural memo table (same reason training itself runs on it).
+    """
+    chars = (
+        "CASE WHEN length(word) >= 1 THEN "
+        "list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({T.tokens_sql('text')}) AS word FROM documents)
+  GROUP BY word
+)""",
+        f"t0 AS MATERIALIZED (SELECT word, n, {chars} AS toks FROM w0)",
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT word, n, tok, pos,
+         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM (SELECT word, n, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM t{k})
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT tok AS a, nxt AS b, tok || nxt AS merged,
+         CAST(SUM(n) AS BIGINT) AS support
+  FROM c{k} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2, 3 ORDER BY support DESC, a ASC, b ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""cand{k} AS MATERIALIZED (
+  SELECT c.word, c.n, c.tok, c.pos, c.nxt,
+         COALESCE(c.tok = m.a AND c.nxt = m.b, FALSE) AS is_cand
+  FROM c{k} c LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+        parts.append(
+            f"""keep{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 AS off
+    FROM (SELECT word, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                   AS grp
+          FROM cand{k} WHERE is_cand)
+  ) WHERE off = 0
+)"""
+        )
+        parts.append(
+            f"""t{k + 1} AS MATERIALIZED (
+  SELECT word, n, list(tok ORDER BY pos) AS toks FROM (
+    SELECT c.word, c.n, c.pos,
+           CASE WHEN k1.pos IS NOT NULL THEN c.tok || c.nxt
+                ELSE c.tok END AS tok
+    FROM cand{k} c
+    LEFT JOIN keep{k} k1 ON k1.word = c.word AND k1.pos = c.pos
+    LEFT JOIN keep{k} k2 ON k2.word = c.word AND k2.pos = c.pos - 1
+    WHERE k2.pos IS NULL
+  ) GROUP BY word, n
+)"""
+        )
+    chain = ",\n".join(parts)
+    unions = "\nUNION ALL ".join(
+        f'SELECT CAST({k} AS BIGINT) AS "rank", a AS "left", b AS "right", '
+        f"merged, support FROM m{k}"
+        for k in range(n_merges)
+    )
+    train = f'WITH {chain}\nSELECT * FROM ({unions}) ORDER BY "rank"'
+    encode = f"""WITH {chain},
+pw AS (SELECT doc_id, unnest({T.tokens_sql('text')}) AS word FROM documents),
+enc AS (
+  SELECT pw.doc_id, length(pw.word) AS n_chars,
+         len(t{n_merges}.toks) AS n_subwords
+  FROM pw JOIN t{n_merges} ON pw.word = t{n_merges}.word
+)
+SELECT doc_id, CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(n_subwords) AS BIGINT) AS subwords,
+       CAST(FLOOR(SUM(n_chars) * 1000.0 / SUM(n_subwords)) AS BIGINT)
+         AS compression_x1000
+FROM enc GROUP BY doc_id ORDER BY doc_id"""
+    return train, encode
+
+
+_TRAIN_ORACLE, _ENCODE_ORACLE = _bpe_oracle_sql()
 
 
 def word_histogram(docs: DataFrame) -> DataFrame:
@@ -115,14 +228,15 @@ def train_bpe_merges(
     return merges
 
 
-@register("tokenizer_bpe_train", oracle=None, tags=("X4", "U2", "A1"))
+@register("tokenizer_bpe_train", oracle=_TRAIN_ORACLE, tags=("X4", "U2", "A1"))
 def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train BPE_MERGES byte-pair merges on the documents corpus and return
     the learned merge table (rank, left, right, merged, support).
 
-    Iterative (each argmax depends on the previous rewrite), hence no SQL
-    oracle — exactness vs a pure-Python reference is pinned in
-    tests/test_tokenizer.py instead.
+    Iterative (each argmax depends on the previous rewrite), but the fixed
+    round count unrolls into the chained-CTE DuckDB oracle built by
+    ``_bpe_oracle_sql`` — hash-checked like every other query; exactness
+    vs a pure-Python reference is ALSO pinned in tests/test_tokenizer.py.
     """
     docs = datasets.load(spark, sf_dir, "documents")
     merges = train_bpe_merges(spark, word_histogram(docs))
@@ -163,7 +277,7 @@ def apply_bpe_merges(
     return col
 
 
-@register("tokenizer_bpe_encode", oracle=None, tags=("X4", "F6"))
+@register("tokenizer_bpe_encode", oracle=_ENCODE_ORACLE, tags=("X4", "F6"))
 def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the merges just trained on it: chars per
     word -> BPE_MERGES folds in rank order -> per-doc subword counts
@@ -174,9 +288,11 @@ def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query learns.  A production vocabulary (thousands of merges)
     would NOT chain thousands of folds (Catalyst expression-depth and
     codegen limits); it ships the merge table to an Arrow-batched pandas
-    UDF instead — same dataflow, different expression carrier.  Depends
-    on the training loop, so rows-only official check; tests pin the
-    encode fold against the Python reference."""
+    UDF instead — same dataflow, different expression carrier.  The DuckDB
+    oracle reuses the unrolled training chain and joins the final
+    histogram token arrays back onto per-doc occurrences (per-word BPE is
+    deterministic); tests also pin the fold against the Python
+    reference."""
     docs = datasets.load(spark, sf_dir, "documents")
     merges = train_bpe_merges(spark, word_histogram(docs))
     per_word = docs.select(
