@@ -52,6 +52,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     streaming_extra,  # dropDuplicatesWithinWatermark + foreachBatch MERGE (new r4)
     timeseries,  # LOCF gap-fill + time-weighted avg (new r4)
     tokenizer,  # distributed BPE merge training (new r4)
+    kafka_contract,  # S5 source/sink contract over a file-backed log (new r5)
 )
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""S5: Kafka source/sink contract queries (round 5).
+
+The reference's Kafka usage is a POM declaration (study/pom.xml:82-88) —
+the broker wire protocol belongs to the vendor jar, which this sandbox
+does not have.  What the engine owns — the source schema, key-hash
+partitioning, per-partition offsets, startingOffsets, the streaming
+offset protocol, and the exactly-once sink pattern — runs for real here
+against the file-backed log in sources/kafkalog.py, end to end through
+Spark's planner and executors (a Python DataSource scan is a real scan).
+
+Both queries produce the topic from the events fixture with key =
+``str(user_id)``, value = JSON ``{"event_id": ..., "cents": ...}``, and
+md5 key-hash partitioning — every placement and offset is recomputable
+arithmetically, so the DuckDB oracle rebuilds partition assignment from
+the events table alone and checks counts, offset ranges, and value sums
+per partition.
+
+Producing the fixture log collects the (bounded, sf-sized) event slice to
+the driver — that is the mock broker's ingest, test scaffolding on the
+same footing as the streaming replay rigs, not an engine data path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.registry import register
+
+N_PARTITIONS = 5
+N_EVENTS = 4000  # first N by event_id — sf-independent fixture slice
+
+# Shared by both queries and mirrored in the oracles: partition by md5 of
+# the stringified user id, cents as an exact integer.
+_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {N_PARTITIONS} AS INTEGER) AS partition
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id < {N_EVENTS}
+    )
+    SELECT partition,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT) AS min_offset,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_offset,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM ev GROUP BY partition ORDER BY partition
+"""
+
+
+def _produce_topic(spark: SparkSession, sf_dir: str, path: str, topic: str) -> None:
+    """Write the events slice into the file-backed topic, in event order."""
+    from flinkexp_spark.sources.kafkalog import produce
+
+    rows = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("event_id") < N_EVENTS))
+        .select(
+            F.col("event_id"),
+            F.col("user_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                )
+            ).alias("value"),
+            (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    produce(
+        path,
+        topic,
+        [(r["key"], r["value"], int(r["ts_ms"])) for r in rows],
+        N_PARTITIONS,
+    )
+
+
+def _summarize(df: DataFrame) -> DataFrame:
+    """Per-partition contract summary over the Kafka-schema frame."""
+    parsed = df.select(
+        "partition",
+        "offset",
+        F.col("key").cast("string").alias("key"),
+        F.get_json_object(F.col("value").cast("string"), "$.cents")
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        parsed.groupBy("partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("key").alias("n_keys"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("partition")
+    )
+
+
+@register("source_kafka_contract", oracle=_ORACLE, tags=("S5", "S11"))
+def q_source_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of the Kafka source contract: produce the events slice
+    through the md5 key-hash partitioner, scan it back with one
+    InputPartition per topic-partition and ``startingOffsets=earliest``,
+    and summarize per partition.  min/max offset prove the per-partition
+    append contract (0 .. n-1); cents_sum proves value fidelity through
+    the binary key/value columns."""
+    from flinkexp_spark.sources.kafkalog import register_kafka_log_source
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    try:
+        topic = f"events_{uuid.uuid4().hex[:8]}"
+        _produce_topic(spark, sf_dir, work, topic)
+        df = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        # materialize before the log dir is removed
+        return _summarize(df).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register("stream_kafka_contract", oracle=_ORACLE, tags=("S5", "T9", "S11"))
+def q_stream_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the same topic through the full
+    ``DataSourceStreamReader`` offset protocol, throttled with
+    ``maxRecordsPerBatch`` (the ``maxOffsetsPerTrigger`` analog) so the
+    run spans several micro-batches; drained with processingTime=0 +
+    ``processAllAvailable`` (a SimpleDataSourceStreamReader under
+    availableNow runs a single batch — see sources/pysource.py).  The
+    append-mode union of all batches must equal the batch read exactly —
+    same oracle."""
+    from flinkexp_spark.sources.kafkalog import register_kafka_log_source
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    name = f"kafka_mem_{uuid.uuid4().hex[:8]}"
+    try:
+        topic = f"events_{uuid.uuid4().hex[:8]}"
+        _produce_topic(spark, sf_dir, work, topic)
+        stream = (
+            spark.readStream.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .option("maxRecordsPerBatch", "1000")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(work, "_checkpoint")
+            )
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return _summarize(spark.table(name)).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)

@@ -68,7 +68,10 @@ def test_rotation_covers_every_pre_r05_query() -> None:
     silently dropped from both lists would fall out of the rotation plan.
     Queries NEW this round are the remainder; pin their names so additions
     are a conscious ledger update, not drift."""
-    new_r5: set[str] = set()
+    new_r5: set[str] = {
+        "source_kafka_contract",
+        "stream_kafka_contract",
+    }
     covered = (
         _official()
         | set(catalog._R05_WINDOW)
