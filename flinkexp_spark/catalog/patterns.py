@@ -267,12 +267,15 @@ TRI_MAX_PART = 500  # co-purchase graph restricted to part keys < this
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the co-purchase graph (parts bought together).
 
-    The MR-classic (Suri & Vassilvitskii, WWW 2011): orient every edge
-    low->high so each triangle is counted exactly once, then close wedges
-    with two equi-joins.  Every stage is a hash join on a node id — at
-    100 TB the standard refinement (orient by DEGREE, not id, bounding
-    wedge fan-out by sqrt(m)) is the same plan with a precomputed degree
-    table; the id orientation here keeps the oracle trivially identical.
+    The MR-classic (Suri & Vassilvitskii, WWW 2011) with the DEGREE
+    orientation: direct every undirected edge from its lower-(degree, id)
+    endpoint to its higher one, so each triangle is counted exactly once
+    at its minimum-order corner and every node's out-degree — hence wedge
+    fan-out — is O(sqrt(m)) even on skewed graphs (a hub of degree d only
+    fans out to neighbors of degree >= d, and there are at most 2m/d of
+    those).  The count is orientation-invariant, so the id-oriented
+    oracle is unchanged.  Every stage remains a hash equi-join on a node
+    id; the orientation predicate rides along as a join-level filter.
     """
     li = datasets.load(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") < TRI_MAX_PART
@@ -285,11 +288,38 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
-        F.count("*").alias("n_triangles")
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # attach endpoint degrees, then orient low-(degree, id) -> high
+    ed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    # wedges at the minimum-order corner: two out-edges of s, ordered by
+    # (degree, id) so each unordered pair appears once; the closing edge
+    # is necessarily oriented t1 -> t2 in that same order
+    w1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"), F.col("dt").alias("dy"))
+    w2 = o.select(F.col("s").alias("x"), F.col("t").alias("z"), F.col("dt").alias("dz"))
+    wedge_order = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    closing = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    tri = (
+        w1.join(w2, "x")
+        .filter(wedge_order)
+        .join(closing, ["y", "z"])
+        .agg(F.count("*").alias("n_triangles"))
     )
     nodes = (
         e.select(F.col("u").alias("n"))

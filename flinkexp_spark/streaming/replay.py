@@ -313,38 +313,22 @@ def replay_update_mode(
     """Replay in UPDATE output mode via foreachBatch (the memory sink doesn't
     support update).  Returns the list of per-batch updated-row batches —
     the reference's per-record emission stream at micro-batch granularity
-    (SURVEY §2.1 semantic note)."""
-    work = _scratch("upd")
-    input_dir = os.path.join(work, "input")
-    os.makedirs(input_dir)
-    try:
-        from pyspark.sql import functions as F  # noqa: F401
+    (SURVEY §2.1 semantic note).  ``n_files`` > 1 splits the input by
+    ``order_col`` quantiles into one micro-batch per file (the same
+    incremental sequence as :func:`replay_foreach_batch`, which this
+    delegates to with a capturing writer)."""
+    batches: list = []
 
-        parts = [source_df] if n_files <= 1 else None
-        if parts is None:
-            raise NotImplementedError("multi-file update replay: use replay()")
-        for i, p in enumerate(parts):
-            p.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(input_dir, f"f{i:04d}")
-            )
-        reader = spark.readStream.schema(source_df.schema).parquet(
-            os.path.join(input_dir, "f*")
-        )
-        out = transform(reader)
-        batches: list = []
+    def capture(df: DataFrame, epoch: int) -> None:
+        batches.append(df.toPandas())
 
-        def capture(df: DataFrame, epoch: int) -> None:
-            batches.append(df.toPandas())
-
-        with _stream_partitions(spark):
-            q = (
-                out.writeStream.foreachBatch(capture)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .option("checkpointLocation", os.path.join(work, "checkpoint"))
-                .start()
-            )
-            q.awaitTermination()
-        return batches
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    replay_foreach_batch(
+        spark,
+        source_df,
+        transform,
+        capture,
+        output_mode="update",
+        n_files=n_files,
+        order_col=order_col,
+    )
+    return batches

@@ -72,6 +72,36 @@ def test_update_mode_multibatch_cadence(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_replay_update_mode_multi_file(spark):
+    """The helper's n_files > 1 path (previously unimplemented): quantile
+    time-split into one micro-batch per file, update-mode capture — the
+    changed key re-emits per batch with its refreshed total."""
+    from flinkexp_spark.streaming.replay import replay_update_mode
+
+    src = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(30)],
+        "seq long, word string",
+    )
+    batches = replay_update_mode(
+        spark,
+        src,
+        lambda df: df.groupBy("word").agg(F.count("*").alias("cnt")),
+        n_files=3,
+        order_col="seq",
+    )
+    batches = [b for b in batches if len(b)]
+    assert len(batches) == 3
+    # totals are cumulative across batches and end at the full counts
+    final = {
+        r.word: r.cnt
+        for b in batches
+        for r in b.itertuples(index=False, name="Row")
+    }
+    assert final == {"a": 15, "b": 15}
+    first = dict(zip(batches[0]["word"], batches[0]["cnt"]))
+    assert sum(first.values()) < 30  # genuinely incremental, not one batch
+
+
 def test_checkpoint_restart_resumes_state(spark):
     """T10: kill the query, add data, restart from the same checkpoint —
     state (running counts) must carry over, not restart from zero."""
