@@ -40,20 +40,25 @@ try:
 
     _original_validate = _rv.ValidateProtobufRuntimeVersion
 
+    # Only Spark's own gencode gets the relaxed check — every other
+    # protobuf consumer in the process keeps the stock validator, so the
+    # shim cannot mask a genuine version skew elsewhere.
+    _RELAXED_LOCATIONS = ("org/apache/spark/", "spark/connect/")
+
     def _validate_major_only(
         gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
     ):
-        # tolerate minor/patch skew inside one major version; defer to the
-        # real validator (which raises) across majors.  NOTE: this patch is
-        # PROCESS-WIDE — every protobuf consumer in the interpreter inherits
-        # the relaxed minor-version check, not just Spark's state-server
-        # gencode.  Acceptable here because the shim only activates in
-        # environments with no native protobuf install at all (the bridged
-        # SDK runtime is the process's only runtime); see protobuf_shim.py.
-        if gen_major != _rv.MAJOR:
-            _original_validate(
-                gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
-            )
+        # tolerate minor/patch skew inside one major version for SPARK
+        # gencode only (its wire format and generated-code API are stable
+        # across minors); all other callers — and any major mismatch —
+        # defer to the real validator, which raises.
+        if gen_major == _rv.MAJOR and str(location).startswith(
+            _RELAXED_LOCATIONS
+        ):
+            return
+        _original_validate(
+            gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
+        )
 
     _rv.ValidateProtobufRuntimeVersion = _validate_major_only
 except Exception:  # no runtime found — leave import failures loud
