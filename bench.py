@@ -94,6 +94,9 @@ HEADLINE = [
     "pattern_regex_cep",
     "timeseries_time_weighted_avg",
     "rollup_continuous_aggregate",
+    # round-5 additions: S5 contract source + distributed BPE
+    "source_kafka_contract",
+    "tokenizer_bpe_encode",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
@@ -122,6 +125,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
+    maxes: dict[str, float] = {}
     for name in suite:
         runs = []
         for _ in range(repeats):
@@ -137,6 +141,7 @@ def main() -> None:
         runs.sort()
         medians[name] = round(runs[len(runs) // 2], 3)
         mins[name] = round(runs[0], 3)
+        maxes[name] = round(runs[-1], 3)
         print(
             f"# {name}: median={medians[name]:.2f}s min={mins[name]:.2f}s "
             f"max={runs[-1]:.2f}s ({n} rows)",
@@ -144,6 +149,13 @@ def main() -> None:
         )
 
     total = round(sum(medians.values()), 3)
+    # Per-query spread (max - min over the repeats): the machine-noise
+    # fingerprint.  A regression moves min AND median together; host
+    # contention shows as median ~ min with a blown-out max.  Queries whose
+    # spread exceeds their min are flagged so round-over-round comparisons
+    # know which medians not to trust.
+    spread = {k: round(maxes[k] - mins[k], 3) for k in medians}
+    noisy = sorted(k for k in medians if spread[k] > max(mins[k], 0.2))
     full_payload = json.dumps(
         {
             "metric": "headline_suite_wall_seconds",
@@ -151,6 +163,9 @@ def main() -> None:
             "unit": "sec",
             "queries": medians,
             "queries_min": mins,
+            "queries_max": maxes,
+            "queries_spread": spread,
+            "noisy_queries": noisy,
             "repeats": repeats,
             "sf": sf,
         }

@@ -137,6 +137,90 @@ def q_source_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+_ROUNDTRIP_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IS NOT NULL AND event_id < {N_EVENTS}
+    ),
+    per_user AS (
+        SELECT user_id, CAST(SUM(cents) AS BIGINT) AS total
+        FROM ev GROUP BY user_id
+    ),
+    routed AS (
+        SELECT user_id, total,
+               CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {N_PARTITIONS} AS INTEGER) AS partition
+        FROM per_user
+    )
+    SELECT partition,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(0 AS BIGINT) AS min_offset,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_offset,
+           CAST(SUM(total) AS BIGINT) AS cents_sum
+    FROM routed GROUP BY partition ORDER BY partition
+"""
+
+
+@register("pipeline_kafka_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("S5", "A1"))
+def q_pipeline_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-in, Kafka-out: consume the events topic, aggregate per-user
+    cent totals, publish them to a second topic through the exactly-once
+    ledger-fenced sink (sources/kafkalog.py:kafka_log_sink), then read the
+    OUTPUT topic back and summarize it per partition — so the oracle
+    checks the sink's key-hash routing and offset assignment, not just the
+    source's.  The aggregate's row order is nondeterministic; the summary
+    only uses order-free facts (counts, sums, offset span 0..n-1)."""
+    from flinkexp_spark.sources.kafkalog import (
+        kafka_log_sink,
+        register_kafka_log_source,
+    )
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    try:
+        in_topic = f"events_{uuid.uuid4().hex[:8]}"
+        out_topic = f"totals_{uuid.uuid4().hex[:8]}"
+        _produce_topic(spark, sf_dir, work, in_topic)
+        consumed = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", in_topic)
+            .load()
+        )
+        totals = (
+            consumed.select(
+                F.col("key").cast("string").alias("key"),
+                F.get_json_object(F.col("value").cast("string"), "$.cents")
+                .cast("long")
+                .alias("cents"),
+                F.col("timestamp"),
+            )
+            .groupBy("key")
+            .agg(
+                F.sum("cents").alias("total"),
+                (F.unix_timestamp(F.max("timestamp")) * 1000).alias("ts_ms"),
+            )
+            .select(
+                "key",
+                F.to_json(F.struct(F.col("total").alias("cents"))).alias("value"),
+                "ts_ms",
+            )
+        )
+        writer = kafka_log_sink(work, out_topic, n_partitions=N_PARTITIONS)
+        writer(totals, 0)
+        out = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", out_topic)
+            .load()
+        )
+        return _summarize(out).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("stream_kafka_contract", oracle=_ORACLE, tags=("S5", "T9", "S11"))
 def q_stream_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the same topic through the full

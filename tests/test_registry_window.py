@@ -71,6 +71,7 @@ def test_rotation_covers_every_pre_r05_query() -> None:
     new_r5: set[str] = {
         "source_kafka_contract",
         "stream_kafka_contract",
+        "pipeline_kafka_roundtrip",
     }
     covered = (
         _official()
