@@ -53,6 +53,8 @@ from flinkexp_spark.catalog import (  # noqa: F401
     timeseries,  # LOCF gap-fill + time-weighted avg (new r4)
     tokenizer,  # distributed BPE merge training (new r4)
     kafka_contract,  # S5 source/sink contract over a file-backed log (new r5)
+    feature_store,  # PIT training sets / multi-horizon features (new r5)
+    data_profiling,  # correlation matrix + Benford audit (new r5)
 )
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""Dataset-profiling statistics: pairwise correlation matrix and a
+Benford first-digit audit (round 5).
+
+Rounds out the profiling family (profile_table, profile_entropy,
+quality_anomaly_mad, stat_psi_drift ...) with the two screens a data-
+quality team runs before training on a new corpus: which numeric columns
+are redundant (|corr| ~ 1 => drop one), and whether a money-like column's
+first-digit distribution is consistent with organic data (Benford's law —
+the classic synthetic/fabricated-data tripwire).
+
+Determinism follows the house A5 convention (catalog/aggregates.py OLS):
+every moment is an exact BIGINT over integer-scaled inputs — map-side
+combinable, order-independent — and the one floating-point expression per
+output value is written identically on both engines, so round(...,6)
+hashes stably.
+
+Scale notes (100 TB): the correlation matrix is ONE aggregate over the
+fact table producing a single 15-number row (4 sums, 4 sum-of-squares,
+6 cross-products, 1 count) — partial aggregation does all the work
+map-side and the shuffle carries one row per partition.  Adding columns
+grows the state quadratically but the pass count stays 1.  The Benford
+audit is a 9-group groupBy — same shape as any word count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.registry import register
+
+# Integer scalings chosen so every moment stays far below 2^53 even at
+# sf1000: quantity is integral 1..50, price in WHOLE DOLLARS (<= ~105k,
+# squared 1.1e10 — cents would overflow sum-of-squares at sf10+),
+# discount/tax in percent points 0..10.
+_VARS = ("qty", "dollars", "disc_pct", "tax_pct")
+_PAIRS = tuple(
+    (_VARS[i], _VARS[j])
+    for i in range(len(_VARS))
+    for j in range(i + 1, len(_VARS))
+)
+
+_MOMENT_SQL = """
+        SELECT count(*) AS n,
+               SUM(qty) AS s_qty, SUM(dollars) AS s_dollars,
+               SUM(disc_pct) AS s_disc_pct, SUM(tax_pct) AS s_tax_pct,
+               SUM(qty * qty) AS ss_qty, SUM(dollars * dollars) AS ss_dollars,
+               SUM(disc_pct * disc_pct) AS ss_disc_pct,
+               SUM(tax_pct * tax_pct) AS ss_tax_pct,
+               SUM(qty * dollars) AS x_qty_dollars,
+               SUM(qty * disc_pct) AS x_qty_disc_pct,
+               SUM(qty * tax_pct) AS x_qty_tax_pct,
+               SUM(dollars * disc_pct) AS x_dollars_disc_pct,
+               SUM(dollars * tax_pct) AS x_dollars_tax_pct,
+               SUM(disc_pct * tax_pct) AS x_disc_pct_tax_pct
+        FROM (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+                     CAST(floor(l_extendedprice) AS BIGINT) AS dollars,
+                     CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+                     CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct
+              FROM lineitem)
+"""
+
+
+def _corr_expr_sql(a: str, b: str) -> str:
+    """The shared corr formula over exact moments — identical expression
+    tree on both engines so the IEEE result is bit-identical."""
+    return (
+        f"round((CAST(n AS DOUBLE) * CAST(x_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+    )
+
+
+@register(
+    "stats_correlation_matrix",
+    oracle="WITH m AS (" + _MOMENT_SQL + ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+        f"{_corr_expr_sql(a, b)} AS corr FROM m"
+        for a, b in _PAIRS
+    )
+    + "\nORDER BY col_a, col_b",
+    tags=("A5", "A2"),
+)
+def q_stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of lineitem's numeric measures, from
+    one exact-moment aggregate pass.
+
+    Spark's built-in ``corr`` accumulates running doubles whose partial-
+    aggregation order varies run to run; here all 15 moments are exact
+    BIGINTs from ONE groupBy-less aggregate (map-side partials ship a
+    single row), and each pair's correlation is one deterministic double
+    expression over them.  The 6 output rows are built by cross-joining
+    the 1-row moment frame with a literal pair list — no second scan.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem")
+    ints = li.select(
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        F.floor("l_extendedprice").cast("long").alias("dollars"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_pct"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(v).alias(f"s_{v}") for v in _VARS]
+    aggs += [F.sum(F.col(v) * F.col(v)).alias(f"ss_{v}") for v in _VARS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"x_{a}_{b}") for a, b in _PAIRS
+    ]
+    m = ints.agg(*aggs)
+
+    rows = [
+        m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            "n",
+            F.expr(_corr_expr_sql(a, b)).alias("corr"),
+        )
+        for a, b in _PAIRS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_a", "col_b")
+
+
+@register(
+    "quality_benford_audit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS INTEGER)
+                       AS digit
+            FROM orders WHERE o_totalprice > 0),
+        g AS (
+            SELECT digit, count(*) AS n,
+                   SUM(count(*)) OVER () AS total
+            FROM d GROUP BY digit)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford,
+               round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                         - log10(1.0 + 1.0 / digit)), 6) AS deviation
+        FROM g ORDER BY digit
+    """,
+    tags=("A1", "F2"),
+)
+def q_quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals: observed
+    digit share vs the Benford expectation log10(1 + 1/d), with absolute
+    deviation per digit.  Large deviations on money-like columns flag
+    synthetic, truncated, or threshold-gamed data before it trains a model.
+
+    One 9-group aggregate plus a scalar total (window over the 9-row
+    frame) — counts are exact; the three doubles are each a single shared
+    expression over exact integers.
+    """
+    orders = datasets.load(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    g = g.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford"),
+        F.round(F.abs(share - benford), 6).alias("deviation"),
+    ).orderBy("digit")

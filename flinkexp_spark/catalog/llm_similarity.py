@@ -746,3 +746,91 @@ def q_sim_search_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _topk(rer)
+
+
+# ---------------------------------------------------------------------------
+# X3+: Johnson-Lindenstrauss signed random projection (round 5)
+# ---------------------------------------------------------------------------
+
+RP_DIMS = 8
+RP_IN_DIMS = 64  # fixture embedding width (TESTDATA.md)
+
+
+def _rp_sign_matrix() -> dict[int, list[int]]:
+    """Deterministic ±1 projection matrix, derived driver-side from md5 so
+    the SAME literal constants feed the Spark plan and the DuckDB oracle —
+    no dependence on either engine's hash function (they differ).  md5 of
+    'rp:{d}:{i}' byte-0 parity passes the balance/pairwise-dot checks a JL
+    sign matrix needs (worst pairwise |dot| 24/64 ~ 3 sigma of random)."""
+    import hashlib
+
+    return {
+        d: [
+            1 if hashlib.md5(f"rp:{d}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(1, RP_IN_DIMS + 1)
+        ]
+        for d in range(1, RP_DIMS + 1)
+    }
+
+
+_RP_SIGNS = _rp_sign_matrix()
+
+
+def _rp_oracle_sql() -> str:
+    values = ",".join(
+        f"({d},{i},{s})"
+        for d, signs in _RP_SIGNS.items()
+        for i, s in enumerate(signs, start=1)
+    )
+    proj_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN d = {d} THEN term * sgn ELSE 0 END)"
+        f" AS BIGINT) AS proj_{d}"
+        for d in range(1, RP_DIMS + 1)
+    )
+    return f"""
+        WITH s(d, ord, sgn) AS (VALUES {values}),
+        t AS (
+            SELECT vec_id,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)
+                        AS BIGINT) AS term,
+                   generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)
+        SELECT vec_id,
+               {proj_cols}
+        FROM t JOIN s USING (ord)
+        GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@register("embed_random_projection", oracle=_rp_oracle_sql(), tags=("X3", "F6"))
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: project 64-dim embeddings to 8 dims with a fixed ±1 sign matrix
+    (Achlioptas'01 database-friendly Johnson-Lindenstrauss variant) — the
+    cheap dimensionality cut that feeds LSH bucketing or a coarse ANN scan
+    when the full vector is too wide to shuffle.
+
+    Per-row compute only: each output dim is one zip_with+aggregate fold of
+    the embedding against a LITERAL sign array — no shuffle, no UDF, no
+    join; a 100 TB corpus projects at scan speed, embarrassingly parallel.
+    Terms are integer milli-units (CAST(round(x*1000) AS BIGINT)) so the
+    8 sums are exact BIGINTs — order-independent and bit-identical to the
+    oracle, which consumes the SAME md5-derived sign literals (neither
+    engine's built-in hash is portable to the other).
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    term = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+    )
+    out = emb.select("vec_id", term.alias("terms"))
+    for d in range(1, RP_DIMS + 1):
+        signs = F.array(*[F.lit(s) for s in _RP_SIGNS[d]])
+        out = out.withColumn(
+            f"proj_{d}",
+            F.aggregate(
+                F.zip_with("terms", signs, lambda t, s: t * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop("terms").orderBy("vec_id")

@@ -39,12 +39,23 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "right_",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with right_ts <= left_ts.
 
     Backward-looking, exact matches included; unmatched left rows keep nulls
     (ASOF LEFT JOIN semantics).  Right columns (except keys) come back
     prefixed with ``right_prefix``.
+
+    ``tolerance_s`` bounds match staleness, the pandas ``merge_asof
+    (tolerance=...)`` contract: a match older than ``tolerance_s`` whole
+    seconds (epoch-second truncation on both timestamps) is nulled out as if
+    no right row existed.  This is also what a feature-store point-in-time
+    join needs — a feature computed too long before the label event is
+    stale, and serving it would train on data the online store would never
+    return.  The bound is applied AFTER the single window pass (a cheap
+    row-local predicate), so the plan cost is identical to the unbounded
+    join: one shuffle, one ordered pass, O(1) state per row.
     """
     keys = [on] if isinstance(on, str) else list(on)
 
@@ -93,6 +104,18 @@ def asof_join(
     filled = unioned.select(
         "*", F.last("__rv", ignorenulls=True).over(w).alias("__m")
     )
+    if tolerance_s is not None:
+        # Staleness on truncated epoch seconds (both engines' cast-to-long
+        # convention); a too-old match degrades to "no match", not an error.
+        stale = F.col("__ord_ts").cast("long") - F.col("__m").getField(
+            prefixed[right_ts]
+        ).cast("long")
+        filled = filled.withColumn(
+            "__m",
+            F.when(stale <= F.lit(int(tolerance_s)), F.col("__m")).otherwise(
+                F.lit(None).cast(struct_type)
+            ),
+        )
     out = filled.filter(F.col("__side") == 1).select(
         *[F.col(k) for k in keys],
         *[F.col(c) for c in left_only],

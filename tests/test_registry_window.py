@@ -72,6 +72,12 @@ def test_rotation_covers_every_pre_r05_query() -> None:
         "source_kafka_contract",
         "stream_kafka_contract",
         "pipeline_kafka_roundtrip",
+        "feature_rolling_multi_horizon",
+        "feature_pit_training_set",
+        "join_asof_tolerance",
+        "stats_correlation_matrix",
+        "quality_benford_audit",
+        "embed_random_projection",
     }
     covered = (
         _official()
