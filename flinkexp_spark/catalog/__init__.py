@@ -15,12 +15,15 @@ Rotation history (see COVERAGE.md ledger):
     r04     — temporal, patterns, tws forward path, evolution, TPC-H tail,
               projection/joins/aggregates/text tails, the two real codec
               walkers: CORRECTNESS_r04 = 50/50 green, all first-ever rows.
-    r05     — ``_R05_WINDOW`` below: all 52 still-never-official queries
-              minus the 2 deferred to ``_R06_NEXT``.
+    r05     — ``_R05_WINDOW`` below: 50 never-official queries, 50/50 green.
+    r06     — ``_r06_window()``: the final 11 never-official queries
+              (closing the ledger at 260/260), queries NEW this round
+              (``_R06_NEW``), and re-verification slots for reworked
+              implementations (``_R06_REVERIFY``).
 
-NEW QUERIES added this round land AFTER position 52 automatically (they
-are in neither priority list); tests/test_registry_window.py fails loudly
-if the window composition drifts.
+NEW QUERIES added this round must ALSO be appended to ``_R06_NEW`` so they
+land inside the official window; tests/test_registry_window.py fails
+loudly if the window composition drifts.
 """
 
 from flinkexp_spark.catalog import (  # noqa: F401
@@ -58,13 +61,9 @@ from flinkexp_spark.catalog import (  # noqa: F401
 )
 
 # --------------------------------------------------------------------------
-# Round-5 official window: positions 1-50.  Every name here is a query that
-# has NO row in CORRECTNESS_r01..r04 — each slot earns a FIRST official row.
-# 52 queries remained never-official after r04; the 2 deferred to _R06_NEXT
-# are the ones with the strongest already-official siblings
-# (multimodal_decode_meta: its jpeg/wav specializations went official in
-# r04 and ogg/mp3 are in this window; dedup_lines: the exact-dedup family
-# has been official since r01).
+# Round-5 official window (HISTORY — r05 shipped 50/50 green on exactly this
+# list; kept for the ledger tests).  Every name here earned its FIRST
+# official row in CORRECTNESS_r05.
 _R05_WINDOW: tuple[str, ...] = (
     # _R05_NEXT carry-over from the r04 plan (14 of the 16; 2 deferred)
     "multimodal_decode_ogg_meta",
@@ -128,13 +127,93 @@ _R05_WINDOW: tuple[str, ...] = (
     "multimodal_scene_cuts",
 )
 
-# Positions 51-52: the final 2 never-official queries — the whole of the
-# r06 carry-over.  Anything registered after these is new this round and
-# rotates in behind them.
-_R06_NEXT: tuple[str, ...] = (
+# --------------------------------------------------------------------------
+# Round-6 official window: positions 1-50, checked by the driver this round.
+#
+# Composition (pinned by tests/test_registry_window.py):
+#   1-11   the 11 queries with NO official row in CORRECTNESS_r01..r05 —
+#          closing the ledger at 260/260 and giving S5 (Kafka) its first
+#          official rows;
+#   12+    queries NEW this round (_R06_NEW below) — each earns a first
+#          official row the round it ships;
+#   tail   RE-VERIFICATION slots (_R06_REVERIFY): queries whose
+#          implementation was REWORKED this round (tokenizer mapInPandas
+#          encode, triangle-count shuffle reduction, executor-side Kafka
+#          sink) — already-official, re-checked on purpose so the rework
+#          can't silently regress them in the official artifact.
+_R06_CARRYOVER: tuple[str, ...] = (
+    # Kafka S5 — the last operator group without an official row
+    "source_kafka_contract",
+    "pipeline_kafka_roundtrip",
+    "stream_kafka_contract",
+    # round-5 snapshot-commit additions
+    "feature_rolling_multi_horizon",
+    "feature_pit_training_set",
+    "join_asof_tolerance",
+    "stats_correlation_matrix",
+    "quality_benford_audit",
+    "embed_random_projection",
+    # deferred from r05 (strong already-official siblings)
     "multimodal_decode_meta",
     "dedup_lines",
 )
+
+# Queries first registered in round 6 — append here when adding a query so
+# it lands inside the official window (ledger test enforces membership).
+_R06_NEW: tuple[str, ...] = ()
+
+# Already-official queries whose implementation changed this round.
+_R06_REVERIFY: tuple[str, ...] = (
+    "tokenizer_bpe_encode",  # fold chain -> single Arrow mapInPandas pass
+    "graph_triangle_count",  # oriented-edge reuse (Exchange-count pass)
+    "tokenizer_bpe_train",  # shares the merge-learning path with encode
+    "dedup_semantic",  # noisy-bench watch item (VERDICT r05 #8)
+    "pipeline_training_data",  # noisy-bench watch item
+    "join_bucketed_colocated",  # noisy-bench watch item
+    "sim_search_ivf",  # recall contract now pinned by sim_search_recall_ivf
+    "stream_python_datasource",  # shares DataSourceStreamReader plumbing w/ kafkalog
+    "source_python_datasource",  # shares Python DataSource plumbing w/ kafkalog
+    "stream_foreachbatch_merge",  # shares foreachBatch sink pattern w/ kafka sink
+    # Standing re-verification pool: heaviest / most representative plans.
+    # Appended after _R06_NEW in window order, so each new query added this
+    # round displaces the LAST pad — pads are deliberately expendable.
+    "sql_tpch_q1",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q9",
+    "sql_tpch_q18",
+    "sql_tpch_q21",
+    "pattern_funnel",
+    "graph_pagerank",
+    "dedup_minhash_lsh",
+    "dedup_components_star",
+    "sim_search_adc_rerank",
+    "stream_session_window",
+    "stream_stateful_totals_tws",
+    "stream_interval_join",
+    "stream_dedup_within_watermark",
+    "rollup_continuous_aggregate",
+    "join_salted_skew",
+    "agg_salted_skew",
+    "join_dpp_partitioned",
+    "layout_zorder_scan",
+    "scd2_build",
+    "join_scd2_pit",
+    "pack_sequences",
+    "decontaminate_ngram",
+    "text_quality_ensemble",
+    "search_bm25_topk",
+    "window_topk_per_group",
+    "agg_histogram_quantile",
+    "cdc_apply_ops",
+)
+
+
+def _r06_window() -> tuple[str, ...]:
+    """First-50 plan: carry-over + new, padded with re-verify slots."""
+    window = _R06_CARRYOVER + _R06_NEW
+    pad = [n for n in _R06_REVERIFY if n not in window]
+    return (window + tuple(pad))[:50]
 
 
 def _apply_rotation() -> None:
@@ -145,7 +224,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _R05_WINDOW + _R06_NEXT
+    priority = _r06_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

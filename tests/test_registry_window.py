@@ -1,13 +1,13 @@
 """Pin the driver's official-artifact window (registration positions 1-50).
 
 The correctness driver checks exactly the first 50 registered queries per
-round (observed in CORRECTNESS_r01..r04: each contains precisely the
-first 50 names in registration order).  Round 5's window is engineered so
-every slot earns a FIRST-EVER official row (50 of the 52 queries absent
-from all prior artifacts), and positions 51-52 carry the final 2
-never-official queries into round 6.  A late-added query that registered
-before position 53 would silently push one of those out — this test makes
-that a loud failure instead.
+round (observed in CORRECTNESS_r01..r05: each contains precisely the
+first 50 names in registration order).  Round 6's window closes the
+ledger: the 11 queries with no official row in r01-r05 occupy positions
+1-11, queries NEW this round follow, and the remaining slots deliberately
+RE-VERIFY already-official queries whose implementation was reworked this
+round.  A late-added query that is not appended to ``_R06_NEW`` would
+silently push a planned slot out — this test makes that a loud failure.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ PRIOR_ARTIFACTS = (
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
 
@@ -37,21 +38,62 @@ def _official() -> set[str]:
     return names
 
 
-def test_first_50_is_the_r05_window() -> None:
+def test_first_50_is_the_r06_window() -> None:
     names = list(REGISTRY)
-    assert len(names) >= 52
-    assert tuple(names[:50]) == catalog._R05_WINDOW, (
-        "registration order drifted — the official window no longer matches "
-        "the planned r05 rotation"
+    window = catalog._r06_window()
+    assert len(window) == 50, (
+        f"window plan holds {len(window)} names — _R06_NEW plus the pads "
+        "must fill exactly 50 slots (add re-verify pads or trim)"
     )
-    assert tuple(names[50:52]) == catalog._R06_NEXT
+    assert tuple(names[: len(window)]) == window, (
+        "registration order drifted — the official window no longer matches "
+        "the planned r06 rotation"
+    )
 
 
-def test_window_has_no_already_official_query() -> None:
-    """Every slot in the 50-query window should earn a NEW official row."""
+def test_r05_window_was_shipped_exactly() -> None:
+    """CORRECTNESS_r05 must stay in lockstep with the _R05_WINDOW history
+    tuple — the ledger's provenance claim ('r05 shipped exactly this list')
+    is load-bearing for COVERAGE.md."""
+    p = REPO / "CORRECTNESS_r05.json"
+    if not p.exists():
+        return
+    assert set(json.loads(p.read_text())) == set(catalog._R05_WINDOW)
+
+
+def test_carryover_is_exactly_the_never_official_set() -> None:
+    """Positions 1-11 must be precisely the queries that have never had an
+    official CORRECTNESS row (and nothing else pre-r06 is missing one)."""
+    official = _official()
+    pre_r06 = set(REGISTRY) - set(catalog._R06_NEW)
+    never = pre_r06 - official
+    assert never == set(catalog._R06_CARRYOVER), (
+        f"never-official set drifted: extra={sorted(never - set(catalog._R06_CARRYOVER))} "
+        f"stale={sorted(set(catalog._R06_CARRYOVER) - never)}"
+    )
+
+
+def test_new_queries_are_ledgered_and_in_window() -> None:
+    """Every query absent from the r05-era registry must be listed in
+    _R06_NEW (conscious ledger update) and must sit inside the first 50
+    (so it earns an official row the round it ships)."""
     window = set(list(REGISTRY)[:50])
-    overlap = sorted(window & _official())
-    assert not overlap, f"window wastes slots on already-official queries: {overlap}"
+    missing = [n for n in catalog._R06_NEW if n not in window]
+    assert not missing, f"_R06_NEW queries fell outside the window: {missing}"
+    # the inverse — anything unaccounted for in the rotation plan — is drift
+    covered = _official() | set(catalog._R06_CARRYOVER) | set(catalog._R06_NEW)
+    dropped = sorted(set(REGISTRY) - covered)
+    assert not dropped, (
+        f"queries outside the rotation plan (append to _R06_NEW): {dropped}"
+    )
+
+
+def test_reverify_slots_are_already_official() -> None:
+    """Re-verification pads must be queries that already hold an official
+    row — a never-official query in the pad list would mask a carry-over
+    planning bug."""
+    not_official = sorted(set(catalog._R06_REVERIFY) - _official())
+    assert not not_official, f"_R06_REVERIFY names lack official rows: {not_official}"
 
 
 def test_every_official_query_is_still_registered() -> None:
@@ -60,33 +102,3 @@ def test_every_official_query_is_still_registered() -> None:
     every name the driver ever checked must keep resolving."""
     missing = sorted(_official() - set(REGISTRY))
     assert not missing, f"official artifact rows point at gone queries: {missing}"
-
-
-def test_rotation_covers_every_pre_r05_query() -> None:
-    """Every query that existed when the r05 rotation was planned must be
-    either already official or scheduled in _R05_WINDOW/_R06_NEXT — a name
-    silently dropped from both lists would fall out of the rotation plan.
-    Queries NEW this round are the remainder; pin their names so additions
-    are a conscious ledger update, not drift."""
-    new_r5: set[str] = {
-        "source_kafka_contract",
-        "stream_kafka_contract",
-        "pipeline_kafka_roundtrip",
-        "feature_rolling_multi_horizon",
-        "feature_pit_training_set",
-        "join_asof_tolerance",
-        "stats_correlation_matrix",
-        "quality_benford_audit",
-        "embed_random_projection",
-    }
-    covered = (
-        _official()
-        | set(catalog._R05_WINDOW)
-        | set(catalog._R06_NEXT)
-        | new_r5
-    )
-    dropped = sorted(set(REGISTRY) - covered)
-    assert not dropped, (
-        "queries outside the rotation plan (add to the new-query ledger "
-        f"or a window list): {dropped}"
-    )
