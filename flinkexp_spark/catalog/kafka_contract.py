@@ -57,13 +57,26 @@ _ORACLE = f"""
 """
 
 
-def _produce_topic(spark: SparkSession, sf_dir: str, path: str, topic: str) -> None:
-    """Write the events slice into the file-backed topic, in event order."""
+def _produce_topic(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    topic: str,
+    lo: int = 0,
+    hi: int = N_EVENTS,
+) -> None:
+    """Write an [lo, hi) event-id slice into the file-backed topic, in
+    event order — producing in stages models a LIVE topic growing between
+    micro-batches (per-partition offsets keep appending across calls)."""
     from flinkexp_spark.sources.kafkalog import produce
 
     rows = (
         datasets.load(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull() & (F.col("event_id") < N_EVENTS))
+        .filter(
+            F.col("user_id").isNotNull()
+            & (F.col("event_id") >= lo)
+            & (F.col("event_id") < hi)
+        )
         .select(
             F.col("event_id"),
             F.col("user_id").cast("string").alias("key"),
@@ -225,8 +238,13 @@ def q_pipeline_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the same topic through the full
     ``DataSourceStreamReader`` offset protocol, throttled with
-    ``maxRecordsPerBatch`` (the ``maxOffsetsPerTrigger`` analog) so the
-    run spans several micro-batches; drained with processingTime=0 +
+    ``maxRecordsPerBatch`` (the ``maxOffsetsPerTrigger`` analog).  The
+    topic is produced in TWO stages around the first drain, modelling a
+    live topic growing under a running query: the first micro-batch takes
+    the initial tail untrimmed (the restart-safe contract — a rebuilt
+    reader must never hand Spark offsets behind a checkpoint, see
+    kafkalog._StreamReader.latestOffset), and the second stage's records
+    drain in several throttled batches.  Drained with processingTime=0 +
     ``processAllAvailable`` (a SimpleDataSourceStreamReader under
     availableNow runs a single batch — see sources/pysource.py).  The
     append-mode union of all batches must equal the batch read exactly —
@@ -238,7 +256,7 @@ def q_stream_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"kafka_mem_{uuid.uuid4().hex[:8]}"
     try:
         topic = f"events_{uuid.uuid4().hex[:8]}"
-        _produce_topic(spark, sf_dir, work, topic)
+        _produce_topic(spark, sf_dir, work, topic, lo=0, hi=N_EVENTS // 4)
         stream = (
             spark.readStream.format("kafkalog")
             .option("path", work)
@@ -258,7 +276,9 @@ def q_stream_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.processAllAvailable()  # stage 1: initial tail, one batch
+            _produce_topic(spark, sf_dir, work, topic, lo=N_EVENTS // 4, hi=N_EVENTS)
+            q.processAllAvailable()  # stage 2: live growth, throttled
         finally:
             q.stop()
         return _summarize(spark.table(name)).localCheckpoint()

@@ -106,15 +106,19 @@ def kafka_source_options(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> dict[str, str]:
     """S5 option wiring, jar-free: exactly the keys Spark's kafka connector
     reads (KafkaSourceProvider).  Split out so the wiring is testable in
     environments without the connector jars/broker."""
-    return {
+    opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
     }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def kafka_source(
@@ -122,17 +126,25 @@ def kafka_source(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """S5: Kafka source (flink-connector-kafka analog, study/pom.xml:82).
 
     Returns (key, value, topic, partition, offset, timestamp); callers parse
-    ``value`` with from_json/F8.  Exactly-once: pair with a checkpoint
-    location and an idempotent/transactional sink.  Requires the Kafka jars
-    on the classpath and a broker — gated in tests.
+    ``value`` with from_json/F8.  Same option surface as the file-backed
+    ``kafkalog`` DataSource (subscribe / startingOffsets / rate cap —
+    ``maxOffsetsPerTrigger`` here, ``maxRecordsPerBatch`` there), so a
+    deployment swaps formats without touching the query.  Exactly-once:
+    pair with a checkpoint location and an idempotent/transactional sink.
+    Requires the Kafka jars on the classpath and a broker — gated in tests.
     """
     return (
         spark.readStream.format("kafka")
-        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
+        .options(
+            **kafka_source_options(
+                bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+            )
+        )
         .load()
     )
 

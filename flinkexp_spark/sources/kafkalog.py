@@ -181,18 +181,29 @@ def make_kafka_log_source():
         def latestOffset(self) -> dict:
             # Spark 4.1 calls latestOffset() without the previous offset;
             # emulate maxOffsetsPerTrigger by keeping the last answer.
+            #
+            # RESTART SAFETY: the throttle state (_last) dies with the
+            # reader, but the checkpoint's committed offsets do not.  A
+            # rebuilt reader that trimmed its FIRST answer back toward
+            # startingOffsets could return end offsets BEHIND the
+            # checkpointed batch start, making Spark re-plan already-read
+            # rows (duplicates in append mode).  So the first call after a
+            # (re)build returns the full tail untrimmed — offsets can then
+            # never regress below any prior checkpoint — and the
+            # maxRecordsPerBatch throttle resumes from the second call.
             parts = _topic_partitions(self.path, self.topic)
             tail = {p: _line_count(f) for p, f in parts.items()}
             prev = getattr(self, "_last", None)
             if prev is None:
-                prev = _starting(self.options, parts, self.topic)
-            out: dict[int, int] = {}
-            budget = self.max_per_batch or sum(tail.values()) + 1
-            for p in sorted(tail):
-                lo = prev.get(p, 0)
-                step = min(tail[p] - lo, budget)
-                out[p] = lo + max(step, 0)
-                budget -= max(step, 0)
+                out = tail
+            else:
+                out = {}
+                budget = self.max_per_batch or sum(tail.values()) + 1
+                for p in sorted(tail):
+                    lo = prev.get(p, 0)
+                    step = min(tail[p] - lo, budget)
+                    out[p] = lo + max(step, 0)
+                    budget -= max(step, 0)
             self._last = out
             return {str(p): o for p, o in out.items()}
 
@@ -237,29 +248,158 @@ def kafka_log_sink(
 ):
     """Exactly-once Kafka-pattern sink as a foreachBatch writer.
 
-    Routes each row by key hash, appends with the partition's next
-    offsets, and dedupes replayed micro-batches through a committed-batch
-    ledger file — the standard transactional-sink recipe (idempotent
-    producer + committed-epoch fencing).  Expects (key string, value
-    string, ts_ms long) columns.
+    EXECUTOR-SIDE data path (no driver row materialization): rows are
+    routed by the md5 key-hash partitioner as a Spark expression,
+    shuffled once on the route (``repartition(n, "partition")`` puts each
+    topic-partition's rows in exactly one task), and each task STAGES its
+    partitions' records as files under the batch's staging dir —
+    write-to-temp + atomic rename, so task retries and speculative
+    attempts are harmless.  Expects (key string non-null, value string,
+    ts_ms long) columns.
+
+    The COMMIT is the two-phase transactional-sink recipe (idempotent
+    producer + committed-epoch fencing), crash-safe at every boundary:
+
+    1. a ``{topic}.pending`` marker records the batch id and each
+       partition log's pre-commit byte length (written temp+rename, so
+       the marker itself is atomic);
+    2. a second executor job appends each staged file to its partition
+       log AFTER truncating the log back to the recorded pre-length —
+       truncate-then-append makes the promotion idempotent, so a crash or
+       retry mid-append can never double-write (this heals the torn
+       window the old append-then-ledger sequence left open);
+    3. the batch id is appended to the ``{topic}.batches`` ledger and the
+       marker/staging are cleared.  A replayed batch id returns early; a
+       pending marker for an unledgered batch is rolled back (truncate to
+       its pre-lengths) before anything else runs.
+
+    On a real deployment ``path`` is shared storage (the same contract the
+    vendor Kafka sink has for its brokers); in local mode the local FS
+    plays that role.
     """
 
     def write_batch(df, batch_id: int) -> None:
+        import shutil
+
+        topic_dir = os.path.join(path, topic)
         ledger = os.path.join(path, topic + ".batches")
+        pending = os.path.join(path, topic + ".pending")
+        staging_root = os.path.join(path, topic + ".staging")
+        os.makedirs(topic_dir, exist_ok=True)
+
         done: set[int] = set()
         if os.path.exists(ledger):
             with open(ledger) as f:
                 done = {int(x) for x in f.read().split() if x}
+
+        def _log_file(p: int) -> str:
+            return os.path.join(topic_dir, f"p{p}.jsonl")
+
+        # Recovery: a leftover marker means the previous run died inside
+        # the commit window.  If its batch made the ledger the data is
+        # good (only cleanup was lost); otherwise roll the logs back to
+        # the recorded pre-lengths — the batch never committed.
+        if os.path.exists(pending):
+            with open(pending) as f:
+                marker = json.load(f)
+            if marker["batch_id"] not in done:
+                for p_str, pre in marker["lengths"].items():
+                    lf = _log_file(int(p_str))
+                    if os.path.exists(lf) and os.path.getsize(lf) > pre:
+                        with open(lf, "r+b") as f:
+                            f.truncate(pre)
+            os.remove(pending)
+        shutil.rmtree(staging_root, ignore_errors=True)
+
         if batch_id in done:
             return  # replayed after restart — already committed
-        rows = df.select("key", "value", ts_col).collect()
-        produce(
-            path,
-            topic,
-            [(r[0], r[1], int(r[2])) for r in rows],
-            n_partitions,
+
+        # ---- Phase 1: route + stage on the executors --------------------
+        from pyspark.sql import functions as F
+
+        staging = os.path.join(staging_root, str(batch_id))
+        os.makedirs(staging, exist_ok=True)
+        routed = df.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.col(ts_col).cast("long").alias("ts_ms"),
+            (
+                F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10)
+                .cast("long")
+                % n_partitions
+            )
+            .cast("int")
+            .alias("partition"),
         )
+
+        stage_dir = staging  # closure copies — executors can't import the repo
+
+        def _stage(rows) -> None:
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            buckets: dict[int, list[str]] = {}
+            for r in rows:
+                buckets.setdefault(r["partition"], []).append(
+                    _json.dumps({"k": r["key"], "v": r["value"], "ts": r["ts_ms"]})
+                )
+            for p, lines in buckets.items():
+                final = _os.path.join(stage_dir, f"p{p}.jsonl")
+                tmp = final + "." + _uuid.uuid4().hex
+                with open(tmp, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                    f.flush()
+                    _os.fsync(f.fileno())
+                _os.replace(tmp, final)  # atomic — retries just re-land it
+
+        routed.repartition(n_partitions, "partition").foreachPartition(_stage)
+
+        # ---- Phase 2: fenced promotion -----------------------------------
+        lengths = {
+            str(p): (os.path.getsize(_log_file(p)) if os.path.exists(_log_file(p)) else 0)
+            for p in range(n_partitions)
+        }
+        tmp_marker = pending + ".tmp"
+        with open(tmp_marker, "w") as f:
+            json.dump({"batch_id": batch_id, "lengths": lengths}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_marker, pending)
+
+        td = topic_dir  # closure copy
+
+        def _promote(item) -> None:
+            import os as _os
+
+            p, pre = item
+            staged = _os.path.join(stage_dir, f"p{p}.jsonl")
+            if not _os.path.exists(staged):
+                return
+            dst = _os.path.join(td, f"p{p}.jsonl")
+            fd = _os.open(dst, _os.O_RDWR | _os.O_CREAT)
+            try:
+                _os.ftruncate(fd, pre)  # heals a torn retry — idempotent
+                _os.lseek(fd, 0, _os.SEEK_END)
+                with open(staged, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        _os.write(fd, chunk)
+                _os.fsync(fd)
+            finally:
+                _os.close(fd)
+
+        sc = df.sparkSession.sparkContext
+        work = [(p, int(lengths[str(p)])) for p in range(n_partitions)]
+        sc.parallelize(work, n_partitions).foreach(_promote)
+
         with open(ledger, "a") as f:
             f.write(f"{batch_id}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.remove(pending)
+        shutil.rmtree(staging_root, ignore_errors=True)
 
     return write_batch

@@ -96,8 +96,13 @@ def test_starting_offsets_per_partition_json(spark, topic_dir):
 
 
 def test_stream_drains_in_multiple_throttled_batches(spark, topic_dir):
+    """The maxOffsetsPerTrigger analog throttles from the SECOND
+    latestOffset call on; the first call returns the tail untrimmed so a
+    rebuilt reader can never hand Spark offsets behind a checkpoint (see
+    _StreamReader.latestOffset).  Produce a head, start the stream (one
+    untrimmed batch), then grow the topic and drain the rest throttled."""
     register_kafka_log_source(spark)
-    _produce_n(topic_dir, "t", 120)
+    _produce_n(topic_dir, "t", 20)
     name = f"kmb_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("kafkalog")
@@ -113,6 +118,8 @@ def test_stream_drains_in_multiple_throttled_batches(spark, topic_dir):
     )
     try:
         q.processAllAvailable()
+        _produce_n(topic_dir, "t", 120)  # live growth: 120 more records
+        q.processAllAvailable()
         fed = [
             p["numInputRows"]
             for p in q.recentProgress
@@ -121,11 +128,55 @@ def test_stream_drains_in_multiple_throttled_batches(spark, topic_dir):
     finally:
         q.stop()
         spark.catalog.dropTempView(name)
-    assert sum(fed) == 120
-    # the maxOffsetsPerTrigger analog actually throttled: >1 micro-batch,
-    # none above the cap
-    assert len(fed) >= 3
-    assert max(fed) <= 40
+    assert sum(fed) == 140
+    # first batch is the 20-record head; the 120-record growth must have
+    # drained in >=3 throttled batches, none above the cap
+    assert fed[0] == 20
+    assert len(fed) >= 4
+    assert max(fed[1:]) <= 40
+
+
+def test_stream_restart_no_duplicates(spark, topic_dir):
+    """Checkpointed restart: the rebuilt reader's first latestOffset must
+    not regress behind the committed offsets (the old throttle reset to
+    startingOffsets and re-emitted rows).  Drain 50, stop, produce 30
+    more, restart on the SAME checkpoint — exactly the 30 new rows may
+    arrive, and the union holds no duplicate (partition, offset)."""
+    register_kafka_log_source(spark)
+    _produce_n(topic_dir, "t", 50)
+    ckpt = os.path.join(topic_dir, "_ckpt")
+    out = os.path.join(topic_dir, "_out")
+
+    def _run() -> list[tuple]:
+        q = (
+            spark.readStream.format("kafkalog")
+            .option("path", topic_dir)
+            .option("subscribe", "t")
+            .option("maxRecordsPerBatch", "20")
+            .load()
+            .selectExpr("partition", "offset")
+            .writeStream.format("json")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [
+            (r["partition"], r["offset"])
+            for r in spark.read.json(out).collect()
+        ]
+
+    first = _run()
+    assert len(first) == 50
+    _produce_n(topic_dir, "t", 30)
+    combined = _run()  # same checkpoint: only the 30-row delta may append
+    assert len(combined) == 80, "restart re-emitted or dropped rows"
+    assert len(set(combined)) == 80
 
 
 def test_sink_exactly_once_fencing(spark, topic_dir):
@@ -142,3 +193,124 @@ def test_sink_exactly_once_fencing(spark, topic_dir):
         with open(os.path.join(topic_dir, "out", f"p{p}.jsonl")) as f:
             total += sum(1 for _ in f)
     assert total == 20  # batches 0 and 1 once each, replay skipped
+
+
+def test_sink_routes_like_the_python_partitioner(spark, topic_dir):
+    """The executor-side md5 routing expression must place every record in
+    the same partition the driver-side produce() helper would — placement
+    is part of the contract the DuckDB oracle recomputes arithmetically."""
+    writer = kafka_log_sink(topic_dir, "out", n_partitions=4)
+    keys = [str(i) for i in range(200)]
+    df = spark.createDataFrame(
+        [(k, f"v{k}", 1_700_000_000_000) for k in keys],
+        "key string, value string, ts_ms long",
+    )
+    writer(df, 0)
+    for p in range(4):
+        f = os.path.join(topic_dir, "out", f"p{p}.jsonl")
+        if not os.path.exists(f):
+            continue
+        with open(f) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                assert partition_for_key(rec["k"], 4) == p
+
+
+def test_sink_recovers_a_torn_commit(spark, topic_dir):
+    """Crash inside the commit window: the pending marker exists, the
+    partition logs hold a partial (or complete-but-unledgered) append.
+    The next write_batch must roll the logs back to the marker's
+    pre-lengths before doing anything — at-least-once is not acceptable."""
+    writer = kafka_log_sink(topic_dir, "out", n_partitions=2)
+    df0 = spark.createDataFrame(
+        [(str(i), f"v{i}", 1_700_000_000_000) for i in range(10)],
+        "key string, value string, ts_ms long",
+    )
+    writer(df0, 0)  # committed baseline
+    pre = {
+        p: os.path.getsize(os.path.join(topic_dir, "out", f"p{p}.jsonl"))
+        for p in range(2)
+    }
+    # simulate the torn window: data appended + marker written, but the
+    # ledger append never happened (batch 1 is NOT in out.batches)
+    for p in range(2):
+        with open(os.path.join(topic_dir, "out", f"p{p}.jsonl"), "a") as f:
+            f.write(json.dumps({"k": "torn", "v": "torn", "ts": 0}) + "\n")
+    with open(os.path.join(topic_dir, "out.pending"), "w") as f:
+        json.dump({"batch_id": 1, "lengths": {str(p): pre[p] for p in range(2)}}, f)
+    # replay of batch 1 through the sink: rollback, then exactly-once land
+    writer(df0, 1)
+    total, torn = 0, 0
+    for p in range(2):
+        with open(os.path.join(topic_dir, "out", f"p{p}.jsonl")) as f:
+            for line in f:
+                total += 1
+                torn += json.loads(line)["k"] == "torn"
+    assert torn == 0, "torn append survived the rollback"
+    assert total == 20
+    assert not os.path.exists(os.path.join(topic_dir, "out.pending"))
+
+
+def test_sink_data_path_stays_on_executors(spark, topic_dir):
+    """The VERDICT-flagged funnel: write_batch must not collect() the
+    batch.  Trip-wire the driver-side materializers for the duration."""
+    from pyspark.sql import DataFrame
+
+    calls: list[str] = []
+    orig_collect = DataFrame.collect
+    orig_to_pandas = DataFrame.toPandas
+    DataFrame.collect = lambda self: (calls.append("collect"), orig_collect(self))[1]
+    DataFrame.toPandas = lambda self: (calls.append("toPandas"), orig_to_pandas(self))[1]
+    try:
+        writer = kafka_log_sink(topic_dir, "out", n_partitions=2)
+        df = spark.createDataFrame(
+            [(str(i), f"v{i}", 1_700_000_000_000) for i in range(50)],
+            "key string, value string, ts_ms long",
+        )
+        writer(df, 0)
+    finally:
+        DataFrame.collect = orig_collect
+        DataFrame.toPandas = orig_to_pandas
+    assert calls == [], f"sink materialized rows on the driver: {calls}"
+    total = 0
+    for p in range(2):
+        with open(os.path.join(topic_dir, "out", f"p{p}.jsonl")) as f:
+            total += sum(1 for _ in f)
+    assert total == 50
+
+
+def test_kafkalog_accepts_the_real_connector_option_surface(spark, topic_dir):
+    """Real-broker parity guard (the documented 'swap the broker in'
+    claim): the kafkalog DataSource and connectors.kafka_source must
+    accept the same option surface — subscribe, startingOffsets, and the
+    rate cap (maxOffsetsPerTrigger / its maxRecordsPerBatch analog) — so
+    a user can switch formats without touching the query."""
+    import inspect
+
+    from flinkexp_spark.sources import connectors
+
+    # 1. the shared spelling runs against the file log end to end
+    register_kafka_log_source(spark)
+    _produce_n(topic_dir, "t", 30)
+    df = (
+        spark.read.format("kafkalog")
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("path", topic_dir)
+        .load()
+    )
+    assert df.count() == 30
+    stream = (
+        spark.readStream.format("kafkalog")
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("maxRecordsPerBatch", "10")
+        .option("path", topic_dir)
+        .load()
+    )
+    assert stream.isStreaming
+    # 2. the real-broker wrapper forwards the same options (source parity
+    #    is asserted statically — no jars in the sandbox)
+    src = inspect.getsource(connectors.kafka_source)
+    for opt in ("subscribe", "startingOffsets", "maxOffsetsPerTrigger"):
+        assert opt in src, f"connectors.kafka_source dropped option {opt!r}"
