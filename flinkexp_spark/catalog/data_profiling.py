@@ -30,10 +30,15 @@ from pyspark.sql import functions as F
 from flinkexp_spark import datasets
 from flinkexp_spark.registry import register
 
-# Integer scalings chosen so every moment stays far below 2^53 even at
-# sf1000: quantity is integral 1..50, price in WHOLE DOLLARS (<= ~105k,
-# squared 1.1e10 — cents would overflow sum-of-squares at sf10+),
-# discount/tax in percent points 0..10.
+# Integer scalings: quantity is integral 1..50, price in WHOLE DOLLARS
+# (<= ~105k, squared 1.1e10 — cents would overflow sum-of-squares at
+# sf10+), discount/tax in percent points 0..10.  Overflow bound: the
+# largest moment is SUM(dollars^2) ~= 6e6*sf rows * 1.1e10 ~= 6.6e16*sf,
+# which crosses BIGINT's 2^63 (~9.2e18) near sf~140 (and DuckDB would
+# silently widen to HUGEINT while Spark ANSI errors — engine divergence,
+# not just overflow).  For a >sf100 deployment, rescale dollars to tens
+# of dollars (buys 100x headroom) or compute moments in DOUBLE and round
+# before comparing; exact-integer moments are the point at gate scale.
 _VARS = ("qty", "dollars", "disc_pct", "tax_pct")
 _PAIRS = tuple(
     (_VARS[i], _VARS[j])
