@@ -282,11 +282,18 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # The edge set feeds FOUR consumers (degrees, orientation, node and
+    # edge counts) and the oriented set feeds THREE (both wedge legs and
+    # the closing-edge probe).  Materialize each once (localCheckpoint —
+    # same loop-invariant discipline as operators/components.py) instead
+    # of letting every consumer recompute the build; this is what cut the
+    # audited plan from 10 Exchanges to the irreducible ones.
     e = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -294,17 +301,29 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
-    # attach endpoint degrees, then orient low-(degree, id) -> high
+    # attach endpoint degrees (bounded by TRI_MAX_PART nodes — broadcast,
+    # no shuffle of the edge set), then orient low-(degree, id) -> high
     ed = e.join(
-        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
-    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u"
+    ).join(
+        F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v"
+    )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    o = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    # Pre-partition the oriented edges on the wedge corner s BEFORE the
+    # checkpoint: localCheckpoint preserves the physical partitioning, so
+    # the wedge self-join on x (= s) is already co-located — neither leg
+    # re-shuffles.  Only the closing-edge probe (keyed (y, z)) still pays
+    # an exchange, which is irreducible: it joins on different keys.
+    o = (
+        ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+        .repartition(F.col("s"))
+        .localCheckpoint()
     )
     # wedges at the minimum-order corner: two out-edges of s, ordered by
     # (degree, id) so each unordered pair appears once; the closing edge

@@ -300,35 +300,71 @@ def apply_bpe_merges(
     return col
 
 
-@register("tokenizer_bpe_encode", oracle=_ENCODE_ORACLE, tags=("X4", "F6"))
-def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encode the corpus with the merges just trained on it: chars per
-    word -> BPE_MERGES folds in rank order -> per-doc subword counts
-    (chars before, subwords after, compression x1000 as an exact int).
+def bpe_subword_count_udf(merges: list[tuple[int, str, str, str, int]]):
+    """Arrow-batched subword counter: apply the learned merges to a word
+    with the reference greedy left-to-right scan (same semantics as the
+    ``apply_bpe_merges`` fold — pinned equal in tests/test_tokenizer.py)
+    and return the subword count.  The merge table rides into the plan as
+    a closure literal — thousands of merges cost a dict lookup per pair,
+    not a Catalyst expression per merge.  Closure-scoped on purpose:
+    module-level UDFs pickle by reference and workers outside the repo
+    can't import it (sources/pysource.py rule)."""
+    merge_list = [(a, b, m) for _, a, b, m, _ in merges]
 
-    Train-then-apply in one lineage; the merge table is baked into the
-    plan as literal folds — the right mechanism for the tens of merges
-    this query learns.  A production vocabulary (thousands of merges)
-    would NOT chain thousands of folds (Catalyst expression-depth and
-    codegen limits); it ships the merge table to an Arrow-batched pandas
-    UDF instead — same dataflow, different expression carrier.  The DuckDB
-    oracle reuses the unrolled training chain and joins the final
-    histogram token arrays back onto per-doc occurrences (per-word BPE is
-    deterministic); tests also pin the fold against the Python
-    reference."""
+    @F.pandas_udf("int")
+    def n_subwords(words):
+        def enc(w: str) -> int:
+            toks = list(w)
+            for a, b, merged in merge_list:
+                out, i, n = [], 0, len(toks)
+                while i < n:
+                    if toks[i] == a and i + 1 < n and toks[i + 1] == b:
+                        out.append(merged)
+                        i += 2  # scan continues AFTER the fused token
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            return len(toks)
+
+        return words.map(enc)
+
+    return n_subwords
+
+
+@register("tokenizer_bpe_encode", oracle=_ENCODE_ORACLE, tags=("X4", "F6", "U1"))
+def q_tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merges just trained on it: per-doc
+    subword counts (chars before, subwords after, compression x1000 as an
+    exact int).
+
+    Train-then-apply in one lineage, with the ENCODE run on the DISTINCT
+    VOCABULARY and joined back to per-doc occurrences — per-word BPE is
+    deterministic, so the vocabulary is the natural memo table (the same
+    reason training runs on the histogram, and exactly how the DuckDB
+    oracle joins the final histogram token arrays back).  Python touches
+    each distinct word once through an Arrow-batched pandas UDF carrying
+    the merge table as a closure literal; at 100 TB the vocabulary is
+    sublinear in the corpus, and AQE broadcasts the encoded vocab when it
+    is small enough.  The previous implementation folded BPE_MERGES
+    interpreted ``F.aggregate`` expressions over every OCCURRENCE —
+    correct, but per-row cost scaled with merge count (10.8 s at sf0.1 vs
+    <5 s for this formulation; the literal-fold carrier survives as
+    ``apply_bpe_merges``, still pinned against the reference scan in
+    tests/test_tokenizer.py)."""
     docs = datasets.load(spark, sf_dir, "documents")
     merges = trained_merges(spark, sf_dir)
     per_word = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
-    ).select(
-        "doc_id",
+    )
+    vocab = per_word.select("word").distinct().select(
+        "word",
         F.length("word").alias("n_chars"),
-        F.size(
-            apply_bpe_merges(F.expr(_CHARS_EXPR), merges)
-        ).alias("n_subwords"),
+        bpe_subword_count_udf(merges)("word").alias("n_subwords"),
     )
     return (
-        per_word.groupBy("doc_id")
+        per_word.join(vocab, "word")
+        .groupBy("doc_id")
         .agg(
             F.sum("n_chars").cast("long").alias("chars"),
             F.sum("n_subwords").cast("long").alias("subwords"),
