@@ -160,7 +160,9 @@ _R06_CARRYOVER: tuple[str, ...] = (
 
 # Queries first registered in round 6 — append here when adding a query so
 # it lands inside the official window (ledger test enforces membership).
-_R06_NEW: tuple[str, ...] = ()
+_R06_NEW: tuple[str, ...] = (
+    "sim_search_recall_ivf",  # pins the measured IVF recall as a hash check
+)
 
 # Already-official queries whose implementation changed this round.
 _R06_REVERIFY: tuple[str, ...] = (

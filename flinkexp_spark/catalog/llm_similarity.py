@@ -834,3 +834,73 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return out.drop("terms").orderBy("vec_id")
+
+
+# --- recall contract ---------------------------------------------------------
+# The measured IVF recall (knob comment above: R=2/nprobe=2 -> 0.82@10 on
+# the sf0.01 fixture) used to live only in prose; this query PINS it.  Both
+# top-k sets are computed inside one plan and the hit count is exact
+# integer arithmetic, so the hash check makes any regression of the
+# quantizer, the replication, or the probe fan-out a correctness failure,
+# not a silent quality drift.
+
+
+def _recall_oracle_sql() -> str:
+    """Nest the EXACT constituent oracles (brute = ground truth, IVF =
+    candidate) as CTEs — the recall contract derives from the same SQL
+    the driver already hash-checks, so the three queries can never drift
+    apart."""
+    from flinkexp_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_search_topk"].oracle
+    ivf = REGISTRY["sim_search_ivf"].oracle
+    return f"""
+        WITH brute AS ({brute}),
+        ivf AS ({ivf}),
+        h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM brute b JOIN ivf i
+                ON b.query_id = i.query_id AND b.match_id = i.match_id),
+        t AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS truth_pairs
+              FROM brute)
+        SELECT n_queries, CAST({TOP_K} AS BIGINT) AS k, truth_pairs, hits,
+               CAST(FLOOR(hits * 1000.0 / truth_pairs) AS BIGINT)
+                 AS recall_x1000
+        FROM t CROSS JOIN h
+    """
+
+
+@register(
+    "sim_search_recall_ivf",
+    oracle=_recall_oracle_sql(),
+    tags=("X3", "A2"),
+)
+def q_sim_search_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the brute-force ground truth,
+    as ONE plan: both searches run their normal paths (sharing the
+    centroid cache and the embeddings scan), the hit count is the inner
+    join of the two (query, match) top-k sets, and recall lands as an
+    exact integer permille (floor(hits*1000 / (n_queries*k))) so the
+    DuckDB mirror hashes identically.  The denominator is the brute-force
+    result size — per-query top-k is exactly TOP_K rows whenever the
+    corpus has > TOP_K vectors, and counting it (rather than assuming it)
+    keeps the contract honest on tiny fixtures."""
+    brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
+    ivf = q_sim_search_ivf(spark, sf_dir).select("query_id", "match_id")
+    hits = brute.join(ivf, ["query_id", "match_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "truth_pairs",
+            "hits",
+            F.floor(F.col("hits") * 1000 / F.col("truth_pairs"))
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )
