@@ -162,6 +162,8 @@ _R06_CARRYOVER: tuple[str, ...] = (
 # it lands inside the official window (ledger test enforces membership).
 _R06_NEW: tuple[str, ...] = (
     "sim_search_recall_ivf",  # pins the measured IVF recall as a hash check
+    "join_asof_forward",  # J9 forward direction (next-reading / conversion)
+    "feature_target_encoding",  # leakage-free K-fold out-of-fold encode
 )
 
 # Already-official queries whose implementation changed this round.

@@ -262,3 +262,95 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.col("right_ts").cast("long")
         ).alias("staleness_s"),
     ).orderBy("event_id")
+
+
+_TE_FOLDS = 5  # deterministic fold = event_id % K (no RNG, both engines agree)
+_TE_SMOOTH = 20  # pseudo-count pulled toward the global prior
+
+
+@register(
+    "feature_target_encoding",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, CAST(event_id % {_TE_FOLDS} AS BIGINT) AS fold,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE user_id IS NOT NULL),
+        g AS (
+            SELECT CAST(FLOOR(CAST(SUM(cents) AS BIGINT) * 1.0 / COUNT(*))
+                        AS BIGINT) AS prior_cents
+            FROM e),
+        pf AS (
+            SELECT user_id, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+                   CAST(SUM(cents) AS BIGINT) AS s_f
+            FROM e GROUP BY user_id, fold),
+        pu AS (
+            SELECT *,
+                   CAST(SUM(n_f) OVER (PARTITION BY user_id) AS BIGINT) AS n_u,
+                   CAST(SUM(s_f) OVER (PARTITION BY user_id) AS BIGINT) AS s_u
+            FROM pf)
+        SELECT user_id, fold, n_f,
+               CAST(FLOOR((s_u - s_f + {_TE_SMOOTH} * prior_cents) * 1000.0
+                          / (n_u - n_f + {_TE_SMOOTH})) AS BIGINT)
+                   AS enc_cents_x1000
+        FROM pu CROSS JOIN g
+        ORDER BY user_id, fold
+    """,
+    tags=("A1", "W3", "J6"),
+)
+def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold target encoding of user_id against spend: the
+    encoding served to fold f aggregates every OTHER fold's target plus a
+    smoothing prior — the standard out-of-fold mean-target-encode recipe
+    (a row never contributes to its own feature, the categorical-feature
+    analog of the PIT rule above).
+
+    Single shuffle on (user, fold), then the leave-fold-out sums come from
+    a window over the same key's partials — no second pass over the raw
+    events, no self-join.  The global prior is a one-row broadcast.  All
+    arithmetic is exact integers (cents, permille floor), so both engines
+    hash identically; at 100 TB the (user, fold) partial table is the only
+    shuffled state and is |users| x K rows.
+    """
+    e = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (F.col("event_id") % _TE_FOLDS).cast("long").alias("fold"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    prior = e.agg(
+        F.floor(F.sum("cents") * 1.0 / F.count("*"))
+        .cast("long")
+        .alias("prior_cents")
+    )
+    pf = e.groupBy("user_id", "fold").agg(
+        F.count("*").alias("n_f"), F.sum("cents").alias("s_f")
+    )
+    wu = Window.partitionBy("user_id")
+    pu = pf.select(
+        "*",
+        F.sum("n_f").over(wu).alias("n_u"),
+        F.sum("s_f").over(wu).alias("s_u"),
+    )
+    return (
+        pu.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "fold",
+            "n_f",
+            F.floor(
+                (
+                    F.col("s_u")
+                    - F.col("s_f")
+                    + _TE_SMOOTH * F.col("prior_cents")
+                )
+                * 1000.0
+                / (F.col("n_u") - F.col("n_f") + _TE_SMOOTH)
+            )
+            .cast("long")
+            .alias("enc_cents_x1000"),
+        )
+        .orderBy("user_id", "fold")
+    )

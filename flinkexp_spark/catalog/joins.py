@@ -391,6 +391,55 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+        SELECT a.event_id AS click_id, a.user_id,
+               COALESCE(b.event_id, -1) AS next_purchase_id,
+               COALESCE(CAST(floor(epoch(b.ts)) AS BIGINT)
+                        - CAST(floor(epoch(a.ts)) AS BIGINT), -1) AS wait_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id AND a.ts <= b.ts
+    """,
+    tags=("J9", "W2"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 forward direction: for each click, the user's NEXT purchase
+    at-or-after it and the wait in whole seconds (time-to-conversion —
+    the pandas ``merge_asof(direction="forward")`` contract).
+
+    Same engine helper and same single-shuffle union+window plan as the
+    backward join — only the frame looks ahead and the tie order flips
+    (operators/asof.py).  DuckDB's native forward ASOF (``a.ts <= b.ts``)
+    is the oracle.
+    """
+    e = datasets.load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_prefix="p_",
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.coalesce(F.col("p_event_id"), F.lit(-1)).alias("next_purchase_id"),
+        F.coalesce(
+            F.col("p_ts").cast("long") - F.col("ts").cast("long"), F.lit(-1)
+        ).alias("wait_s"),
+    )
+
+
+@register(
     "join_salted_skew",
     oracle="""
         WITH big AS (SELECT event_id, user_id % 5 AS hot_key, value

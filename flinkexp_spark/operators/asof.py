@@ -40,12 +40,18 @@ def asof_join(
     right_ts: str,
     right_prefix: str = "right_",
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with right_ts <= left_ts.
+    """For each left row, attach the latest right row with right_ts <= left_ts
+    (``direction="backward"``, the default) or the EARLIEST right row with
+    right_ts >= left_ts (``direction="forward"`` — the pandas
+    ``merge_asof(direction="forward")`` contract: next reading at or after
+    the probe instant).
 
-    Backward-looking, exact matches included; unmatched left rows keep nulls
-    (ASOF LEFT JOIN semantics).  Right columns (except keys) come back
-    prefixed with ``right_prefix``.
+    Exact matches included in both directions; unmatched left rows keep
+    nulls (ASOF LEFT JOIN semantics).  Right columns (except keys) come
+    back prefixed with ``right_prefix``.  Both directions are the same
+    single-shuffle plan — only the window frame and the tie order flip.
 
     ``tolerance_s`` bounds match staleness, the pandas ``merge_asof
     (tolerance=...)`` contract: a match older than ``tolerance_s`` whole
@@ -94,22 +100,37 @@ def asof_join(
         + [F.lit(0).alias("__side"), F.col(prefixed[right_ts]).alias("__ord_ts")]
     )
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
     unioned = left.select(*lt_cols).unionByName(rt.select(*rt_cols))
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ord_ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        "*", F.last("__rv", ignorenulls=True).over(w).alias("__m")
-    )
+    if direction == "backward":
+        # right rows (side 0) sort BEFORE a left row at the same instant,
+        # so last() over the preceding frame includes exact matches
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ord_ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("__rv", ignorenulls=True).over(w)
+    else:
+        # forward: right rows sort AFTER a left row at the same instant
+        # (__side desc puts left=1 first), and the frame looks ahead
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ord_ts"), F.desc("__side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("__rv", ignorenulls=True).over(w)
+    filled = unioned.select("*", match.alias("__m"))
     if tolerance_s is not None:
         # Staleness on truncated epoch seconds (both engines' cast-to-long
         # convention); a too-old match degrades to "no match", not an error.
-        stale = F.col("__ord_ts").cast("long") - F.col("__m").getField(
+        signed = F.col("__ord_ts").cast("long") - F.col("__m").getField(
             prefixed[right_ts]
         ).cast("long")
+        stale = signed if direction == "backward" else -signed
         filled = filled.withColumn(
             "__m",
             F.when(stale <= F.lit(int(tolerance_s)), F.col("__m")).otherwise(
