@@ -164,6 +164,11 @@ _R06_NEW: tuple[str, ...] = (
     "sim_search_recall_ivf",  # pins the measured IVF recall as a hash check
     "join_asof_forward",  # J9 forward direction (next-reading / conversion)
     "feature_target_encoding",  # leakage-free K-fold out-of-fold encode
+    "stream_kafka_restart_recovery",  # checkpointed restart, no duplicates
+    "graph_common_neighbors",  # link prediction over the co-purchase graph
+    "stat_ks_test",  # exact-integer two-sample KS drift distance
+    "interval_concurrency_peak",  # sweep-line max concurrent sessions
+    "timeseries_cross_correlation",  # lead/lag Pearson over a dense spine
 )
 
 # Already-official queries whose implementation changed this round.

@@ -183,3 +183,87 @@ def q_quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford"),
         F.round(F.abs(share - benford), 6).alias("deviation"),
     ).orderBy("digit")
+
+
+_KS_A, _KS_B = "click", "view"  # the two samples under comparison
+
+
+@register(
+    "stat_ks_test",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS ga
+            FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+        n AS (
+            SELECT CAST(SUM(ga) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(ga) AS BIGINT) AS n2
+            FROM s),
+        d AS (
+            SELECT v, CAST(SUM(ga) AS BIGINT) AS c1,
+                   CAST(COUNT(*) - SUM(ga) AS BIGINT) AS c2
+            FROM s GROUP BY v),
+        c AS (
+            SELECT v,
+                   CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+                   CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+            FROM d)
+        SELECT n1, n2,
+               CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS max_scaled,
+               CAST(FLOOR(MAX(ABS(f1 * n2 - f2 * n1)) * 1000000.0
+                          / (n1 * n2)) AS BIGINT) AS d_x1e6
+        FROM c CROSS JOIN n GROUP BY n1, n2
+    """,
+    tags=("A2", "W3"),
+)
+def q_stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the click and view
+    value distributions — the drift test that catches SHAPE changes PSI's
+    fixed bins miss (complement of stat_psi_drift).
+
+    D = max_v |F1(v) - F2(v)| computed entirely in integers: per distinct
+    value, cumulative counts of each sample; the sup statistic is
+    max |f1*n2 - f2*n1| over the common denominator n1*n2, floored to
+    micro-units only at the very end — bit-identical across engines, no
+    float CDFs.  One shuffle to the per-value histogram, one ordered
+    window pass over DISTINCT VALUES (cardinality of the value domain,
+    not the row count), one scalar cross join.  At 100 TB the window runs
+    over the value histogram — if the domain were unbounded you'd quantize
+    v first, which the cents rounding already does.
+    """
+    s = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+            F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("ga"),
+        )
+    )
+    n = s.agg(
+        F.sum("ga").cast("long").alias("n1"),
+        (F.count("*") - F.sum("ga")).cast("long").alias("n2"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum("ga").cast("long").alias("c1"),
+        (F.count("*") - F.sum("ga")).cast("long").alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "v",
+        F.sum("c1").over(wv).cast("long").alias("f1"),
+        F.sum("c2").over(wv).cast("long").alias("f2"),
+    )
+    scaled = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(scaled).cast("long").alias("max_scaled"))
+        .select(
+            "n1",
+            "n2",
+            "max_scaled",
+            F.floor(F.col("max_scaled") * 1000000.0 / (F.col("n1") * F.col("n2")))
+            .cast("long")
+            .alias("d_x1e6"),
+        )
+    )

@@ -285,3 +285,79 @@ def q_stream_kafka_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register("stream_kafka_restart_recovery", oracle=_ORACLE, tags=("S5", "T10"))
+def q_stream_kafka_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART recovery on the Kafka contract: run a
+    checkpointed streaming read of the topic's first half, STOP the query,
+    produce the second half, and restart on the SAME checkpoint — the
+    rebuilt reader's first ``latestOffset`` must not regress behind the
+    committed offsets (the failure ADVICE r05 flagged: a throttle state
+    reset to startingOffsets re-emits checkpointed rows as duplicates in
+    append mode).  Both runs append to one file sink; the union is then
+    summarized per partition against the SAME whole-slice oracle as the
+    single-run queries — any duplicate or dropped row breaks n /
+    max_offset / cents_sum.  (The memory sink can't recover a checkpoint,
+    so this query drains through a JSON file sink — the sink every
+    real restart test uses.)"""
+    from flinkexp_spark.sources.kafkalog import register_kafka_log_source
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    try:
+        topic = f"events_{uuid.uuid4().hex[:8]}"
+        ckpt = os.path.join(work, "_ckpt")
+        out = os.path.join(work, "_out")
+
+        def _drain() -> None:
+            q = (
+                spark.readStream.format("kafkalog")
+                .option("path", work)
+                .option("subscribe", topic)
+                .option("startingOffsets", "earliest")
+                .option("maxRecordsPerBatch", "500")
+                .load()
+                .select(
+                    "partition",
+                    "offset",
+                    F.col("key").cast("string").alias("key"),
+                    F.get_json_object(
+                        F.col("value").cast("string"), "$.cents"
+                    )
+                    .cast("long")
+                    .alias("cents"),
+                )
+                .writeStream.format("json")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        _produce_topic(spark, sf_dir, work, topic, lo=0, hi=N_EVENTS // 2)
+        _drain()  # run 1: first half, checkpointed
+        _produce_topic(spark, sf_dir, work, topic, lo=N_EVENTS // 2, hi=N_EVENTS)
+        _drain()  # run 2: SAME checkpoint — only the delta may append
+        sunk = spark.read.schema(
+            "partition int, offset long, key string, cents long"
+        ).json(out)
+        return (
+            sunk.groupBy("partition")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("key").alias("n_keys"),
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"),
+                F.sum("cents").alias("cents_sum"),
+            )
+            .orderBy("partition")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

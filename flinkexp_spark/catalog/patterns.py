@@ -738,3 +738,75 @@ def q_pattern_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= COPURCHASE_MIN_SUPPORT)
         .orderBy(F.desc("support"), "part_a", "part_b")
     )
+
+
+CN_TOPK = 20  # link-prediction candidates reported
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey < {TRI_MAX_PART}),
+        e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey),
+        adj AS (SELECT u AS n, v AS m FROM e
+                UNION ALL SELECT v AS n, u AS m FROM e),
+        w AS (SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common
+              FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
+              GROUP BY a.n, b.n),
+        cand AS (SELECT w.u, w.v, w.common FROM w
+                 LEFT JOIN e ON e.u = w.u AND e.v = w.v
+                 WHERE e.u IS NULL),
+        r AS (SELECT *, row_number() OVER (ORDER BY common DESC, u, v)
+                        AS rnk FROM cand)
+        SELECT u, v, common, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {CN_TOPK}
+    """,
+    tags=("J1", "J4", "W1"),
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the co-purchase graph: for every
+    non-adjacent node pair, count shared neighbors and report the top-20
+    candidate edges (count DESC, pair ASC — fully deterministic).
+
+    The wedge join is the same degree-bounded pattern as the triangle
+    count: adjacency self-joined on the SHARED neighbor, so the pair space
+    is sum-of-squared-degrees, never |V|^2; existing edges drop out with a
+    null-producing left join (anti-join semantics, J4).  The edge set is
+    materialized once (localCheckpoint) and feeds both the wedge join and
+    the anti probe.  At 100 TB the wedge explosion is bounded the same way
+    the triangle count bounds it — cap or orient by degree; the fixture
+    graph is the TRI_MAX_PART co-purchase slice.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < TRI_MAX_PART
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    w = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.m") == F.col("b.m"))
+        .filter(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    cand = w.join(e, ["u", "v"], "left_anti")
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("common"), F.asc("u"), F.asc("v"))
+    )
+    return (
+        cand.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= CN_TOPK)
+    )

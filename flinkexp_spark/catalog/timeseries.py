@@ -132,3 +132,120 @@ def q_timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+_XC_A, _XC_B = "click", "purchase"  # does click activity lead purchases?
+_XC_MAX_LAG = 3  # hours
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   CAST(SUM(CASE WHEN event_type = '{_XC_A}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN event_type = '{_XC_B}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb
+            FROM events WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+            GROUP BY 1),
+        span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM h),
+        spine AS (
+            SELECT UNNEST(range(h0, h1 + 1)) AS hour FROM span),
+        f AS (
+            SELECT s.hour, COALESCE(h.na, 0) AS na, COALESCE(h.nb, 0) AS nb
+            FROM spine s LEFT JOIN h ON h.hour = s.hour),
+        lags AS (SELECT UNNEST(range(0, {_XC_MAX_LAG} + 1)) AS lag),
+        p AS (
+            SELECT l.lag, x.na AS a, y.nb AS b
+            FROM lags l
+            JOIN f x ON TRUE
+            JOIN f y ON y.hour = x.hour + l.lag),
+        m AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                   CAST(SUM(a * a) AS BIGINT) AS saa,
+                   CAST(SUM(b * b) AS BIGINT) AS sbb,
+                   CAST(SUM(a * b) AS BIGINT) AS sab
+            FROM p GROUP BY lag)
+        SELECT lag, n,
+               round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                               - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+                   AS xcorr
+        FROM m ORDER BY lag
+    """,
+    tags=("A5", "J7", "F3"),
+)
+def q_timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of two event series: does click volume at
+    hour t predict purchase volume at t+lag?  One row per lag 0..3 —
+    the lead/lag screen run before fitting any forecasting model.
+
+    The series align on a DENSE hour spine (sequence + explode), so
+    silent gaps count as zero instead of being dropped; moments are exact
+    BIGINTs per the house A5 convention and only the final Pearson
+    expression is floating point (identical tree both engines, round 6).
+    The spine join is a broadcast (the spine is |hours| rows); the lag
+    fan-out is a 4-row literal cross join, so the whole plan is one
+    aggregate over |hours| * |lags| rows regardless of event volume.
+    """
+    ev = datasets.load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_XC_A, _XC_B)
+    )
+    h = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour")
+    ).agg(
+        F.sum((F.col("event_type") == _XC_A).cast("long")).alias("na"),
+        F.sum((F.col("event_type") == _XC_B).cast("long")).alias("nb"),
+    )
+    spine = (
+        h.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    f = (
+        spine.join(h, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .localCheckpoint()  # both sides of the lag join reuse the spine
+    )
+    lags = spark.range(0, _XC_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    x = f.select(F.col("hour"), F.col("na").alias("a"))
+    y = f.select(F.col("hour").alias("yhour"), F.col("nb").alias("b"))
+    p = (
+        F.broadcast(lags)
+        .crossJoin(x)
+        .join(y, F.col("yhour") == F.col("hour") + F.col("lag"))
+    )
+    m = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+    )
+    xcorr = F.round(
+        (
+            F.col("n").cast("double") * F.col("sab").cast("double")
+            - F.col("sa").cast("double") * F.col("sb").cast("double")
+        )
+        / (
+            F.sqrt(
+                F.col("n").cast("double") * F.col("saa").cast("double")
+                - F.col("sa").cast("double") * F.col("sa").cast("double")
+            )
+            * F.sqrt(
+                F.col("n").cast("double") * F.col("sbb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb").cast("double")
+            )
+        ),
+        6,
+    )
+    return m.select("lag", "n", xcorr.alias("xcorr")).orderBy("lag")
