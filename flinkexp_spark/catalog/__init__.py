@@ -169,6 +169,8 @@ _R06_NEW: tuple[str, ...] = (
     "stat_ks_test",  # exact-integer two-sample KS drift distance
     "interval_concurrency_peak",  # sweep-line max concurrent sessions
     "timeseries_cross_correlation",  # lead/lag Pearson over a dense spine
+    "pipeline_dpo_pairs",  # chosen/rejected preference-pair construction
+    "text_zipf_fit",  # log-log OLS slope of the word histogram
 )
 
 # Already-official queries whose implementation changed this round.

@@ -557,3 +557,90 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "pos")
     )
+
+
+_DPO_GROUPS = 200  # deterministic "prompt" id: doc_id % groups
+
+
+@register(
+    "pipeline_dpo_pairs",
+    oracle=f"""
+        WITH sc AS (
+            SELECT doc_id, CAST(doc_id % {_DPO_GROUPS} AS BIGINT) AS prompt_id,
+                   CAST(FLOOR(1000.0 * len(list_distinct({T.tokens_sql('text')}))
+                              / len({T.tokens_sql('text')})) AS BIGINT)
+                       AS score_x1000
+            FROM documents
+            WHERE len({T.tokens_sql('text')}) > 0),
+        best AS (
+            SELECT prompt_id, doc_id AS chosen_doc,
+                   score_x1000 AS chosen_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                          ORDER BY score_x1000 DESC, doc_id) AS rn FROM sc)
+            WHERE rn = 1),
+        worst AS (
+            SELECT prompt_id, doc_id AS rejected_doc,
+                   score_x1000 AS rejected_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                          ORDER BY score_x1000 ASC, doc_id DESC) AS rn FROM sc)
+            WHERE rn = 1)
+        SELECT b.prompt_id, chosen_doc, rejected_doc, chosen_score,
+               rejected_score,
+               chosen_score - rejected_score AS margin_x1000
+        FROM best b JOIN worst w ON b.prompt_id = w.prompt_id
+        WHERE chosen_score - rejected_score > 0
+        ORDER BY b.prompt_id
+    """,
+    tags=("W5", "J1", "X4"),
+)
+def q_pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep step): within
+    each prompt group, pair the highest-quality candidate (chosen) with
+    the lowest (rejected) and keep only pairs with positive margin.
+
+    Quality here is the exact-integer lexical-diversity permille
+    (distinct/total tokens) — any of the engine's richer scores
+    (text_quality_ensemble) slots into the same shape.  The fixture has no
+    prompt column, so the group key is the deterministic doc_id % N; a
+    real corpus supplies its own.  Plan: ONE tokenize pass and ONE
+    shuffle — both extremes come out of a single groupBy as lexicographic
+    struct min/max ((score, -doc_id) encodes each side's tie-break), so
+    there is no rank window and no self-join; partial aggregation does
+    the per-group argmax map-side, exactly what you want when groups are
+    numerous and small at 100 TB.  (The oracle keeps the two-window
+    formulation — clearer SQL, same result.)
+    """
+    toks = T.tokens(F.col("text"))
+    sc = (
+        datasets.load(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _DPO_GROUPS).cast("long").alias("prompt_id"),
+            F.floor(
+                1000.0 * F.size(F.array_distinct(toks)) / F.size(toks)
+            )
+            .cast("long")
+            .alias("score_x1000"),
+        )
+    )
+    # (score, -doc_id) lexicographic: max -> score DESC then doc_id ASC
+    # (chosen tie-break); min -> score ASC then doc_id DESC (rejected)
+    keyed = F.struct(
+        F.col("score_x1000").alias("s"), (-F.col("doc_id")).alias("negid")
+    )
+    agg = sc.groupBy("prompt_id").agg(
+        F.max(keyed).alias("b"), F.min(keyed).alias("w")
+    )
+    return (
+        agg.select(
+            "prompt_id",
+            (-F.col("b.negid")).cast("long").alias("chosen_doc"),
+            (-F.col("w.negid")).cast("long").alias("rejected_doc"),
+            F.col("b.s").alias("chosen_score"),
+            F.col("w.s").alias("rejected_score"),
+            (F.col("b.s") - F.col("w.s")).alias("margin_x1000"),
+        )
+        .filter(F.col("margin_x1000") > 0)
+        .orderBy("prompt_id")
+    )

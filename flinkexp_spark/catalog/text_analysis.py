@@ -572,3 +572,98 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+_ZIPF_RANKS = 500  # fit over the top-R ranks (the linear regime)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH hist AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({T.tokens_sql('text')}) AS word
+                  FROM documents)
+            GROUP BY word),
+        ranked AS (
+            SELECT word, n,
+                   row_number() OVER (ORDER BY n DESC, word) AS rnk
+            FROM hist),
+        pts AS (
+            SELECT CAST(FLOOR(ln(rnk) * 1000000) AS BIGINT) AS lx,
+                   CAST(FLOOR(ln(n) * 1000000) AS BIGINT) AS ly
+            FROM ranked WHERE rnk <= {_ZIPF_RANKS}),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(lx) AS BIGINT) AS sx,
+                   CAST(SUM(ly) AS BIGINT) AS sy,
+                   CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+                   CAST(SUM(lx * ly) AS BIGINT) AS sxy
+            FROM pts)
+        SELECT k AS n_ranks,
+               CAST(FLOOR(1000.0 * (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    AS BIGINT) AS slope_x1000
+        FROM m
+    """,
+    tags=("A5", "W1", "X4"),
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word histogram: OLS slope of
+    log-frequency on log-rank over the top-500 ranks.  Natural text sits
+    near slope -1; a corpus drifting toward 0 (too uniform — template
+    spam) or strongly steeper (tiny effective vocabulary — boilerplate)
+    fails the screen.  The distribution-level companion to the per-doc
+    quality scores.
+
+    One corpus tokenize into the word histogram (the same first pass BPE
+    training runs), a top-R rank window over the HISTOGRAM (vocabulary-
+    sized, not corpus-sized), then exact fixed-point log moments
+    (floor(ln * 1e6) as BIGINT — integer sums are order-independent, so
+    both engines agree bit-for-bit) with a single final double division.
+    """
+    hist = (
+        datasets.load(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    ranked = hist.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word"))),
+    ).filter(F.col("rnk") <= _ZIPF_RANKS)
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ly"),
+    )
+    m = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("k").alias("n_ranks"),
+        F.floor(
+            1000.0
+            * (
+                F.col("k").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("k").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("slope_x1000"),
+    )
