@@ -171,6 +171,7 @@ _R06_NEW: tuple[str, ...] = (
     "timeseries_cross_correlation",  # lead/lag Pearson over a dense spine
     "pipeline_dpo_pairs",  # chosen/rejected preference-pair construction
     "text_zipf_fit",  # log-log OLS slope of the word histogram
+    "multimodal_audio_stats",  # waveform features over the real WAV decode
 )
 
 # Already-official queries whose implementation changed this round.

@@ -404,3 +404,46 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("delta") < 0, F.col("frame_idx"))), F.lit(-1)
         ).cast("long").alias("first_cut"),
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    # Oracle mirrors the PCM synthesis arithmetically (same recurrence as
+    # multimodal_decode_wav) and derives the three waveform features with
+    # a lag window over the per-sample CTE — peak / energy / zero
+    # crossings are exactly checkable without an audio library.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   {M.WAV_BASE_RATE} + (doc_id % 3) * {M.WAV_RATE_STEP}
+                       AS sample_rate,
+                   strlen(text) % {M.WAV_MAX_SAMPLES} + 8 AS n_samples,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        sm AS (SELECT doc_id, sample_rate, n_samples,
+                      (s * 257 + i.i * 9973) % 65536 - 32768 AS v, i.i
+               FROM m, (SELECT unnest(range({M.WAV_MAX_SAMPLES} + 8)) AS i) i
+               WHERE i.i < n_samples),
+        lg AS (SELECT doc_id, sample_rate, n_samples, v,
+                      lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM sm)
+        SELECT doc_id,
+               CAST(sample_rate AS BIGINT) AS sample_rate,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+               CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+               CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings
+        FROM lg GROUP BY 1, 2, 3
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: waveform feature extraction on top of the REAL WAV decode —
+    peak amplitude, energy, zero-crossing count per file (the exact-
+    integer core of silence/voice-activity screening).  Decode and
+    featurize happen in one Arrow batch pass (functions/multimodal.py:
+    audio_stats); the oracle recomputes the synthesized PCM
+    arithmetically, so the whole decode->feature path is hash-checked."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.audio_stats(M.with_wav_payload(docs))

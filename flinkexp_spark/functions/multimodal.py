@@ -470,6 +470,58 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def audio_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Waveform FEATURE EXTRACTION over the real WAV decode: peak
+    amplitude, energy (sum of squares), and zero-crossing count — the
+    integer-exact core of the silence/voice-activity screens an audio
+    training pipeline runs after decode.  Same mapInPandas seam as
+    :func:`decode_wav`; a librosa feature extractor drops into the same
+    shape."""
+
+    def stats(batches):
+        import io
+        import struct
+        import wave as wave_mod
+
+        import pandas as pd
+
+        def one(payload: bytes):
+            with wave_mod.open(io.BytesIO(payload), "rb") as w:
+                rate = w.getframerate()
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                n = w.getnframes()
+                frames = w.readframes(n)
+            if ch != 1 or width != 2:
+                raise ValueError(f"unsupported WAV layout ch={ch} width={width}")
+            s = struct.unpack(f"<{n}h", frames)
+            peak = max(abs(x) for x in s)
+            sq = sum(x * x for x in s)
+            zc = sum(1 for i in range(1, n) if s[i - 1] * s[i] < 0)
+            return rate, n, peak, sq, zc
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "sample_rate": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "n_samples": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "peak_abs": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "sq_sum": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "zero_crossings": pd.Series([r[4] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, peak_abs long, "
+            "sq_sum long, zero_crossings long"
+        ),
+    )
+
+
 # --- real codec: Ogg (page transport, metadata) ------------------------------
 # Container-level Ogg exercised for REAL: the payload is a spec-correct Ogg
 # page sequence (OggS captures, little-endian granule/serial/sequence
