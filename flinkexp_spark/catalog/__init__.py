@@ -172,6 +172,7 @@ _R06_NEW: tuple[str, ...] = (
     "pipeline_dpo_pairs",  # chosen/rejected preference-pair construction
     "text_zipf_fit",  # log-log OLS slope of the word histogram
     "multimodal_audio_stats",  # waveform features over the real WAV decode
+    "window_gaps_islands",  # consecutive-day streaks per user
 )
 
 # Already-official queries whose implementation changed this round.

@@ -517,3 +517,74 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events WHERE user_id IS NOT NULL),
+        r AS (
+            SELECT user_id, day,
+                   row_number() OVER (PARTITION BY user_id ORDER BY day)
+                       AS rn
+            FROM act),
+        isl AS (
+            SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(day) AS start_day
+            FROM r GROUP BY user_id, grp),
+        pick AS (
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM isl GROUP BY user_id)
+        SELECT p.user_id, n_active_days, n_streaks, longest_streak,
+               CAST(MIN(i.start_day) AS STRING) AS longest_start
+        FROM pick p JOIN isl i
+          ON i.user_id = p.user_id AND i.len = p.longest_streak
+        GROUP BY p.user_id, n_active_days, n_streaks, longest_streak
+        ORDER BY p.user_id
+    """,
+    tags=("W1", "A1", "F3"),
+)
+def q_window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks (the
+    canonical row_number difference trick — day minus dense rank is
+    constant within an unbroken run).  Reports streak count, total active
+    days, the longest streak, and its earliest start date per user —
+    the "N-day streak" retention metric.
+
+    Everything shuffles once on user_id: the distinct, the rank window,
+    and the island aggregation share the partition key, and the
+    longest-streak pick joins islands back to per-user maxima on the same
+    key (co-partitioned).  Island state is |distinct active days|, never
+    raw events.
+    """
+    act = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    isl = (
+        act.withColumn("grp", F.date_sub(F.col("day"), rn))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"), F.min("day").alias("start_day"))
+        .localCheckpoint()  # feeds the per-user rollup AND the pick join
+    )
+    pick = isl.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+    return (
+        pick.join(isl, "user_id")
+        .filter(F.col("len") == F.col("longest_streak"))
+        .groupBy("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .agg(F.min("start_day").cast("string").alias("longest_start"))
+        .orderBy("user_id")
+    )
