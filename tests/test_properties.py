@@ -58,6 +58,65 @@ def test_asof_join_matches_naive_semantics(spark, case):
         assert got[lid] == expect, (lid, k, t, versions)
 
 
+@given(asof_case())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_forward_matches_naive_semantics(spark, case):
+    """direction="forward": earliest right at-or-after, ties included."""
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "key string, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "key string, rts long, val long")
+    out = asof_join(
+        ldf, rdf, on="key", left_ts="lts", right_ts="rts", direction="forward"
+    )
+    got = {r.lid: r.right_val for r in out.collect()}
+
+    for lid, (k, t) in enumerate(left):
+        versions = [(rts, val) for (rk, rts, val) in right if rk == k and rts >= t]
+        expect = min(versions)[1] if versions else None
+        assert got[lid] == expect, (lid, k, t, versions)
+
+
+@given(asof_case(), st.integers(0, 10))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_forward_tolerance_bounds_lookahead(spark, case, tol):
+    """forward + tolerance: a match farther than tol seconds AHEAD nulls
+    out, mirroring the backward staleness contract."""
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "key string, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "key string, rts long, val long")
+    out = asof_join(
+        ldf,
+        rdf,
+        on="key",
+        left_ts="lts",
+        right_ts="rts",
+        direction="forward",
+        tolerance_s=tol,
+    )
+    got = {r.lid: r.right_val for r in out.collect()}
+
+    for lid, (k, t) in enumerate(left):
+        versions = [
+            (rts, val)
+            for (rk, rts, val) in right
+            if rk == k and t <= rts  # at-or-after
+        ]
+        expect = min(versions)[1] if versions and min(versions)[0] - t <= tol else None
+        assert got[lid] == expect, (lid, k, t, tol, versions)
+
+
 @given(
     st.lists(
         st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 1000)),
