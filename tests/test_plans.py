@@ -602,3 +602,46 @@ def test_salted_join_shuffles_on_key_plus_salt(spark, sf_dir):
     plan = plan_of(queries()["join_salted_skew"](spark, sf_dir), "simple")
     assert "SortMergeJoin" in plan, plan
     assert "__salt" in plan
+
+
+def test_triangle_count_final_plan_stays_lean(spark, sf_dir):
+    """The r06 rework materializes the edge and oriented-edge sets once;
+    the executed final plan must stay at/below the audited 7 exchanges
+    (was 10 before the rework) — a regression here means a consumer
+    started recomputing the build again."""
+    import re
+
+    df = queries()["graph_triangle_count"](spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    n = len(re.findall(r"\bExchange\b", plan))
+    assert n <= 8, f"triangle count final plan grew to {n} exchanges"
+
+
+def test_bpe_encode_runs_python_once_per_distinct_word(spark, sf_dir):
+    """The encode path must carry its Python work on the DISTINCT
+    vocabulary (ArrowEvalPython above an aggregate/exchange), never on
+    per-document occurrences — the formatted plan shows exactly one
+    Arrow eval node and a dedup exchange below it."""
+    df = queries()["tokenizer_bpe_encode"](spark, sf_dir)
+    plan = plan_of(df, "simple")  # one tree (formatted repeats nodes)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "HashAggregate" in plan  # the distinct under the UDF
+
+
+def test_gaps_islands_single_partition_key(spark, sf_dir):
+    """Every exchange in the streak plan must hash on user_id (plus the
+    final tiny sort) — a second partitioning key would mean the island
+    trick left the per-user frame."""
+    df = queries()["window_gaps_islands"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    import re
+
+    hashparts = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    assert hashparts, "expected hash exchanges in the islands plan"
+    assert all(p.strip().startswith("user_id") for p in hashparts), hashparts
