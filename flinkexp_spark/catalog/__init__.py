@@ -173,6 +173,7 @@ _R06_NEW: tuple[str, ...] = (
     "text_zipf_fit",  # log-log OLS slope of the word histogram
     "multimodal_audio_stats",  # waveform features over the real WAV decode
     "window_gaps_islands",  # consecutive-day streaks per user
+    "changelog_incremental_agg",  # retraction-stream IVM vs recompute oracle
 )
 
 # Already-official queries whose implementation changed this round.

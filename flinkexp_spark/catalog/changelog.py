@@ -148,3 +148,81 @@ def q_cdc_apply_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("user_id", "n_ops", "last_value")
     )
+
+
+_IVM_ORACLE = """
+    WITH last AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END AS op,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT CAST(user_id % 10 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM last WHERE rn = 1 AND op <> 'D'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("changelog_incremental_agg", oracle=_IVM_ORACLE, tags=("W2", "A1", "T7"))
+def q_changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by RETRACTION: maintain per-segment
+    SUM/COUNT from the keyed changelog without ever materializing the
+    snapshot.  Each op emits a delta pair — retract the key's previous
+    live contribution (lag over version order), add its own unless it is
+    a delete — and the per-key deltas TELESCOPE, so summing them per
+    segment is algebraically the aggregate of the final live rows.  This
+    is exactly Flink's upsert-aggregate / retraction-stream operator (the
+    dynamic-table aggregate the Table API envelope declares); the oracle
+    instead RECOMPUTES the snapshot directly, so the hash check proves
+    the retraction algebra equals recompute.
+
+    Cost: one shuffle on the key for the lag window, then a map-side
+    combinable segment aggregate over the delta stream — no snapshot
+    join, no second pass; at 100 TB the deltas fold into partial sums
+    exactly like any additive aggregate.
+    """
+    ev = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", "D")
+            .when(F.col("event_type") == "signup", "I")
+            .otherwise("U")
+            .alias("op"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    live = F.col("op") != "D"
+    prev_live = F.col("prev_op").isNotNull() & (F.col("prev_op") != "D")
+    deltas = (
+        ev.withColumn("prev_op", F.lag("op").over(wk))
+        .withColumn("prev_cents", F.lag("cents").over(wk))
+        .select(
+            (F.col("user_id") % 10).cast("long").alias("segment"),
+            (
+                F.when(live, 1).otherwise(0)
+                - F.when(prev_live, 1).otherwise(0)
+            ).alias("d_n"),
+            (
+                F.when(live, F.col("cents")).otherwise(0)
+                - F.when(prev_live, F.col("prev_cents")).otherwise(0)
+            ).alias("d_cents"),
+        )
+    )
+    return (
+        deltas.groupBy("segment")
+        .agg(
+            F.sum("d_n").cast("long").alias("n_live"),
+            F.sum("d_cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("segment")
+    )
