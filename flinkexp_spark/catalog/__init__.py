@@ -174,6 +174,7 @@ _R06_NEW: tuple[str, ...] = (
     "multimodal_audio_stats",  # waveform features over the real WAV decode
     "window_gaps_islands",  # consecutive-day streaks per user
     "changelog_incremental_agg",  # retraction-stream IVM vs recompute oracle
+    "stream_kafka_exactly_once",  # multi-epoch streaming relay through the sink
 )
 
 # Already-official queries whose implementation changed this round.

@@ -361,3 +361,72 @@ def q_stream_kafka_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register("stream_kafka_exactly_once", oracle=_ORACLE, tags=("S5", "T9"))
+def q_stream_kafka_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Kafka-to-Kafka relay through the EXECUTOR-SIDE
+    exactly-once sink: a throttled streaming read of the events topic
+    feeds ``foreachBatch``, and every micro-batch publishes its delta to
+    the output topic through ``kafka_log_sink`` — so the ledger fences
+    SEVERAL real batch ids in one run (the batch round-trip query
+    exercises a single epoch; this exercises the epoch sequence).  The
+    output topic is then read back batch-wise and summarized: identical
+    records re-routed by the same key hash must reproduce the whole-slice
+    per-partition contract exactly — any dropped, duplicated, or
+    mis-routed batch breaks n / offset span / cents_sum."""
+    from flinkexp_spark.sources.kafkalog import (
+        kafka_log_sink,
+        register_kafka_log_source,
+    )
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    try:
+        in_topic = f"events_{uuid.uuid4().hex[:8]}"
+        out_topic = f"relay_{uuid.uuid4().hex[:8]}"
+        # stage the production around the first drain: the first batch takes
+        # the initial tail untrimmed (restart-safe latestOffset contract),
+        # the growth then drains in several throttled epochs
+        _produce_topic(spark, sf_dir, work, in_topic, lo=0, hi=N_EVENTS // 4)
+        writer = kafka_log_sink(work, out_topic, n_partitions=N_PARTITIONS)
+
+        def relay(batch_df, batch_id: int) -> None:
+            writer(
+                batch_df.select(
+                    F.col("key").cast("string").alias("key"),
+                    F.col("value").cast("string").alias("value"),
+                    (F.unix_timestamp("timestamp") * 1000).alias("ts_ms"),
+                ),
+                batch_id,
+            )
+
+        q = (
+            spark.readStream.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", in_topic)
+            .option("startingOffsets", "earliest")
+            .option("maxRecordsPerBatch", "800")
+            .load()
+            .writeStream.foreachBatch(relay)
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # epoch 0: the initial tail
+            _produce_topic(
+                spark, sf_dir, work, in_topic, lo=N_EVENTS // 4, hi=N_EVENTS
+            )
+            q.processAllAvailable()  # epochs 1..n: throttled growth
+        finally:
+            q.stop()
+        out = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", out_topic)
+            .load()
+        )
+        return _summarize(out).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
