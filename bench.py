@@ -97,6 +97,21 @@ HEADLINE = [
     # round-5 additions: S5 contract source + distributed BPE
     "source_kafka_contract",
     "tokenizer_bpe_encode",
+    # round-6 additions: recall contract, feature store, drift stats,
+    # graph/link prediction, streaks, IVM, preference pairs, audio features
+    "sim_search_recall_ivf",
+    "join_asof_forward",
+    "feature_rolling_multi_horizon",
+    "feature_target_encoding",
+    "graph_common_neighbors",
+    "stat_ks_test",
+    "interval_concurrency_peak",
+    "timeseries_cross_correlation",
+    "pipeline_dpo_pairs",
+    "text_zipf_fit",
+    "multimodal_audio_stats",
+    "window_gaps_islands",
+    "changelog_incremental_agg",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
