@@ -77,6 +77,21 @@ AUDIT = [
     "decontaminate_ngram",
     "pack_sequences",
     "pipeline_training_data",
+    # round-6 additions
+    "sim_search_recall_ivf",
+    "join_asof_forward",
+    "feature_rolling_multi_horizon",
+    "feature_target_encoding",
+    "graph_common_neighbors",
+    "stat_ks_test",
+    "interval_concurrency_peak",
+    "timeseries_cross_correlation",
+    "pipeline_dpo_pairs",
+    "text_zipf_fit",
+    "multimodal_audio_stats",
+    "window_gaps_islands",
+    "changelog_incremental_agg",
+    "tokenizer_bpe_encode",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
