@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
+from flinkexp_spark.operators.prefix_sum import running_sums
 from flinkexp_spark.registry import register
 
 # Integer scalings: quantity is integral 1..50, price in WHOLE DOLLARS
@@ -225,11 +226,13 @@ def q_stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, cumulative counts of each sample; the sup statistic is
     max |f1*n2 - f2*n1| over the common denominator n1*n2, floored to
     micro-units only at the very end — bit-identical across engines, no
-    float CDFs.  One shuffle to the per-value histogram, one ordered
-    window pass over DISTINCT VALUES (cardinality of the value domain,
-    not the row count), one scalar cross join.  At 100 TB the window runs
-    over the value histogram — if the domain were unbounded you'd quantize
-    v first, which the cents rounding already does.
+    float CDFs.  One shuffle to the per-value histogram (cardinality of
+    the value domain, not the row count), then the running CDFs come from
+    the engine's DISTRIBUTED prefix sum (operators/prefix_sum.py: range
+    partition -> parallel within-partition scan -> broadcast offsets) —
+    no single-partition global window anywhere in the plan, so the CDF
+    pass survives an unbounded value domain as long as the histogram
+    shuffles.  (The oracle keeps the plain windowed CDF — same numbers.)
     """
     s = (
         datasets.load(spark, sf_dir, "events")
@@ -247,11 +250,8 @@ def q_stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ga").cast("long").alias("c1"),
         (F.count("*") - F.sum("ga")).cast("long").alias("c2"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.select(
-        "v",
-        F.sum("c1").over(wv).cast("long").alias("f1"),
-        F.sum("c2").over(wv).cast("long").alias("f2"),
+    c = running_sums(d, "v", ["c1", "c2"], prefix="f").select(
+        "v", F.col("fc1").alias("f1"), F.col("fc2").alias("f2")
     )
     scaled = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
     return (

@@ -187,14 +187,17 @@ def q_interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic +1/-1 sweep, shuffle-bounded by DISTINCT BOUNDARY
     TIMESTAMPS, not intervals: deltas are pre-aggregated per instant
-    (map-side combinable groupBy), then one global ordered running sum.
-    End-exclusive semantics fall out of aggregating the net delta per
-    instant (an interval ending at t never overlaps one starting at t).
-    The running sum's single-partition window is the textbook scale
-    caveat; at 100 TB you'd range-partition the timeline and prefix-sum
-    per chunk (two passes) — noted rather than built, since the boundary
-    cardinality here is bounded by the fixture's time span.
+    (map-side combinable groupBy), then the global running sum comes from
+    the engine's DISTRIBUTED prefix sum (operators/prefix_sum.py: range
+    partition on the timeline -> parallel within-chunk scan -> broadcast
+    chunk offsets) — the two-pass formulation that keeps the sweep
+    parallel at any timeline length; no single-partition window in the
+    plan.  End-exclusive semantics fall out of aggregating the net delta
+    per instant (an interval ending at t never overlaps one starting at
+    t).  (The oracle keeps the plain windowed scan — same numbers.)
     """
+    from flinkexp_spark.operators.prefix_sum import running_sums
+
     iv = (
         datasets.load(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -207,13 +210,11 @@ def q_interval_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
     net = pts.groupBy("t").agg(F.sum("d").cast("long").alias("net"))
-    run = net.select(
-        "t",
-        F.sum("net")
-        .over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long")
-        .alias("conc"),
-    ).localCheckpoint()  # feeds the peak scalar AND the argmin probe
+    run = (
+        running_sums(net, "t", ["net"], prefix="cum_")
+        .select("t", F.col("cum_net").alias("conc"))
+        .localCheckpoint()  # feeds the peak scalar AND the argmin probe
+    )
     peak = run.agg(F.max("conc").alias("peak_concurrency"))
     n_iv = iv.agg(F.count("*").cast("long").alias("n_intervals"))
     return (

@@ -438,3 +438,42 @@ def test_bloom_never_drops_a_member(spark, members, probes):
     bloom = bloom_build(mdf, "k", m_bits=512, k=4)
     kept = {r.k for r in bloom_prefilter(pdf, bloom, "k", m_bits=512, k=4).collect()}
     assert (set(members) & set(probes)) <= kept
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],  # callers pre-aggregate per order key
+    ),
+    st.integers(1, 8),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_prefix_sum_equals_global_window(spark, rows, n_parts):
+    """running_sums (range partition -> parallel scan -> broadcast
+    offsets) must equal the naive single-partition ordered window for
+    every value column, at any partition count."""
+    from pyspark.sql import Window
+
+    from flinkexp_spark.operators.prefix_sum import running_sums
+
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    got = {
+        r.k: (r.cum_a, r.cum_b)
+        for r in running_sums(df, "k", ["a", "b"], n_partitions=n_parts).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    assert got == want
