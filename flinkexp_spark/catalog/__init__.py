@@ -175,6 +175,7 @@ _R06_NEW: tuple[str, ...] = (
     "window_gaps_islands",  # consecutive-day streaks per user
     "changelog_incremental_agg",  # retraction-stream IVM vs recompute oracle
     "stream_kafka_exactly_once",  # multi-epoch streaming relay through the sink
+    "multimodal_image_stats",  # pixel features over the real PPM decode
 )
 
 # Already-official queries whose implementation changed this round.

@@ -447,3 +447,46 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically, so the whole decode->feature path is hash-checked."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.audio_stats(M.with_wav_payload(docs))
+
+
+@register(
+    "multimodal_image_stats",
+    # Oracle mirrors the PPM pixel synthesis ((s + g) % 256 cycling over
+    # w*h*3 bytes): channel sums come from g % 3, min/max from the byte
+    # domain, and the Rec.601 luma sum is LINEAR in the channel sums so it
+    # derives exactly — the whole decode->feature path hash-checks without
+    # an image library.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) % {M.PPM_MAX_DIM} + 1 AS w,
+                   doc_id % {M.PPM_MAX_DIM} + 1 AS h,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        v AS (SELECT doc_id, w, h, g % 3 AS ch, (s + g) % 256 AS b
+              FROM (SELECT doc_id, w, h, s, unnest(range(w * h * 3)) AS g
+                    FROM m))
+        SELECT doc_id,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM(CASE WHEN ch = 0 THEN b ELSE 0 END) AS BIGINT) AS r_sum,
+               CAST(SUM(CASE WHEN ch = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
+               CAST(SUM(CASE WHEN ch = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum,
+               CAST(MIN(b) AS BIGINT) AS px_min,
+               CAST(MAX(b) AS BIGINT) AS px_max,
+               CAST(299 * SUM(CASE WHEN ch = 0 THEN b ELSE 0 END)
+                    + 587 * SUM(CASE WHEN ch = 1 THEN b ELSE 0 END)
+                    + 114 * SUM(CASE WHEN ch = 2 THEN b ELSE 0 END)
+                    AS BIGINT) AS luma_sum_x1000
+        FROM v GROUP BY doc_id, w, h
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: pixel feature extraction on top of the REAL PPM decode —
+    per-channel sums, pixel range, and the Rec.601 luma sum in exact
+    per-mille integers (the brightness/contrast screen of an image
+    training pipeline).  Decode and featurize run in one Arrow batch pass
+    (functions/multimodal.py:image_stats); the oracle recomputes the
+    synthesized pixels arithmetically."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.image_stats(M.with_ppm_payload(docs))

@@ -225,6 +225,54 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pixel FEATURE EXTRACTION over the real PPM decode: per-channel sums,
+    pixel min/max, and the Rec.601 luma sum in exact per-mille integers —
+    the brightness/contrast screens an image training pipeline runs after
+    decode.  Same mapInPandas seam as :func:`decode_ppm`; a PIL/opencv
+    feature extractor drops into the same shape."""
+
+    def stats(batches):
+        import pandas as pd
+
+        def one(payload: bytes):
+            if payload[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            parts = payload.split(b"\n", 3)
+            w, h = (int(x) for x in parts[1].split())
+            px = parts[3]
+            if len(px) != w * h * 3:
+                raise ValueError("truncated pixel buffer")
+            r_sum = sum(px[0::3])
+            g_sum = sum(px[1::3])
+            b_sum = sum(px[2::3])
+            return (
+                w * h,
+                r_sum,
+                g_sum,
+                b_sum,
+                min(px),
+                max(px),
+                299 * r_sum + 587 * g_sum + 114 * b_sum,
+            )
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            cols = ["n_pixels", "r_sum", "g_sum", "b_sum", "px_min", "px_max", "luma_sum_x1000"]
+            out = {"doc_id": pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, n_pixels long, r_sum long, g_sum long, b_sum long, "
+            "px_min long, px_max long, luma_sum_x1000 long"
+        ),
+    )
+
+
 # --- real codec: JPEG (baseline JFIF, metadata) -----------------------------
 # Compressed-format seam exercised for REAL at the container level: the
 # payload is a structurally valid baseline JPEG (SOI, APP0/JFIF, DQT, SOF0,
