@@ -176,6 +176,8 @@ _R06_NEW: tuple[str, ...] = (
     "changelog_incremental_agg",  # retraction-stream IVM vs recompute oracle
     "stream_kafka_exactly_once",  # multi-epoch streaming relay through the sink
     "multimodal_image_stats",  # pixel features over the real PPM decode
+    "pipeline_kafka_datasource_writer",  # native writer-protocol round-trip
+    "stream_kafka_datasource_writer",  # epoch-segment streaming writer
 )
 
 # Already-official queries whose implementation changed this round.

@@ -430,3 +430,123 @@ def q_stream_kafka_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _summarize(out).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "pipeline_kafka_datasource_writer", oracle=_ROUNDTRIP_ORACLE, tags=("S5", "A1")
+)
+def q_pipeline_kafka_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-trip published through Spark's NATIVE Python DataSource
+    writer protocol (``df.write.format("kafkalog")``): each task routes
+    and stages its rows executor-side and returns the staged names as its
+    WriterCommitMessage; the driver's commit() promotes only
+    successful-task files and publishes the segment with one atomic
+    directory rename (failed/speculative attempts can never leak).  Same
+    oracle as the foreachBatch round-trip — the two sink paths must be
+    indistinguishable to a consumer."""
+    from flinkexp_spark.sources.kafkalog import register_kafka_log_source
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    try:
+        in_topic = f"events_{uuid.uuid4().hex[:8]}"
+        out_topic = f"totals_{uuid.uuid4().hex[:8]}"
+        _produce_topic(spark, sf_dir, work, in_topic)
+        consumed = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", in_topic)
+            .load()
+        )
+        totals = (
+            consumed.select(
+                F.col("key").cast("string").alias("key"),
+                F.get_json_object(F.col("value").cast("string"), "$.cents")
+                .cast("long")
+                .alias("cents"),
+                F.col("timestamp"),
+            )
+            .groupBy("key")
+            .agg(
+                F.sum("cents").alias("total"),
+                (F.unix_timestamp(F.max("timestamp")) * 1000).alias("ts_ms"),
+            )
+            .select(
+                "key",
+                F.to_json(F.struct(F.col("total").alias("cents"))).alias("value"),
+                "ts_ms",
+            )
+        )
+        (
+            totals.write.format("kafkalog")
+            .option("path", work)
+            .option("topic", out_topic)
+            .option("partitions", str(N_PARTITIONS))
+            .mode("append")
+            .save()
+        )
+        out = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", out_topic)
+            .load()
+        )
+        return _summarize(out).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register("stream_kafka_datasource_writer", oracle=_ORACLE, tags=("S5", "T9"))
+def q_stream_kafka_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming relay through the NATIVE DataSourceStreamWriter: every
+    micro-batch publishes one immutable log segment named after its epoch
+    (``seg-{batchId}``), so a replayed epoch finds its segment already
+    on disk and skips — exactly-once across restarts carried by the
+    segment namespace itself, no side ledger.  Identity relay, so the
+    output topic must reproduce the whole-slice per-partition contract."""
+    from flinkexp_spark.sources.kafkalog import register_kafka_log_source
+
+    register_kafka_log_source(spark)
+    work = tempfile.mkdtemp(prefix="kafkalog_")
+    try:
+        in_topic = f"events_{uuid.uuid4().hex[:8]}"
+        out_topic = f"relay_{uuid.uuid4().hex[:8]}"
+        _produce_topic(spark, sf_dir, work, in_topic, lo=0, hi=N_EVENTS // 4)
+        q = (
+            spark.readStream.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", in_topic)
+            .option("startingOffsets", "earliest")
+            .option("maxRecordsPerBatch", "800")
+            .load()
+            .select(
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+                (F.unix_timestamp("timestamp") * 1000).alias("ts_ms"),
+            )
+            .writeStream.format("kafkalog")
+            .option("path", work)
+            .option("topic", out_topic)
+            .option("partitions", str(N_PARTITIONS))
+            .option("checkpointLocation", os.path.join(work, "_ckpt"))
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _produce_topic(
+                spark, sf_dir, work, in_topic, lo=N_EVENTS // 4, hi=N_EVENTS
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.read.format("kafkalog")
+            .option("path", work)
+            .option("subscribe", out_topic)
+            .load()
+        )
+        return _summarize(out).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -84,30 +84,56 @@ def make_kafka_log_source():
         DataSource,
         DataSourceReader,
         DataSourceStreamReader,
+        DataSourceStreamWriter,
+        DataSourceWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     # closure copies of the module helpers: everything the pickled classes
     # touch must ship BY VALUE (workers can't import flinkexp_spark)
-    def _topic_partitions(path: str, topic: str) -> dict[int, str]:
+    #
+    # LOG LAYOUT: a topic-partition's records are the concatenation of its
+    # base file ``{topic}/p{N}.jsonl`` (the produce() append log) and its
+    # committed SEGMENTS ``{topic}/seg-*/p{N}-*.jsonl`` in (segment dir,
+    # file name) order — Kafka's own segmented-log model.  Offsets are the
+    # concatenated line numbers; a segment set is immutable once its dir
+    # rename commits, so the enumeration (hence every offset) is stable.
+    def _topic_partitions(path: str, topic: str) -> dict[int, list[str]]:
         import os as _os
 
         topic_dir = _os.path.join(path, topic)
-        out: dict[int, str] = {}
-        if _os.path.isdir(topic_dir):
-            for name in _os.listdir(topic_dir):
+        out: dict[int, list[str]] = {}
+        if not _os.path.isdir(topic_dir):
+            return out
+        for name in sorted(_os.listdir(topic_dir)):
+            if name.startswith("p") and name.endswith(".jsonl"):
+                out.setdefault(int(name[1:-6]), []).append(
+                    _os.path.join(topic_dir, name)
+                )
+        for seg in sorted(
+            n for n in _os.listdir(topic_dir) if n.startswith("seg-")
+        ):
+            seg_dir = _os.path.join(topic_dir, seg)
+            if not _os.path.isdir(seg_dir):
+                continue
+            for name in sorted(_os.listdir(seg_dir)):
                 if name.startswith("p") and name.endswith(".jsonl"):
-                    out[int(name[1:-6])] = _os.path.join(topic_dir, name)
+                    p = int(name[1:].split("-", 1)[0])
+                    out.setdefault(p, []).append(_os.path.join(seg_dir, name))
         return out
 
-    def _line_count(file_path: str) -> int:
+    def _line_count(files: list[str]) -> int:
         n = 0
-        with open(file_path, "rb") as f:
-            for _ in f:
-                n += 1
+        for fp in files:
+            with open(fp, "rb") as f:
+                for _ in f:
+                    n += 1
         return n
 
-    def _starting(options: dict, parts: dict[int, str], topic: str) -> dict[int, int]:
+    def _starting(
+        options: dict, parts: dict[int, list[str]], topic: str
+    ) -> dict[int, int]:
         """startingOffsets -> {partition: first offset to read}."""
         raw = options.get("startingoffsets", "earliest")
         if raw == "earliest":
@@ -117,30 +143,34 @@ def make_kafka_log_source():
         per_topic = json.loads(raw).get(topic, {})
         return {p: int(per_topic.get(str(p), 0)) for p in parts}
 
-    def _read_range(file_path: str, topic: str, p: int, start: int, end: int):
+    def _read_range(files: list[str], topic: str, p: int, start: int, end: int):
         # runs ON AN EXECUTOR; imports must be local
         import datetime
         import json as _json
 
-        with open(file_path) as f:
-            for offset, line in enumerate(f):
-                if offset < start:
-                    continue
-                if offset >= end:
-                    break
-                rec = _json.loads(line)
-                ts = datetime.datetime.fromtimestamp(
-                    rec["ts"] / 1000.0, datetime.timezone.utc
-                ).replace(tzinfo=None)
-                yield (
-                    rec["k"].encode() if rec["k"] is not None else None,
-                    rec["v"].encode(),
-                    topic,
-                    p,
-                    offset,
-                    ts,
-                    0,  # timestampType: CreateTime
-                )
+        offset = 0
+        for fp in files:
+            if offset >= end:
+                break
+            with open(fp) as f:
+                for line in f:
+                    if offset >= end:
+                        break
+                    if offset >= start:
+                        rec = _json.loads(line)
+                        ts = datetime.datetime.fromtimestamp(
+                            rec["ts"] / 1000.0, datetime.timezone.utc
+                        ).replace(tzinfo=None)
+                        yield (
+                            rec["k"].encode() if rec["k"] is not None else None,
+                            rec["v"].encode(),
+                            topic,
+                            p,
+                            offset,
+                            ts,
+                            0,  # timestampType: CreateTime
+                        )
+                    offset += 1
 
     class _BatchReader(DataSourceReader):
         def __init__(self, options: dict):
@@ -222,6 +252,158 @@ def make_kafka_log_source():
         def commit(self, end: dict) -> None:
             pass  # the log is immutable; nothing to truncate
 
+    # ---- writers: Spark's native commit protocol ---------------------------
+    # The data path never leaves the executors: each task routes its rows
+    # with the same md5 key-hash partitioner, stages one file per
+    # topic-partition it holds (unique task uuid — retries and speculative
+    # attempts can never collide), fsyncs, and returns the staged names as
+    # its WriterCommitMessage.  The driver's commit() then promotes ONLY
+    # the files named by SUCCESSFUL tasks (hard-links them into a commit
+    # dir, discarding strays from failed attempts) and publishes the whole
+    # segment with ONE atomic directory rename — the snapshot-commit
+    # pattern table formats use.  abort() removes the staging dir.  The
+    # streaming writer names the segment after the micro-batch id, so a
+    # replayed batch finds its segment already published and skips —
+    # exactly-once across restarts with no extra ledger.
+
+    class _StagedFiles(WriterCommitMessage):
+        def __init__(self, files: list[str]):
+            self.files = files
+
+    def _route_and_stage(iterator, staging: str, n_parts: int):
+        import hashlib as _hashlib
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        task = _uuid.uuid4().hex
+        handles: dict[int, object] = {}
+        names: list[str] = []
+        _os.makedirs(staging, exist_ok=True)
+        for row in iterator:
+            key = row["key"]
+            if key is None:
+                raise ValueError("kafkalog writer requires non-null keys")
+            key = key.decode() if isinstance(key, (bytes, bytearray)) else str(key)
+            value = row["value"]
+            value = (
+                value.decode() if isinstance(value, (bytes, bytearray)) else value
+            )
+            p = int(_hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_parts
+            f = handles.get(p)
+            if f is None:
+                name = f"p{p}-{task}.jsonl"
+                names.append(name)
+                f = handles[p] = open(_os.path.join(staging, name), "w")
+            f.write(
+                _json.dumps({"k": key, "v": value, "ts": int(row["ts_ms"])}) + "\n"
+            )
+        for f in handles.values():
+            f.flush()
+            _os.fsync(f.fileno())
+            f.close()
+        return _StagedFiles(names)
+
+    def _publish(staging: str, topic_dir: str, label: str, messages) -> None:
+        import os as _os
+        import shutil as _shutil
+
+        commit_dir = staging + ".commit"
+        _os.makedirs(commit_dir, exist_ok=True)
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.files:
+                _os.link(
+                    _os.path.join(staging, name), _os.path.join(commit_dir, name)
+                )
+        _os.makedirs(topic_dir, exist_ok=True)
+        _os.replace(commit_dir, _os.path.join(topic_dir, f"seg-{label}"))
+        _shutil.rmtree(staging, ignore_errors=True)
+
+    class _BatchWriter(DataSourceWriter):
+        def __init__(self, options: dict):
+            import os as _os
+            import uuid as _uuid
+
+            self.path = options["path"]
+            self.topic = options["topic"]
+            self.n_parts = int(options.get("partitions", "3"))
+            self.job = _uuid.uuid4().hex
+            self.staging = _os.path.join(
+                self.path, self.topic + f".staging-{self.job}"
+            )
+
+        def write(self, iterator):
+            return _route_and_stage(iterator, self.staging, self.n_parts)
+
+        def commit(self, messages):
+            import os as _os
+
+            _publish(
+                self.staging,
+                _os.path.join(self.path, self.topic),
+                "b" + self.job,
+                messages,
+            )
+
+        def abort(self, messages):
+            import shutil as _shutil
+
+            _shutil.rmtree(self.staging, ignore_errors=True)
+            _shutil.rmtree(self.staging + ".commit", ignore_errors=True)
+
+    class _StreamWriter(DataSourceStreamWriter):
+        def __init__(self, options: dict):
+            self.path = options["path"]
+            self.topic = options["topic"]
+            self.n_parts = int(options.get("partitions", "3"))
+
+        def _staging(self, batch_id: int) -> str:
+            import os as _os
+
+            return _os.path.join(
+                self.path, self.topic + f".staging-{batch_id:010d}"
+            )
+
+        def write(self, iterator):
+            # batchId is not passed to write(); stage under a shared dir
+            # keyed by the epoch the driver is running (Spark serializes
+            # one micro-batch at a time per query, and commit/abort name
+            # the same dir via the batchId they DO receive)
+            import os as _os
+
+            staging = _os.path.join(self.path, self.topic + ".staging-live")
+            return _route_and_stage(staging=staging, iterator=iterator, n_parts=self.n_parts)
+
+        def commit(self, messages, batchId: int) -> None:
+            import os as _os
+
+            seg = _os.path.join(self.path, self.topic, f"seg-{batchId:010d}")
+            if _os.path.isdir(seg):  # replayed epoch — already published
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    _os.path.join(self.path, self.topic + ".staging-live"),
+                    ignore_errors=True,
+                )
+                return
+            _publish(
+                _os.path.join(self.path, self.topic + ".staging-live"),
+                _os.path.join(self.path, self.topic),
+                f"{batchId:010d}",
+                messages,
+            )
+
+        def abort(self, messages, batchId: int) -> None:
+            import os as _os
+            import shutil as _shutil
+
+            _shutil.rmtree(
+                _os.path.join(self.path, self.topic + ".staging-live"),
+                ignore_errors=True,
+            )
+
     class KafkaLogSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -235,6 +417,14 @@ def make_kafka_log_source():
 
         def streamReader(self, schema):
             return _StreamReader({k.lower(): v for k, v in self.options.items()})
+
+        def writer(self, schema, overwrite: bool):
+            if overwrite:
+                raise ValueError("kafkalog is append-only (a log); use mode('append')")
+            return _BatchWriter({k.lower(): v for k, v in self.options.items()})
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _StreamWriter({k.lower(): v for k, v in self.options.items()})
 
     return KafkaLogSource
 

@@ -314,3 +314,99 @@ def test_kafkalog_accepts_the_real_connector_option_surface(spark, topic_dir):
     src = inspect.getsource(connectors.kafka_source)
     for opt in ("subscribe", "startingOffsets", "maxOffsetsPerTrigger"):
         assert opt in src, f"connectors.kafka_source dropped option {opt!r}"
+
+
+def test_datasource_writer_batch_append_and_routing(spark, topic_dir):
+    """df.write.format('kafkalog'): executor-side staging + atomic segment
+    publish; placement matches the Python partitioner and offsets stay
+    contiguous across the base log and appended segments."""
+    register_kafka_log_source(spark)
+    _produce_n(topic_dir, "t", 20)  # base log first
+    df = spark.createDataFrame(
+        [(str(i), f"w{i}", 1_700_000_000_000 + i) for i in range(40)],
+        "key string, value string, ts_ms long",
+    )
+    (
+        df.write.format("kafkalog")
+        .option("path", topic_dir)
+        .option("topic", "t")
+        .option("partitions", "3")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("kafkalog")
+        .option("path", topic_dir)
+        .option("subscribe", "t")
+        .load()
+        .collect()
+    )
+    assert len(back) == 60
+    by_part: dict[int, list[int]] = {}
+    for r in back:
+        assert r["partition"] == partition_for_key(r["key"].decode(), 3)
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # append-only contract: overwrite must be refused
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append"):
+        (
+            df.write.format("kafkalog")
+            .option("path", topic_dir)
+            .option("topic", "t")
+            .mode("overwrite")
+            .save()
+        )
+
+
+def test_datasource_stream_writer_epoch_segments(spark, topic_dir):
+    """writeStream.format('kafkalog'): one immutable segment per epoch;
+    a second drain with no new input publishes nothing new."""
+    register_kafka_log_source(spark)
+    _produce_n(topic_dir, "in", 90)
+
+    def segs() -> list[str]:
+        d = os.path.join(topic_dir, "out")
+        return sorted(n for n in os.listdir(d) if n.startswith("seg-")) if os.path.isdir(d) else []
+
+    q = (
+        spark.readStream.format("kafkalog")
+        .option("path", topic_dir)
+        .option("subscribe", "in")
+        .option("maxRecordsPerBatch", "40")
+        .load()
+        .selectExpr(
+            "CAST(key AS STRING) AS key",
+            "CAST(value AS STRING) AS value",
+            "CAST(unix_timestamp(timestamp) * 1000 AS LONG) AS ts_ms",
+        )
+        .writeStream.format("kafkalog")
+        .option("path", topic_dir)
+        .option("topic", "out")
+        .option("partitions", "2")
+        .option("checkpointLocation", os.path.join(topic_dir, "_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = segs()
+        _produce_n(topic_dir, "in", 50)
+        q.processAllAvailable()
+        second = segs()
+    finally:
+        q.stop()
+    assert len(first) >= 1
+    assert len(second) > len(first)  # growth drained in later epochs
+    out = (
+        spark.read.format("kafkalog")
+        .option("path", topic_dir)
+        .option("subscribe", "out")
+        .load()
+    )
+    assert out.count() == 140
+    # no staging leftovers once everything committed
+    assert not [n for n in os.listdir(topic_dir) if "staging" in n]
