@@ -110,6 +110,7 @@ HEADLINE = [
     "pipeline_dpo_pairs",
     "text_zipf_fit",
     "multimodal_audio_stats",
+    "multimodal_image_stats",
     "window_gaps_islands",
     "changelog_incremental_agg",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
