@@ -58,6 +58,8 @@ from flinkexp_spark.catalog import (  # noqa: F401
     kafka_contract,  # S5 source/sink contract over a file-backed log (new r5)
     feature_store,  # PIT training sets / multi-horizon features (new r5)
     data_profiling,  # correlation matrix + Benford audit (new r5)
+    geo,  # grid-blocked spatial joins / kNN / density (new r6)
+    experiments,  # CUPED, Kaplan-Meier, item lift, seasonality (new r6)
 )
 
 # --------------------------------------------------------------------------
@@ -178,6 +180,13 @@ _R06_NEW: tuple[str, ...] = (
     "multimodal_image_stats",  # pixel features over the real PPM decode
     "pipeline_kafka_datasource_writer",  # native writer-protocol round-trip
     "stream_kafka_datasource_writer",  # epoch-segment streaming writer
+    "geo_distance_join",  # grid-blocked haversine join vs brute-force oracle
+    "geo_nearest_supplier",  # blocked kNN (k=1) with rounded-distance ranking
+    "geo_cell_density",  # grid-cell heatmap aggregation + stable top-k
+    "stat_cuped_adjustment",  # pre-period covariate variance reduction
+    "survival_kaplan_meier",  # right-censored retention survival curve
+    "recsys_item_lift",  # market-basket item-to-item lift top-k
+    "timeseries_seasonal_decompose",  # hour-of-day profile + residual scale
 )
 
 # Already-official queries whose implementation changed this round.

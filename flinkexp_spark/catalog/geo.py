@@ -1,0 +1,255 @@
+"""Geospatial operators: grid-blocked distance join, nearest-neighbor
+lookup, and cell-density aggregation (round 6).
+
+The reference declares no geospatial surface; this family extends the
+engine the same way the LLM-pipeline operators do — spatial joins are the
+canonical "don't cross-join" problem, and the blocking technique here is
+the same bucket-then-join shape as the MinHash-LSH dedup family
+(llm_dedup.py): assign every point to a coarse grid cell, replicate one
+side into its 3x3 neighbor cells, equi-join on cell id, THEN evaluate the
+exact predicate on the tiny candidate set.
+
+Determinism across engines:
+
+* Coordinates are DERIVED from integer keys with modular arithmetic
+  (exact BIGINT ops, then one division by 100.0) — both engines compute
+  bit-identical doubles without needing a shared random source.
+* The haversine distance is ONE shared SQL expression string
+  (``_HAVERSINE``): the Spark side evaluates it via ``F.expr`` so the
+  expression tree literally cannot drift from the oracle's, and the
+  result is rounded to 3 digits (meter precision) before any comparison
+  or ranking.
+* The oracle is the BRUTE-FORCE cross join with the same predicate —
+  a green hash therefore PROVES the grid blocking is lossless, exactly
+  like the LSH family's prefix-filter oracle.
+
+Scale notes (100 TB): candidate pairs are bounded by cell occupancy, not
+|A| x |B| — the equi-join on (cell_lat, cell_lon) shuffles both sides by
+cell id, so skew maps to hot cells (cities): mitigate with the same
+salting used in join_salted_skew, or refine the grid one level.  The
+9x replication factor on ONE side is constant.  Longitude cells wrap
+modulo 360/CELL so antimeridian pairs are kept (the haversine formula is
+itself 360-periodic in delta-lon, so the brute-force oracle would find
+them — blocking must too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkexp_spark import datasets
+from flinkexp_spark.registry import register
+
+# Synthetic-but-deterministic coordinates in [-60, 60) lat x [-180, 180)
+# lon, derived from the entity key (multipliers coprime with the moduli so
+# consecutive keys spread over the whole grid).  |lat| < 60 keeps one
+# longitude degree >= 55.7 km, which bounds the cell width needed below.
+_CUST_LAT = "(CAST(c_custkey * 7919 % 12000 AS DOUBLE) / 100.0 - 60.0)"
+_CUST_LON = "(CAST(c_custkey * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0)"
+_SUPP_LAT = "(CAST(s_suppkey * 6121 % 12000 AS DOUBLE) / 100.0 - 60.0)"
+_SUPP_LON = "(CAST(s_suppkey * 15485863 % 36000 AS DOUBLE) / 100.0 - 180.0)"
+
+# Haversine great-circle distance in km — one expression string shared by
+# both engines (sin^2 is 360-periodic in the raw coordinate difference, so
+# no explicit antimeridian handling is needed here).
+_HAVERSINE = (
+    "round(2.0 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians(lat2 - lat1) / 2), 2)"
+    " + cos(radians(lat1)) * cos(radians(lat2))"
+    " * pow(sin(radians(lon2 - lon1) / 2), 2))), 3)"
+)
+
+
+def _points(
+    df: DataFrame, key: str, lat_sql: str, lon_sql: str, cell_deg: int
+) -> DataFrame:
+    """Project a keyed table to (key, lat, lon, cell_lat, cell_lon)."""
+    lon_cells = 360 // cell_deg
+    return df.select(
+        F.col(key),
+        F.expr(lat_sql).alias("lat"),
+        F.expr(lon_sql).alias("lon"),
+        F.expr(f"CAST(floor({lat_sql} / {cell_deg}) AS BIGINT)").alias(
+            "cell_lat"
+        ),
+        # longitude cells wrap mod (360/cell) so +-180 are neighbors
+        F.expr(
+            f"CAST(floor(({lon_sql} + 180.0) / {cell_deg}) AS BIGINT)"
+            f" % {lon_cells}"
+        ).alias("cell_lon"),
+    )
+
+
+def _replicate_neighbors(df: DataFrame, cell_deg: int) -> DataFrame:
+    """Explode each point into its 3x3 neighborhood of cells (lon wraps)."""
+    lon_cells = 360 // cell_deg
+    offsets = F.array(
+        *[
+            F.struct(
+                (F.col("cell_lat") + F.lit(dy)).alias("g_lat"),
+                (
+                    (F.col("cell_lon") + F.lit(dx) + F.lit(lon_cells))
+                    % F.lit(lon_cells)
+                ).alias("g_lon"),
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    return (
+        df.withColumn("g", F.explode(offsets))
+        .select(
+            *[c for c in df.columns if c not in ("cell_lat", "cell_lon")],
+            F.col("g.g_lat").alias("cell_lat"),
+            F.col("g.g_lon").alias("cell_lon"),
+        )
+    )
+
+
+def _blocked_pairs(
+    spark: SparkSession, sf_dir: str, cell_deg: int, radius_km: float
+) -> DataFrame:
+    """Candidate (customer, supplier) pairs within ``radius_km`` via the
+    grid block; exact haversine evaluated on candidates only.
+
+    ``cell_deg`` must satisfy radius <= cell_deg * 111.19 * cos(60deg)
+    (worst-case longitude shrink at the |lat| < 60 cap) so that any true
+    pair differs by at most one cell per axis — the 3x3 replication is
+    then provably lossless.
+    """
+    cust = _points(
+        datasets.load(spark, sf_dir, "customer"),
+        "c_custkey",
+        _CUST_LAT,
+        _CUST_LON,
+        cell_deg,
+    ).withColumnsRenamed({"lat": "lat1", "lon": "lon1"})
+    supp = _points(
+        datasets.load(spark, sf_dir, "supplier"),
+        "s_suppkey",
+        _SUPP_LAT,
+        _SUPP_LON,
+        cell_deg,
+    ).withColumnsRenamed({"lat": "lat2", "lon": "lon2"})
+    # replicate the SMALL side (suppliers) into neighbor cells, then
+    # broadcast it — at dim-table scale this is a map-side join; with two
+    # big sides drop the broadcast and let the cell-id shuffle do the work
+    supp9 = _replicate_neighbors(supp, cell_deg)
+    return (
+        cust.join(F.broadcast(supp9), ["cell_lat", "cell_lon"])
+        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .filter(F.col("dist_km") <= radius_km)
+    )
+
+
+def _oracle_pairs(radius_km: float) -> str:
+    """Brute-force oracle: cross join + the same haversine predicate."""
+    return f"""
+        WITH c AS (SELECT c_custkey,
+                          {_CUST_LAT} AS lat1, {_CUST_LON} AS lon1
+                   FROM customer),
+        s AS (SELECT s_suppkey,
+                     {_SUPP_LAT} AS lat2, {_SUPP_LON} AS lon2
+              FROM supplier),
+        pairs AS (SELECT c_custkey, s_suppkey, {_HAVERSINE} AS dist_km
+                  FROM c CROSS JOIN s)
+        SELECT c_custkey, s_suppkey, dist_km FROM pairs
+        WHERE dist_km <= {radius_km}
+    """
+
+
+@register(
+    "geo_distance_join",
+    oracle=_oracle_pairs(300.0) + " ORDER BY c_custkey, s_suppkey",
+    tags=("J7", "X3"),
+)
+def q_geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (customer, supplier) pairs within 300 km, via a 6-degree
+    grid-blocked join — the spatial analog of the LSH banded join
+    (llm_dedup.py): block coarsely, join on block id, verify exactly.
+
+    The oracle is the full cross join with the same haversine predicate,
+    so the hash match proves the blocking loses no pair (including
+    antimeridian neighbors, which the wrapped longitude cells keep).
+    """
+    pairs = _blocked_pairs(spark, sf_dir, cell_deg=6, radius_km=300.0)
+    return pairs.select("c_custkey", "s_suppkey", "dist_km").orderBy(
+        "c_custkey", "s_suppkey"
+    )
+
+
+@register(
+    "geo_nearest_supplier",
+    oracle=_oracle_pairs(600.0)
+    + """
+        QUALIFY row_number() OVER (
+            PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) = 1
+        ORDER BY c_custkey
+    """,
+    tags=("J7", "W1"),
+)
+def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within 600 km for each customer: blocked candidate
+    generation (12-degree cells — wide enough that a 600 km true pair can
+    never skip past a neighbor cell below latitude 60) followed by a
+    per-customer row_number over (rounded distance, supplier key).
+
+    Rounding the distance to meters BEFORE ranking keeps the order stable
+    across engines; the supplier-key tie-break makes it total.  At scale
+    this is the standard blocked-kNN plan: candidates shuffle by cell,
+    ranking shuffles by customer — two bounded exchanges, no cross join.
+    """
+    pairs = _blocked_pairs(spark, sf_dir, cell_deg=12, radius_km=600.0)
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "dist_km")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "geo_cell_density",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey, {_CUST_LAT} AS lat, {_CUST_LON} AS lon,
+                   c_acctbal
+            FROM customer)
+        SELECT CAST(floor(lat / 6) AS BIGINT) AS cell_lat,
+               CAST(floor((lon + 180.0) / 6) AS BIGINT) % 60 AS cell_lon,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_acctbal
+        FROM pts
+        GROUP BY cell_lat, cell_lon
+        ORDER BY n_points DESC, cell_lat, cell_lon
+        LIMIT 25
+    """,
+    tags=("A1", "O2"),
+)
+def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 densest 6-degree grid cells by customer count (the heatmap
+    aggregation): one groupBy on the derived cell id — a plain word-count
+    shape that partial-aggregates map-side, plus a 25-row ordered take.
+    Deterministic tie-break on the cell id keeps LIMIT stable.
+    """
+    pts = datasets.load(spark, sf_dir, "customer").select(
+        F.expr(f"CAST(floor({_CUST_LAT} / 6) AS BIGINT)").alias("cell_lat"),
+        F.expr(
+            f"CAST(floor(({_CUST_LON} + 180.0) / 6) AS BIGINT) % 60"
+        ).alias("cell_lon"),
+        "c_acctbal",
+    )
+    return (
+        pts.groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy(F.desc("n_points"), "cell_lat", "cell_lon")
+        .limit(25)
+    )
