@@ -113,6 +113,9 @@ HEADLINE = [
     "multimodal_image_stats",
     "window_gaps_islands",
     "changelog_incremental_agg",
+    "geo_distance_join",
+    "recsys_item_lift",
+    "survival_kaplan_meier",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -30,9 +30,10 @@ Scale notes (100 TB):
   dimension joins and a global top-k.
 * Seasonal decompose is two passes over the fact (hour histogram, then
   residuals against the broadcast 24-row profile).  The BIGINT
-  |cents*n - s| residual moment overflows near n_h ~ 4e7 rows/hour x
-  max-cents 2e3 x ... ~ 2^63 at roughly 1e10 events/hour-bucket; past
-  that, widen to DOUBLE and round (gate scale is exact).
+  |cents*n - s| residual moment is bounded by max_cents * n_h^2
+  (~5e4 cents here), crossing 2^63 near n_h ~ 4e6 rows per hour bucket
+  (~1e8 events total, sf~100); past that, compute the residual moment
+  in DOUBLE and round, or tighten the deviation to |cents - s/n| cents.
 """
 
 from __future__ import annotations
@@ -164,7 +165,11 @@ _KM = (
     "CASE WHEN d_events = n_risk THEN 0.0"
     " ELSE round(exp(SUM(CASE WHEN d_events < n_risk"
     " THEN ln(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))"
-    " ELSE 0.0 END) OVER (ORDER BY t_days)), 6) END"
+    " ELSE 0.0 END) OVER (ORDER BY t_hours)), 6) END"
+)
+# time-to-event: first purchase >= $100; censor at the user's last event
+_CONV = (
+    "CASE WHEN event_type = 'purchase' AND value >= 100.0 THEN ts END"
 )
 
 
@@ -173,64 +178,80 @@ _KM = (
     oracle=f"""
         WITH u AS (
             SELECT user_id,
-                   date_diff('day', CAST(min(ts) AS DATE),
-                             CAST(max(ts) AS DATE)) AS t_days,
-                   CASE WHEN max(ts) < {_CENSOR} THEN 1 ELSE 0 END
+                   -- elapsed whole hours over SECOND boundaries: matches
+                   -- Spark's unix_timestamp (truncate-to-second) delta;
+                   -- date_diff('hour', ...) would count hour BOUNDARIES
+                   CAST(floor(date_diff('second', min(ts),
+                              coalesce(min({_CONV}), max(ts))) / 3600.0)
+                        AS BIGINT) AS t_hours,
+                   CASE WHEN min({_CONV}) IS NOT NULL THEN 1 ELSE 0 END
                        AS observed
             FROM events GROUP BY user_id),
         g AS (
-            SELECT t_days, CAST(count(*) AS BIGINT) AS c,
+            SELECT t_hours, CAST(count(*) AS BIGINT) AS c,
                    CAST(SUM(observed) AS BIGINT) AS d_events
-            FROM u GROUP BY t_days),
+            FROM u GROUP BY t_hours),
         r AS (
-            SELECT t_days, d_events,
-                   CAST(SUM(c) OVER (ORDER BY t_days
+            SELECT t_hours, d_events,
+                   CAST(SUM(c) OVER (ORDER BY t_hours
                         ROWS BETWEEN CURRENT ROW
                         AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
             FROM g)
-        SELECT t_days, n_risk, d_events, {_KM} AS km_survival
-        FROM r ORDER BY t_days
+        SELECT t_hours, n_risk, d_events, {_KM} AS km_survival
+        FROM r ORDER BY t_hours
     """,
     tags=("A1", "W3"),
 )
 def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival over user activity spans: a user's duration
-    is last-seen minus first-seen (days); users still active within 7
-    days of the corpus end are right-CENSORED (observed = 0).
+    """Kaplan-Meier time-to-conversion: a user's duration is the hours
+    from their first event to their first large purchase (value >= 100);
+    users who never convert are right-CENSORED at their last-seen time
+    (observed = 0, ~20% of users at every SF).
     S(t) = prod_{t' <= t} (1 - d_t'/n_t'), computed as exp of a running
-    sum of log-hazards.
+    sum of log-hazards, with the only-possible-terminal d = n_risk row
+    pinned to exactly 0 (ln(0) differs across engines).
 
-    n_risk is a SUFFIX sum of the duration histogram (users with
-    duration >= t) — no separate total pass.  Billions of users collapse
-    to |distinct durations| rows before any window runs, so the
-    unpartitioned windows operate on a bounded-by-calendar frame.
+    n_risk is a SUFFIX sum of the duration histogram (users still
+    unconverted and uncensored at t) — no separate total pass.  Billions
+    of users collapse to |distinct durations| rows (bounded by the
+    observation span in hours) before any window runs, so the
+    unpartitioned windows operate on a calendar-bounded frame.
     """
+    conv = F.expr(_CONV)
     u = (
         datasets.load(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.datediff(
-                F.to_date(F.max("ts")), F.to_date(F.min("ts"))
-            ).alias("t_days"),
-            F.when(F.max("ts") < F.expr(_CENSOR), 1)
-            .otherwise(0)
-            .alias("observed"),
+            (
+                (
+                    F.unix_timestamp(
+                        F.coalesce(F.min(conv), F.max("ts"))
+                    )
+                    - F.unix_timestamp(F.min("ts"))
+                )
+                / 3600
+            )
+            .cast("long")
+            .alias("t_hours"),
+            F.when(F.min(conv).isNotNull(), 1).otherwise(0).alias(
+                "observed"
+            ),
         )
     )
-    g = u.groupBy("t_days").agg(
+    g = u.groupBy("t_hours").agg(
         F.count(F.lit(1)).alias("c"), F.sum("observed").alias("d_events")
     )
-    suffix = Window.orderBy("t_days").rowsBetween(
+    suffix = Window.orderBy("t_hours").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
     r = g.select(
-        "t_days",
+        "t_hours",
         "d_events",
         F.sum("c").over(suffix).alias("n_risk"),
     )
     return r.select(
-        "t_days", "n_risk", "d_events", F.expr(_KM).alias("km_survival")
-    ).orderBy("t_days")
+        "t_hours", "n_risk", "d_events", F.expr(_KM).alias("km_survival")
+    ).orderBy("t_hours")
 
 
 _LIFT = (

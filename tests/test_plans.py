@@ -645,3 +645,25 @@ def test_gaps_islands_single_partition_key(spark, sf_dir):
     hashparts = re.findall(r"hashpartitioning\(([^,)]+)", plan)
     assert hashparts, "expected hash exchanges in the islands plan"
     assert all(p.strip().startswith("user_id") for p in hashparts), hashparts
+
+
+def test_geo_distance_join_is_blocked_not_cartesian(spark, sf_dir):
+    """The grid block must turn the spatial join into an equi-join on
+    cell ids (broadcast hash at dim scale) — a CartesianProduct or a
+    nested-loop here means the blocking silently fell out of the plan."""
+    df = queries()["geo_distance_join"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "cell-id join must be an equi-join"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_recsys_pair_expansion_is_an_equi_join(spark, sf_dir):
+    """The basket self-join must hash on l_orderkey (the a < b predicate
+    rides as a join filter); the part-frequency dims must broadcast."""
+    df = queries()["recsys_item_lift"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "item-frequency dims must broadcast"
