@@ -107,40 +107,55 @@ def _replicate_neighbors(df: DataFrame, cell_deg: int) -> DataFrame:
     )
 
 
-def _blocked_pairs(
-    spark: SparkSession, sf_dir: str, cell_deg: int, radius_km: float
+def blocked_distance_pairs(
+    left_pts: DataFrame,
+    right_pts: DataFrame,
+    cell_deg: int,
+    radius_km: float,
 ) -> DataFrame:
-    """Candidate (customer, supplier) pairs within ``radius_km`` via the
-    grid block; exact haversine evaluated on candidates only.
+    """Pairs within ``radius_km`` between two point frames (each already
+    carrying lat/lon + cell ids from :func:`_points`); the grid block
+    generates candidates, the exact haversine runs on candidates only.
 
     ``cell_deg`` must satisfy radius <= cell_deg * 111.19 * cos(60deg)
     (worst-case longitude shrink at the |lat| < 60 cap) so that any true
     pair differs by at most one cell per axis — the 3x3 replication is
-    then provably lossless.
+    then provably lossless (tests/test_geo.py checks it against the
+    in-Spark brute force; the DuckDB oracle re-proves it every run).
     """
+    left = left_pts.withColumnsRenamed({"lat": "lat1", "lon": "lon1"})
+    right = right_pts.withColumnsRenamed({"lat": "lat2", "lon": "lon2"})
+    # replicate the SMALL side into neighbor cells, then broadcast it —
+    # at dim-table scale this is a map-side join; with two big sides drop
+    # the broadcast and let the cell-id shuffle do the work
+    right9 = _replicate_neighbors(right, cell_deg)
+    return (
+        left.join(F.broadcast(right9), ["cell_lat", "cell_lon"])
+        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .filter(F.col("dist_km") <= radius_km)
+    )
+
+
+def _blocked_pairs(
+    spark: SparkSession, sf_dir: str, cell_deg: int, radius_km: float
+) -> DataFrame:
+    """Customer-supplier pairs within ``radius_km`` on the derived
+    coordinates (see module doc)."""
     cust = _points(
         datasets.load(spark, sf_dir, "customer"),
         "c_custkey",
         _CUST_LAT,
         _CUST_LON,
         cell_deg,
-    ).withColumnsRenamed({"lat": "lat1", "lon": "lon1"})
+    )
     supp = _points(
         datasets.load(spark, sf_dir, "supplier"),
         "s_suppkey",
         _SUPP_LAT,
         _SUPP_LON,
         cell_deg,
-    ).withColumnsRenamed({"lat": "lat2", "lon": "lon2"})
-    # replicate the SMALL side (suppliers) into neighbor cells, then
-    # broadcast it — at dim-table scale this is a map-side join; with two
-    # big sides drop the broadcast and let the cell-id shuffle do the work
-    supp9 = _replicate_neighbors(supp, cell_deg)
-    return (
-        cust.join(F.broadcast(supp9), ["cell_lat", "cell_lon"])
-        .withColumn("dist_km", F.expr(_HAVERSINE))
-        .filter(F.col("dist_km") <= radius_km)
     )
+    return blocked_distance_pairs(cust, supp, cell_deg, radius_km)
 
 
 def _oracle_pairs(radius_km: float) -> str:

@@ -1,0 +1,115 @@
+"""Geo family: the grid block must be LOSSLESS — identical pair sets to
+the brute-force cross join — including across the antimeridian and at
+cell boundaries.  The DuckDB oracle re-proves this on the fixture data
+every correctness run; these tests prove it on adversarial synthetic
+points the fixtures may never hit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flinkexp_spark.catalog.geo import (
+    _HAVERSINE,
+    _points,
+    blocked_distance_pairs,
+)
+
+
+def _pts(spark, rows, key):
+    df = spark.createDataFrame(rows, f"{key} long, plat double, plon double")
+    return df, key
+
+
+def _cellify(df, key, cell_deg):
+    return _points(df, key, "plat", "plon", cell_deg)
+
+
+def _brute(left, right, radius_km):
+    l = left.select(
+        F.col("lid"), F.col("plat").alias("lat1"), F.col("plon").alias("lon1")
+    )
+    r = right.select(
+        F.col("rid"), F.col("plat").alias("lat2"), F.col("plon").alias("lon2")
+    )
+    return (
+        l.crossJoin(r)
+        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .filter(F.col("dist_km") <= radius_km)
+        .select("lid", "rid", "dist_km")
+    )
+
+
+def _blocked(left, right, cell_deg, radius_km):
+    return blocked_distance_pairs(
+        _cellify(left, "lid", cell_deg),
+        _cellify(right, "rid", cell_deg),
+        cell_deg,
+        radius_km,
+    ).select("lid", "rid", "dist_km")
+
+
+def _assert_same_pairs(spark, left, right, cell_deg, radius_km):
+    got = sorted(
+        (r.lid, r.rid, r.dist_km)
+        for r in _blocked(left, right, cell_deg, radius_km).collect()
+    )
+    want = sorted(
+        (r.lid, r.rid, r.dist_km)
+        for r in _brute(left, right, radius_km).collect()
+    )
+    assert got == want, (
+        f"blocking lost/invented pairs at cell={cell_deg} r={radius_km}: "
+        f"blocked={len(got)} brute={len(want)}"
+    )
+    return got
+
+
+def test_blocking_lossless_on_random_points(spark):
+    rng = random.Random(20260815)
+    mk = lambda n, off: [  # noqa: E731
+        (i + off, rng.uniform(-59.99, 59.99), rng.uniform(-180.0, 180.0))
+        for i in range(n)
+    ]
+    left = spark.createDataFrame(
+        mk(80, 0), "lid long, plat double, plon double"
+    )
+    right = spark.createDataFrame(
+        mk(40, 1000), "rid long, plat double, plon double"
+    )
+    # both shipped (cell, radius) profiles; radius respects the
+    # cell_deg * 111.19 * cos(60) bound in each case
+    pairs6 = _assert_same_pairs(spark, left, right, 6, 300.0)
+    _assert_same_pairs(spark, left, right, 12, 600.0)
+    assert pairs6, "degenerate test: no pair within 300 km — reseed"
+
+
+def test_blocking_keeps_antimeridian_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, 179.9), (2, -30.0, 170.0)],
+        "lid long, plat double, plon double",
+    )
+    right = spark.createDataFrame(
+        [(10, 10.05, -179.95), (20, -30.0, -171.0)],
+        "rid long, plat double, plon double",
+    )
+    got = _assert_same_pairs(spark, left, right, 6, 300.0)
+    # (1, 10) straddle +-180 ~ 17 km apart: the wrapped cells MUST pair
+    # them; (2, 20) are ~1700 km apart and must not appear
+    assert [(lid, rid) for lid, rid, _ in got] == [(1, 10)]
+
+
+def test_blocking_keeps_cell_boundary_pairs(spark):
+    # straddle a 6-degree cell edge (lat 54 and lon 6 boundaries) with a
+    # gap well inside the radius — neighbor replication must catch both
+    left = spark.createDataFrame(
+        [(1, 53.999, 5.999)], "lid long, plat double, plon double"
+    )
+    right = spark.createDataFrame(
+        [(10, 54.001, 6.001), (20, 53.5, 5.5)],
+        "rid long, plat double, plon double",
+    )
+    got = _assert_same_pairs(spark, left, right, 6, 300.0)
+    assert {(lid, rid) for lid, rid, _ in got} == {(1, 10), (1, 20)}
