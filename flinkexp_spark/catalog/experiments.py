@@ -300,8 +300,18 @@ def q_recsys_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim (broadcast-able: |parts| << |pairs|) and a global top-k.
     """
     li = datasets.load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    n = li.agg(
+    # the basket set feeds FOUR consumers (both self-join sides, the
+    # item-frequency dim, the basket total); materialize it once,
+    # pre-partitioned on the self-join key so the pair expansion is
+    # co-located (localCheckpoint preserves physical partitioning —
+    # same recipe as the triangle count, catalog/patterns.py)
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(F.col("l_orderkey"))
+        .localCheckpoint()
+    )
+    n = b.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_n"))
