@@ -187,6 +187,7 @@ _R06_NEW: tuple[str, ...] = (
     "survival_kaplan_meier",  # right-censored retention survival curve
     "recsys_item_lift",  # market-basket item-to-item lift top-k
     "timeseries_seasonal_decompose",  # hour-of-day profile + residual scale
+    "stream_geofence_entry",  # streaming fence filter + first-entry state
 )
 
 # Already-official queries whose implementation changed this round.

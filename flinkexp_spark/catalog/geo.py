@@ -268,3 +268,65 @@ def q_geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "cell_lat", "cell_lon")
         .limit(25)
     )
+
+
+# Event coordinates for the streaming geofence: same modular derivation
+# as the customer/supplier points above.
+_EVT_LAT = "(CAST(event_id * 7919 % 12000 AS DOUBLE) / 100.0 - 60.0)"
+_EVT_LON = "(CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0)"
+
+
+@register(
+    "stream_geofence_entry",
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id, ts,
+                   10.0 AS lat1, 20.0 AS lon1,
+                   {_EVT_LAT} AS lat2, {_EVT_LON} AS lon2
+            FROM events)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_entry,
+               CAST(count(*) AS BIGINT) AS n_inside
+        FROM pts
+        WHERE {_HAVERSINE} <= 500.0
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("T2", "E5", "J7"),
+)
+def q_stream_geofence_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence alerts: events carry derived coordinates; the
+    stream keeps only events inside a 500 km circular fence around
+    (10 N, 20 E) and maintains per-user first-entry time + hit count in
+    update mode — the final totals are the alert state.
+
+    The fence predicate is the SAME shared haversine expression as the
+    batch geo family (filter runs fully JVM-side in the stream), and the
+    keyed aggregate is the standard update-mode rolling state — filters
+    before state means fence misses cost no state at all.  At scale this
+    is the moving-entity alerting pattern: predicate pushdown into the
+    stream, state keyed and bounded by |users inside the fence|.
+    """
+    from flinkexp_spark.catalog._util import TS_FMT
+    from flinkexp_spark.streaming.replay import replay
+
+    events = datasets.load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(10.0).alias("lat1"),
+        F.lit(20.0).alias("lon1"),
+        F.expr(_EVT_LAT).alias("lat2"),
+        F.expr(_EVT_LON).alias("lon2"),
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        inside = stream.filter(F.expr(_HAVERSINE) <= 500.0)
+        return inside.groupBy("user_id").agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("first_entry"),
+            F.count(F.lit(1)).alias("n_inside"),
+        )
+
+    out = replay(spark, events, transform, output_mode="update")
+    return out.select("user_id", "first_entry", "n_inside").orderBy(
+        "user_id"
+    )
