@@ -188,6 +188,7 @@ _R06_NEW: tuple[str, ...] = (
     "recsys_item_lift",  # market-basket item-to-item lift top-k
     "timeseries_seasonal_decompose",  # hour-of-day profile + residual scale
     "stream_geofence_entry",  # streaming fence filter + first-entry state
+    "quality_l_diversity",  # sensitive-value diversity per anonymity class
 )
 
 # Already-official queries whose implementation changed this round.

@@ -574,3 +574,61 @@ def q_quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_risky_rows"),
     )
+
+
+L_DIVERSITY_THRESHOLD = 3
+
+
+@register(
+    "quality_l_diversity",
+    oracle=f"""
+        WITH eq AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                                            AS BIGINT)) AS BIGINT)
+                       AS sensitive_distinct
+            FROM customer GROUP BY c_nationkey, c_mktsegment)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(sensitive_distinct) AS BIGINT) AS l_diversity,
+               CAST(SUM(CASE WHEN sensitive_distinct < {L_DIVERSITY_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_classes,
+               CAST(SUM(CASE WHEN sensitive_distinct < {L_DIVERSITY_THRESHOLD}
+                             THEN class_size ELSE 0 END) AS BIGINT)
+                   AS n_risky_rows
+        FROM eq
+    """,
+    tags=("A2", "A3", "A9"),
+)
+def q_quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity companion: a class can be
+    large (k-safe) yet leak if every member shares the same SENSITIVE
+    value (here the account-balance band).  Reports the dataset's l
+    (min distinct sensitive values per quasi-identifier class) and the
+    classes/rows under the release threshold.
+
+    Same single-shuffle shape as the k audit, with a count-distinct
+    inside each class — Spark runs it as the standard two-phase
+    partial-distinct aggregate, so the sensitive-value expansion
+    combines map-side; swap in approx_count_distinct at extreme
+    class-count scale (the threshold test tolerates sketch error only
+    if l is far from the threshold — keep exact while classes fit).
+    """
+    cust = datasets.load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    eq = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(band).alias("sensitive_distinct"),
+    )
+    risky = F.col("sensitive_distinct") < L_DIVERSITY_THRESHOLD
+    return eq.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("sensitive_distinct").cast("long").alias("l_diversity"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias(
+            "n_risky_classes"
+        ),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
