@@ -116,6 +116,7 @@ HEADLINE = [
     "geo_distance_join",
     "recsys_item_lift",
     "survival_kaplan_meier",
+    "rfm_segmentation",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -189,6 +189,7 @@ _R06_NEW: tuple[str, ...] = (
     "timeseries_seasonal_decompose",  # hour-of-day profile + residual scale
     "stream_geofence_entry",  # streaming fence filter + first-entry state
     "quality_l_diversity",  # sensitive-value diversity per anonymity class
+    "rfm_segmentation",  # quintile scores via broadcast percentile bounds
 )
 
 # Already-official queries whose implementation changed this round.

@@ -434,3 +434,120 @@ def q_timeseries_seasonal_decompose(
         )
         .orderBy("hod")
     )
+
+
+# RFM quintile boundaries (20/40/60/80th percentiles) — rounded to 6
+# digits on BOTH engines before any comparison, so interpolation noise
+# cannot flip a boundary customer (house MAD convention).
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _score_sql(metric: str, prefix: str, invert: bool) -> str:
+    """1..5 score from the four boundaries; invert=True gives 5 to the
+    LOW end (recency: smaller = better)."""
+    hits = " + ".join(
+        f"(CASE WHEN {metric} > {prefix}{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 5)
+    )
+    return f"(1 + {hits})" if not invert else f"(5 - ({hits}))"
+
+
+_SEG = (
+    "concat(CAST(" + _score_sql("recency_days", "r", True) + " AS STRING), "
+    "CAST(" + _score_sql("frequency", "f", False) + " AS STRING), "
+    "CAST(" + _score_sql("monetary", "m", False) + " AS STRING))"
+)
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS monetary,
+                   max(o_orderdate) AS last_order
+            FROM orders GROUP BY o_custkey),
+        anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        m AS (
+            SELECT o_custkey, frequency, monetary,
+                   CAST(floor(date_diff('second', last_order, maxd)
+                              / 86400.0) AS BIGINT) AS recency_days
+            FROM base CROSS JOIN anchor),
+        b AS (
+            SELECT
+                {", ".join(
+                    f"round(quantile_cont(recency_days, {q}), 6) AS r{i+1}, "
+                    f"round(quantile_cont(frequency, {q}), 6) AS f{i+1}, "
+                    f"round(quantile_cont(monetary, {q}), 6) AS m{i+1}"
+                    for i, q in enumerate(_RFM_QS)
+                )}
+            FROM m)
+        SELECT {_SEG} AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_monetary
+        FROM m CROSS JOIN b
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("A1", "A6", "W1"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at the
+    corpus anchor), frequency (order count), monetary (exact-decimal
+    spend) scored into 1-5 quintiles each, customers grouped by the
+    3-digit segment code.
+
+    Scale shape: NO ntile over a global window (the single-partition
+    trap) — the per-customer rollup is the only big shuffle; the twelve
+    quintile boundaries come from ONE percentile aggregate (a 1-row
+    frame broadcast back), and scoring is four comparisons per metric
+    against rounded constants.  Boundaries round to 6 digits on both
+    engines BEFORE comparison so a boundary-sitting customer cannot
+    flip sides.
+    """
+    orders = datasets.load(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    m = base.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.floor(
+            (
+                F.unix_timestamp("maxd") - F.unix_timestamp("last_order")
+            )
+            / 86400.0
+        )
+        .cast("long")
+        .alias("recency_days"),
+    )
+    b = m.agg(
+        *[
+            F.round(F.percentile(col, F.lit(q)), 6).alias(f"{p}{i+1}")
+            for i, q in enumerate(_RFM_QS)
+            for col, p in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+        ]
+    )
+    return (
+        m.crossJoin(F.broadcast(b))
+        .groupBy(F.expr(_SEG).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
