@@ -516,18 +516,26 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
     )
     anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
-    m = base.crossJoin(F.broadcast(anchor)).select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.floor(
-            (
-                F.unix_timestamp("maxd") - F.unix_timestamp("last_order")
+    # the metric frame feeds BOTH the boundary aggregate and the scoring
+    # pass — materialize the per-customer rollup once (triangle-count
+    # recipe) instead of re-running the orders shuffle per consumer
+    m = (
+        base.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            "frequency",
+            "monetary",
+            F.floor(
+                (
+                    F.unix_timestamp("maxd")
+                    - F.unix_timestamp("last_order")
+                )
+                / 86400.0
             )
-            / 86400.0
+            .cast("long")
+            .alias("recency_days"),
         )
-        .cast("long")
-        .alias("recency_days"),
+        .localCheckpoint()
     )
     b = m.agg(
         *[

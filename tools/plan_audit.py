@@ -92,6 +92,16 @@ AUDIT = [
     "window_gaps_islands",
     "changelog_incremental_agg",
     "tokenizer_bpe_encode",
+    # round-6 late additions: geo + experimentation families
+    "geo_distance_join",
+    "geo_nearest_supplier",
+    "geo_cell_density",
+    "recsys_item_lift",
+    "survival_kaplan_meier",
+    "stat_cuped_adjustment",
+    "timeseries_seasonal_decompose",
+    "rfm_segmentation",
+    "quality_l_diversity",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
