@@ -190,6 +190,7 @@ _R06_NEW: tuple[str, ...] = (
     "stream_geofence_entry",  # streaming fence filter + first-entry state
     "quality_l_diversity",  # sensitive-value diversity per anonymity class
     "rfm_segmentation",  # quintile scores via broadcast percentile bounds
+    "geo_neighbor_pairs",  # big-big spatial self-join on the cell shuffle
 )
 
 # Already-official queries whose implementation changed this round.

@@ -330,3 +330,59 @@ def q_stream_geofence_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "first_entry", "n_inside").orderBy(
         "user_id"
     )
+
+
+@register(
+    "geo_neighbor_pairs",
+    oracle=f"""
+        WITH c AS (SELECT c_custkey,
+                          {_CUST_LAT} AS plat, {_CUST_LON} AS plon
+                   FROM customer),
+        pairs AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   a.plat AS lat1, a.plon AS lon1,
+                   b.plat AS lat2, b.plon AS lon2
+            FROM c a JOIN c b ON a.c_custkey < b.c_custkey)
+        SELECT cust_a, cust_b, {_HAVERSINE} AS dist_km
+        FROM pairs WHERE {_HAVERSINE} <= 200.0
+        ORDER BY cust_a, cust_b
+    """,
+    tags=("J7", "J5"),
+)
+def q_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-customer neighbor pairs within 200 km — the BIG-to-BIG
+    spatial self-join: unlike `geo_distance_join` (dim-sized right side,
+    broadcast), neither side here is small, so the cell-id equi-join runs
+    as an ordinary shuffle join — the plan shape that holds when both
+    inputs are fact-scale (Catalyst/AQE may still pick broadcast at test
+    scale; nothing forces it).  4-degree cells bound the 200 km radius at
+    the |lat| < 60 cap; the canonical key order (a < b) dedups the
+    symmetric pair and drops self-pairs before the distance evaluates.
+
+    The oracle is the brute-force a<b self cross join — quadratic in
+    DuckDB, cell-bounded here: the green hash is the losslessness proof.
+    """
+    pts = _points(
+        datasets.load(spark, sf_dir, "customer"),
+        "c_custkey",
+        _CUST_LAT,
+        _CUST_LON,
+        cell_deg=4,
+    )
+    left = pts.withColumnsRenamed(
+        {"c_custkey": "cust_a", "lat": "lat1", "lon": "lon1"}
+    )
+    right = _replicate_neighbors(
+        pts.withColumnsRenamed(
+            {"c_custkey": "cust_b", "lat": "lat2", "lon": "lon2"}
+        ),
+        cell_deg=4,
+    )
+    return (
+        left.join(right, ["cell_lat", "cell_lon"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .filter(F.col("dist_km") <= 200.0)
+        .select("cust_a", "cust_b", "dist_km")
+        .orderBy("cust_a", "cust_b")
+    )
