@@ -191,6 +191,7 @@ _R06_NEW: tuple[str, ...] = (
     "quality_l_diversity",  # sensitive-value diversity per anonymity class
     "rfm_segmentation",  # quintile scores via broadcast percentile bounds
     "geo_neighbor_pairs",  # big-big spatial self-join on the cell shuffle
+    "timeseries_forecast_backtest",  # OLS trend vs seasonal-naive MAE
 )
 
 # Already-official queries whose implementation changed this round.

@@ -559,3 +559,115 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# Forecast backtest: OLS daily trend fit on the first 24 days, scored on
+# the last 6 against a seasonal-naive (same-weekday, lag-7) baseline.
+_SLOPE = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_INTERCEPT = (
+    f"((CAST(sy AS DOUBLE) - {_SLOPE} * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE))"
+)
+# per-day absolute error of the trend forecast, rounded BEFORE the sum so
+# the (order-dependent) float summation never happens — the rounded
+# errors sum exactly as DECIMAL(18,4)
+_ERR_TREND = (
+    "CAST(round(abs(CAST(cents AS DOUBLE)"
+    f" - ({_INTERCEPT} + {_SLOPE} * CAST(d AS DOUBLE))), 4)"
+    " AS DECIMAL(18,4))"
+)
+_TRAIN_DAYS = 24
+
+
+@register(
+    "timeseries_forecast_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) AS d,
+                   CAST(SUM({_CENTS}) AS BIGINT) AS cents
+            FROM events GROUP BY d),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sx,
+                   CAST(SUM(cents) AS BIGINT) AS sy,
+                   CAST(SUM(d * d) AS BIGINT) AS sxx,
+                   CAST(SUM(d * cents) AS BIGINT) AS sxy
+            FROM daily WHERE d < {_TRAIN_DAYS}),
+        test AS (
+            SELECT t.d, t.cents, b.cents AS cents_lag7
+            FROM daily t JOIN daily b ON b.d = t.d - 7
+            WHERE t.d >= {_TRAIN_DAYS})
+        SELECT CAST(n AS BIGINT) AS n_train,
+               CAST(count(*) AS BIGINT) AS n_test,
+               round({_SLOPE}, 6) AS slope_cents_per_day,
+               round({_INTERCEPT}, 6) AS intercept_cents,
+               round(CAST(SUM({_ERR_TREND}) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS mae_trend,
+               round(CAST(SUM(abs(cents - cents_lag7)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS mae_naive
+        FROM test CROSS JOIN m
+        GROUP BY n, sx, sy, sxx, sxy
+    """,
+    tags=("A5", "W2", "F3"),
+)
+def q_timeseries_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast backtest: fit a linear daily-revenue trend on the first
+    24 days (exact-BIGINT OLS moments), score it on the 6 held-out days,
+    and report MAE against the seasonal-naive lag-7 baseline — the
+    one-row model-selection summary every forecasting pipeline starts
+    from.
+
+    Determinism: the only float reduction (summing per-day trend errors)
+    is rounded per day and summed as DECIMAL, so no order-dependent
+    double accumulation exists anywhere.  Scale: the day rollup is the
+    single big shuffle; everything after runs on a |days| frame with the
+    5-number moment row broadcast.
+    """
+    ev = datasets.load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d")
+        )
+        .agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    )
+    m = daily.filter(F.col("d") < _TRAIN_DAYS).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d") * F.col("cents")).alias("sxy"),
+    )
+    lag = daily.select(
+        (F.col("d") + 7).alias("d"), F.col("cents").alias("cents_lag7")
+    )
+    test = (
+        daily.filter(F.col("d") >= _TRAIN_DAYS)
+        .join(lag, "d")
+        .crossJoin(F.broadcast(m))
+    )
+    return test.groupBy("n", "sx", "sy", "sxx", "sxy").agg(
+        F.first("n").cast("long").alias("n_train"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.expr(_SLOPE), 6).alias("slope_cents_per_day"),
+        F.round(F.expr(_INTERCEPT), 6).alias("intercept_cents"),
+        F.round(
+            F.sum(F.expr(_ERR_TREND)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mae_trend"),
+        F.round(
+            F.sum(F.abs(F.col("cents") - F.col("cents_lag7"))).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mae_naive"),
+    ).drop("n", "sx", "sy", "sxx", "sxy")
