@@ -192,6 +192,7 @@ _R06_NEW: tuple[str, ...] = (
     "rfm_segmentation",  # quintile scores via broadcast percentile bounds
     "geo_neighbor_pairs",  # big-big spatial self-join on the cell shuffle
     "timeseries_forecast_backtest",  # OLS trend vs seasonal-naive MAE
+    "graph_clustering_coefficient",  # per-node triangle attribution
 )
 
 # Already-official queries whose implementation changed this round.

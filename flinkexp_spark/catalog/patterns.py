@@ -810,3 +810,108 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= CN_TOPK)
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_partkey < {TRI_MAX_PART}
+              AND b.l_partkey < {TRI_MAX_PART}),
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+            GROUP BY n),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        t AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS n_tri
+            FROM (SELECT x AS n FROM tri UNION ALL
+                  SELECT y AS n FROM tri UNION ALL
+                  SELECT z AS n FROM tri)
+            GROUP BY n)
+        SELECT deg.n AS node, d AS degree,
+               CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+               round(2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)
+                     / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)), 6)
+                   AS clustering
+        FROM deg LEFT JOIN t ON deg.n = t.n
+        WHERE d >= 2
+        ORDER BY node
+    """,
+    tags=("J1", "A1", "W1"),
+)
+def q_graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per node: C(v) = 2*T(v) / (d(v) *
+    (d(v)-1)) over the co-purchase graph — the per-node refinement of
+    `graph_triangle_count`, and the standard community-structure screen.
+
+    Triangles are enumerated ONCE at their id-minimum corner (each
+    produces exactly one (x, y, z) row with x < y < z), then attributed
+    to all three corners by a 3-way unionAll + groupBy — a word count
+    over node ids, so attribution adds one bounded shuffle to the
+    triangle plan.  The edge set is materialized once and feeds the
+    wedge legs, the closing probe, and the degree table; at hub-skewed
+    scale, switch the wedge corner to the degree orientation exactly as
+    the global count does (the triangle SET is orientation-invariant, so
+    attribution is unchanged).
+    """
+    li = (
+        datasets.load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < TRI_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .repartition(F.col("u"))
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    w1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    closing = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (
+        w1.join(w2, "x")
+        .filter(F.col("y") < F.col("z"))
+        .join(closing, ["y", "z"])
+    )
+    t = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(t, "n", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "round(2.0 * CAST(coalesce(n_tri, 0) AS DOUBLE)"
+                " / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0)), 6)"
+            ).alias("clustering"),
+        )
+        .orderBy("node")
+    )
