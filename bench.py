@@ -117,6 +117,8 @@ HEADLINE = [
     "recsys_item_lift",
     "survival_kaplan_meier",
     "rfm_segmentation",
+    "timeseries_forecast_backtest",
+    "graph_clustering_coefficient",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
