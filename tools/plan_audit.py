@@ -102,6 +102,8 @@ AUDIT = [
     "timeseries_seasonal_decompose",
     "rfm_segmentation",
     "quality_l_diversity",
+    "timeseries_forecast_backtest",
+    "graph_clustering_coefficient",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
