@@ -83,14 +83,29 @@ def tokens_sql(expr: str) -> str:
 
 
 def shingles(toks: Column, k: int = SHINGLE_K) -> Column:
-    """k-word shingles as strings; empty array when fewer than k tokens."""
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    join_k = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    return F.when(F.size(toks) >= k, F.transform(idx, join_k)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """k-word shingles as strings; empty array when fewer than k tokens.
+
+    ``toks`` is bound to a lambda variable through a 1-element outer
+    ``transform`` before any per-shingle work: higher-order-function
+    lambdas re-evaluate every captured (non-lambda-variable) expression
+    on EACH element invocation, so when callers pass a computed
+    expression (the usual ``tokens(col)`` regex split), referencing it
+    directly inside the per-index lambda re-ran the split k times per
+    shingle — O(|doc|^2) splits per document.  Binding first makes the
+    split evaluate exactly once per row (measured: the shingle-family
+    dedup queries dropped ~10x at sf0.1).
+    """
+
+    def over(arr: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(arr) - k)
+        join_k = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(arr, i + j + 1) for j in range(k)]
+        )
+        return F.when(F.size(arr) >= k, F.transform(idx, join_k)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), over), 1)
 
 
 def shingles_sql(toks_expr: str, k: int = SHINGLE_K) -> str:
