@@ -667,3 +667,26 @@ def test_recsys_pair_expansion_is_an_equi_join(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "item-frequency dims must broadcast"
+
+
+def test_shingles_evaluate_the_token_split_once(spark):
+    """HOF lambdas re-evaluate captured (non-lambda-variable) expressions
+    per element; shingles() must keep the token split BOUND to a lambda
+    variable so the optimized plan carries O(1) split nodes, not one per
+    element_at (the pre-fix tree had 10; the regression was ~10x wall on
+    the shingle dedup family)."""
+    import contextlib
+    import io
+
+    from flinkexp_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    out = df.select(
+        F.array_distinct(T.shingles(T.tokens(F.col("text")))).alias("sh")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("extended")
+    optimized = buf.getvalue().split("== Optimized Logical Plan ==")[1]
+    n = optimized.count("split(")
+    assert n <= 3, f"token split duplicated {n}x into the shingle lambda"
