@@ -526,13 +526,21 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("kb"),
         F.col("p_name").alias("nb"),
     )
-    d = F.levenshtein("na", "nb")
+    # two lossless prefilters ahead of the O(len^2) DP: a length-delta
+    # bound (|len a - len b| > d implies distance > d) that runs in pure
+    # codegen arithmetic, and the THRESHOLDED levenshtein (early-exits
+    # the DP band and returns -1 past the bound) on what survives
+    d = F.levenshtein("na", "nb", FUZZY_MAX_DIST)
     pairs = (
         a.join(b, "brand")
         .filter(
             (F.col("ka") < F.col("kb"))
             & (F.col("na") != F.col("nb"))
-            & (d <= FUZZY_MAX_DIST)
+            & (
+                F.abs(F.length("na") - F.length("nb"))
+                <= FUZZY_MAX_DIST
+            )
+            & (d >= 0)
         )
         .select("brand", d.alias("d"))
     )
