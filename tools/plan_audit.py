@@ -104,6 +104,8 @@ AUDIT = [
     "quality_l_diversity",
     "timeseries_forecast_backtest",
     "graph_clustering_coefficient",
+    "dedup_containment",
+    "join_fuzzy_blocked",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
