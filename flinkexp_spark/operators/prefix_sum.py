@@ -62,6 +62,24 @@ def running_sums(
         "*", *[F.sum(c).over(w_in).alias(f"__in_{c}") for c in val_cols]
     )
 
+    # Reject non-numeric inputs up front (ANSI SUM would accept a string by
+    # casting and then fail row-at-a-time deep inside a task), then carry
+    # the SUM-promoted type (long for integrals, double for floats, widened
+    # decimal for decimals) through the offset schema and the final cast, so
+    # non-integer inputs keep their precision instead of being truncated.
+    from pyspark.sql.types import NumericType
+
+    for c in val_cols:
+        t_in = df.schema[c].dataType
+        if not isinstance(t_in, NumericType):
+            raise TypeError(
+                f"running_sums: val_col '{c}' has non-numeric type "
+                f"{t_in.simpleString()}"
+            )
+    sum_types = {
+        c: within.schema[f"__in_{c}"].dataType.simpleString() for c in val_cols
+    }
+
     # numPartitions-row scan: totals per pid -> exclusive offsets
     totals = (
         with_pid.groupBy("__pid")
@@ -69,22 +87,34 @@ def running_sums(
         .orderBy("__pid")
         .collect()
     )
-    offsets: dict[int, dict[str, int]] = {}
-    acc = {c: 0 for c in val_cols}
+    from decimal import Decimal
+
+    def _zero(t: str):
+        if t in ("double", "float"):
+            return 0.0
+        if t.startswith("decimal"):
+            return Decimal(0)
+        return 0
+
+    offsets: dict[int, dict[str, object]] = {}
+    acc = {c: _zero(sum_types[c]) for c in val_cols}
     for r in totals:
         offsets[r["__pid"]] = dict(acc)
         for c in val_cols:
-            acc[c] += r[c] or 0
+            acc[c] += r[c] if r[c] is not None else _zero(sum_types[c])
     off_rows = [
         tuple([pid] + [offsets[pid][c] for c in val_cols]) for pid in offsets
     ]
-    schema = ", ".join(["__pid int"] + [f"__off_{c} long" for c in val_cols])
+    schema = ", ".join(
+        ["__pid int"] + [f"__off_{c} {sum_types[c]}" for c in val_cols]
+    )
     off_df = df.sparkSession.createDataFrame(off_rows, schema)
 
     out = within.join(F.broadcast(off_df), "__pid")
     for c in val_cols:
         out = out.withColumn(
-            prefix + c, (F.col(f"__in_{c}") + F.col(f"__off_{c}")).cast("long")
+            prefix + c,
+            (F.col(f"__in_{c}") + F.col(f"__off_{c}")).cast(sum_types[c]),
         )
     return out.drop(
         "__pid", *[f"__in_{c}" for c in val_cols], *[f"__off_{c}" for c in val_cols]

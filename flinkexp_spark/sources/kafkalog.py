@@ -27,6 +27,18 @@ The log lives at ``{path}/{topic}/p{N}.jsonl``; line number == offset.
 ``connectors.kafka_source`` remains the real-broker path (same calling
 convention) for jar-present deployments; tests gate on jar presence.
 
+WRITER CONTRACT (offset stability): a topic-partition's offsets are its
+records' positions in (base file, then segment dirs in name order) — so
+they are stable only while that enumeration is append-only.  Two rules
+enforce it: (1) ``produce()`` refuses to append to the base file once any
+committed segment exists (a base-file grow would shift every segment
+record's offset); (2) batch-writer segments carry a monotonically
+increasing zero-padded sequence label, so a new segment always sorts
+AFTER every existing one.  CONCURRENT writers to one topic are out of
+contract (single-writer-per-topic — Kafka's one-leader-per-partition
+analog); each STREAMING query stages under its own run-scoped dir, so a
+misconfigured second writer fails at publish, not by corrupting offsets.
+
 SERIALIZATION RULE (see sources/pysource.py): the DataSource classes are
 closure-scoped so cloudpickle ships them by value — executors launched by
 a driver running outside the repo cannot import ``flinkexp_spark``.
@@ -62,7 +74,20 @@ def produce(
     Each record lands in partition ``partition_for_key(key)``; its offset
     is the line number, so per-partition offset order == produce order —
     exactly the broker's append contract.
+
+    Refuses to append once the topic has committed segments: base files
+    enumerate BEFORE segments, so growing one would shift every segment
+    record's offset under any checkpointed reader (silent dup/drop).
     """
+    topic_dir_pre = os.path.join(path, topic)
+    if os.path.isdir(topic_dir_pre) and any(
+        n.startswith("seg-") for n in os.listdir(topic_dir_pre)
+    ):
+        raise ValueError(
+            f"produce() to '{topic}' rejected: topic already has committed "
+            "segments; base-file appends would shift segment offsets. "
+            "Write through the kafkalog writer instead."
+        )
     buckets: dict[int, list[str]] = {}
     for key, value, ts_ms in records:
         p = partition_for_key(key, n_partitions)
@@ -221,6 +246,18 @@ def make_kafka_log_source():
             # (re)build returns the full tail untrimmed — offsets can then
             # never regress below any prior checkpoint — and the
             # maxRecordsPerBatch throttle resumes from the second call.
+            #
+            # CAPACITY RISK (accepted, documented): this means a fresh or
+            # restarted query over a large backlog plans its FIRST
+            # micro-batch unthrottled (real maxOffsetsPerTrigger caps the
+            # first batch too).  The Python DataSourceStreamReader API gives
+            # latestOffset() neither the start offset nor a ReadLimit, and
+            # the checkpointed commit log is not visible from here, so the
+            # reader cannot distinguish "fresh query" (safe to trim against
+            # initialOffset) from "restart" (trimming can regress behind the
+            # checkpoint and duplicate rows).  Correctness wins; size the
+            # first batch by starting near the tail or accept one large
+            # batch after restart-with-backlog.
             parts = _topic_partitions(self.path, self.topic)
             tail = {p: _line_count(f) for p, f in parts.items()}
             prev = getattr(self, "_last", None)
@@ -340,10 +377,28 @@ def make_kafka_log_source():
         def commit(self, messages):
             import os as _os
 
+            # Segment label: next monotonic sequence over EXISTING segments
+            # (zero-padded, so lexicographic order == numeric order) plus a
+            # job-uuid suffix for uniqueness.  A fresh batch segment can
+            # therefore never sort before an already-committed one — the
+            # offset-stability invariant the reader's enumeration relies on.
+            topic_dir = _os.path.join(self.path, self.topic)
+            seq = 0
+            if _os.path.isdir(topic_dir):
+                for n in _os.listdir(topic_dir):
+                    if n.startswith("seg-"):
+                        digits = ""
+                        for ch in n[4:]:
+                            if ch.isdigit():
+                                digits += ch
+                            else:
+                                break
+                        if digits:
+                            seq = max(seq, int(digits))
             _publish(
                 self.staging,
-                _os.path.join(self.path, self.topic),
-                "b" + self.job,
+                topic_dir,
+                f"{seq + 1:010d}b{self.job[:8]}",
                 messages,
             )
 
@@ -355,26 +410,31 @@ def make_kafka_log_source():
 
     class _StreamWriter(DataSourceStreamWriter):
         def __init__(self, options: dict):
+            import hashlib as _hashlib
+
             self.path = options["path"]
             self.topic = options["topic"]
             self.n_parts = int(options.get("partitions", "3"))
+            # Staging is keyed by the query's CHECKPOINT identity: batchId is
+            # not passed to write(), and Spark builds separate writer
+            # instances for the executor write path and the driver commit,
+            # so an instance-scoped uuid would not survive.  The checkpoint
+            # location is in the options on both sides, stable across
+            # (re)instantiations of ONE query, and distinct between two
+            # concurrent queries — so neither can interleave staged files
+            # into, or rmtree, the other's in-flight epoch.
+            ckpt = options.get("checkpointlocation", "")
+            self.run = _hashlib.md5(ckpt.encode()).hexdigest()[:12]
 
-        def _staging(self, batch_id: int) -> str:
+        def _staging(self) -> str:
             import os as _os
 
-            return _os.path.join(
-                self.path, self.topic + f".staging-{batch_id:010d}"
-            )
+            return _os.path.join(self.path, f"{self.topic}.staging-{self.run}")
 
         def write(self, iterator):
-            # batchId is not passed to write(); stage under a shared dir
-            # keyed by the epoch the driver is running (Spark serializes
-            # one micro-batch at a time per query, and commit/abort name
-            # the same dir via the batchId they DO receive)
-            import os as _os
-
-            staging = _os.path.join(self.path, self.topic + ".staging-live")
-            return _route_and_stage(staging=staging, iterator=iterator, n_parts=self.n_parts)
+            return _route_and_stage(
+                staging=self._staging(), iterator=iterator, n_parts=self.n_parts
+            )
 
         def commit(self, messages, batchId: int) -> None:
             import os as _os
@@ -383,26 +443,19 @@ def make_kafka_log_source():
             if _os.path.isdir(seg):  # replayed epoch — already published
                 import shutil as _shutil
 
-                _shutil.rmtree(
-                    _os.path.join(self.path, self.topic + ".staging-live"),
-                    ignore_errors=True,
-                )
+                _shutil.rmtree(self._staging(), ignore_errors=True)
                 return
             _publish(
-                _os.path.join(self.path, self.topic + ".staging-live"),
+                self._staging(),
                 _os.path.join(self.path, self.topic),
                 f"{batchId:010d}",
                 messages,
             )
 
         def abort(self, messages, batchId: int) -> None:
-            import os as _os
             import shutil as _shutil
 
-            _shutil.rmtree(
-                _os.path.join(self.path, self.topic + ".staging-live"),
-                ignore_errors=True,
-            )
+            _shutil.rmtree(self._staging(), ignore_errors=True)
 
     class KafkaLogSource(DataSource):
         @classmethod

@@ -5,6 +5,7 @@ ones Spark doesn't provide natively and the oracle can't fully pin
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -477,3 +478,30 @@ def test_distributed_prefix_sum_equals_global_window(spark, rows, n_parts):
         ).collect()
     }
     assert got == want
+
+
+def test_prefix_sum_keeps_double_precision(spark):
+    """Double-valued val_cols must come back as doubles with fractional
+    parts intact — the pre-fix code cast every cumulative column to long,
+    silently truncating (ADVICE r6, prefix_sum.py)."""
+    from flinkexp_spark.operators.prefix_sum import running_sums
+
+    rows = [(i, 0.25 * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    out = running_sums(df, "k", ["x"], n_partitions=4)
+    assert dict(out.dtypes)["cum_x"] == "double"
+    got = {r.k: r.cum_x for r in out.collect()}
+    acc, want = 0.0, {}
+    for i in range(20):
+        acc += 0.25 * (i + 1)
+        want[i] = acc
+    assert got == pytest.approx(want)
+
+
+def test_prefix_sum_rejects_non_numeric(spark):
+    """A string val_col must raise, not silently produce garbage."""
+    from flinkexp_spark.operators.prefix_sum import running_sums
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(TypeError, match="non-numeric"):
+        running_sums(df, "k", ["s"], n_partitions=2).collect()
