@@ -249,6 +249,86 @@ def _r06_window() -> tuple[str, ...]:
     return (window + tuple(pad))[:50]
 
 
+# --------------------------------------------------------------------------
+# Round-7 official window.  The r01-r06 union covers all pre-r07 queries
+# (290/290, zero failures), so this window is: every query NEW this round
+# first (each earns its first official row the round it ships), padded to
+# 50 with RE-VERIFICATION slots — queries whose implementation was touched
+# this round (kafkalog writer staging/labels, prefix-sum typing, the
+# pattern_regex_cep and BPE reworks, geo salting) plus the standing pool of
+# heaviest / most representative plans.  Pads are deliberately expendable:
+# each new query displaces the LAST pad.
+# --------------------------------------------------------------------------
+_R07_NEW: tuple[str, ...] = (
+    "multimodal_decode_jpeg_pixels",  # baseline-JPEG entropy decode (last X5 image stub)
+)
+
+_R07_REVERIFY: tuple[str, ...] = (
+    # implementation touched this round — re-check on purpose
+    "stat_ks_test",
+    "interval_concurrency_peak",
+    "source_kafka_contract",
+    "pipeline_kafka_roundtrip",
+    "stream_kafka_contract",
+    "stream_kafka_exactly_once",
+    "stream_kafka_restart_recovery",
+    "pipeline_kafka_datasource_writer",
+    "stream_kafka_datasource_writer",
+    "pattern_regex_cep",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
+    "geo_neighbor_pairs",
+    "stream_wordcount_update",
+    "multimodal_image_stats",
+    "multimodal_decode_jpeg_meta",
+    # standing pool: heaviest / most representative plans
+    "sql_tpch_q1",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q9",
+    "sql_tpch_q18",
+    "sql_tpch_q21",
+    "pattern_funnel",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_components_star",
+    "dedup_semantic",
+    "sim_search_recall_ivf",
+    "sim_search_adc_rerank",
+    "stream_session_window",
+    "stream_stateful_totals_tws",
+    "stream_interval_join",
+    "stream_dedup_within_watermark",
+    "rollup_continuous_aggregate",
+    "join_salted_skew",
+    "agg_salted_skew",
+    "join_dpp_partitioned",
+    "join_bucketed_colocated",
+    "layout_zorder_scan",
+    "scd2_build",
+    "join_scd2_pit",
+    "pack_sequences",
+    "decontaminate_ngram",
+    "text_quality_ensemble",
+    "search_bm25_topk",
+    "window_topk_per_group",
+    "agg_histogram_quantile",
+    "cdc_apply_ops",
+    "pipeline_training_data",
+    "join_asof",
+    "agg_pricing_summary",
+    "feature_target_encoding",
+)
+
+
+def _r07_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots."""
+    pad = [n for n in _R07_REVERIFY if n not in _R07_NEW]
+    return (_R07_NEW + tuple(pad))[:50]
+
+
 def _apply_rotation() -> None:
     """Reorder the registry dict: priority lists first, then module order.
 
@@ -257,7 +337,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r06_window()
+    priority = _r07_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

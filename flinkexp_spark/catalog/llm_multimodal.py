@@ -490,3 +490,50 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized pixels arithmetically."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.image_stats(M.with_ppm_payload(docs))
+
+
+@register(
+    "multimodal_decode_jpeg_pixels",
+    # Oracle recomputes the ENTIRE entropy-decode path arithmetically: the
+    # fixture is block-constant with DC quant 8, so huffman decode ->
+    # dequantize -> IDCT -> YCbCr->RGB lands on EXACTLY the synthesized
+    # gray (s + 17*block) % 160 + 48 at every pixel (IDCT of a DC-only
+    # block is coefficient/8 at every sample; mid-range values avoid the
+    # clamp).  pos_checksum pins the decoded pixel ORDER, not just the
+    # value multiset — a transposed or block-shuffled decode hash-fails.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) % {M.JPEG_PX_MAX_DIM} + 1 AS w,
+                   doc_id % {M.JPEG_PX_MAX_DIM} + 1 AS h,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        px AS (
+            SELECT doc_id, w, h, g,
+                   (s + {M.JPEG_PX_BLOCK_STEP}
+                        * ((g // w // 8) * ((w + 7) // 8) + (g % w) // 8))
+                   % 160 + 48 AS v
+            FROM (SELECT doc_id, w, h, s, unnest(range(w * h)) AS g FROM m))
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM((g + 1) * v) AS BIGINT) AS pos_checksum
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: baseline-JPEG ENTROPY decode to pixels — the compressed-media
+    step that was the repo's last image stub through round 6.  The payload
+    is a real JFIF stream written by the full forward path (DCT, quantize,
+    canonical Huffman, byte stuffing); the decoder (functions/jpeg.py) is
+    table-driven from the stream's own DQT/DHT and runs huffman decode,
+    dequantization, inverse zigzag, float IDCT and BT.601 color conversion
+    inside one Arrow mapInPandas pass.  Per-row independent work: no
+    shuffle, scales linearly with the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.jpeg_image_stats(M.with_jpeg_pixel_payload(docs))

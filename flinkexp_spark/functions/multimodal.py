@@ -419,6 +419,136 @@ def decode_jpeg_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# --- real codec: JPEG entropy decode (baseline JFIF) ------------------------
+# The ENTROPY layer — canonical-Huffman scan decode, dequantize, inverse
+# zigzag, IDCT, YCbCr->RGB — lives in functions/jpeg.py (pure Python +
+# numpy, spec-driven from the stream's own DQT/DHT).  This closes the old
+# decode_image stub for baseline JFIF.  Fixture images are block-constant
+# with DC quant 8, which makes the decoded pixels EXACT integers (IDCT of
+# a DC-only block is coefficient/8 at every sample), so the DuckDB oracle
+# recomputes the whole huffman->dequant->IDCT->color-convert path
+# arithmetically.
+
+JPEG_PX_MAX_DIM = 16   # fixture images are (strlen%16+1) x (doc_id%16+1)
+JPEG_PX_BLOCK_STEP = 17  # block b is constant (s + 17*b) % 160 + 48
+JPEG_PX_DC_QUANT = 8   # DC quant 8 => dequant*IDCT lands on exact integers
+
+
+def _ship_jpeg_by_value() -> None:
+    """Register functions/jpeg.py for BY-VALUE pickling.
+
+    Executors launched by a driver running outside the repo cannot import
+    ``flinkexp_spark`` (the repo's standing closure rule); the codec is too
+    large to inline per-closure, so cloudpickle ships the whole module
+    inside the task pickle instead."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import jpeg  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.jpeg"]
+    )
+
+
+def with_jpeg_pixel_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a baseline JPEG with REAL entropy-coded pixel data.
+
+    Each 8x8 block is a constant gray (s + 17*block)%160+48 (mid-range, so
+    no clamping), replicated across R=G=B; the encoder runs the full
+    forward path (BT.601, DCT, quantize, zigzag, Huffman, byte stuffing).
+    Dimensions/seed derive from the row exactly like the PPM fixture, so
+    the decoded pixels are oracle-checkable."""
+    _ship_jpeg_by_value()
+    from flinkexp_spark.functions.jpeg import encode_baseline_jpeg
+
+    max_dim, step, dcq = JPEG_PX_MAX_DIM, JPEG_PX_BLOCK_STEP, JPEG_PX_DC_QUANT
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def jpg(doc_id: int, text: str) -> bytes:
+            w = len(text.encode("utf-8")) % max_dim + 1
+            h = doc_id % max_dim + 1
+            s = hashlib.md5(text.encode("utf-8")).digest()[0]
+            bw = (w + 7) // 8
+            ys, xs = np.mgrid[0:h, 0:w]
+            block = (ys // 8) * bw + xs // 8
+            gray = ((s + step * block) % 160 + 48).astype(np.uint8)
+            rgb = np.stack([gray, gray, gray], axis=-1)
+            q = np.full(64, 16, dtype=np.int64)
+            q[0] = dcq
+            return encode_baseline_jpeg(rgb, [q, q])
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        jpg(int(d), str(t)) for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def jpeg_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pixel FEATURE EXTRACTION over the real baseline-JPEG entropy decode:
+    dimensions, gray-channel sum/min/max, and a POSITIONAL checksum
+    (sum over row-major pixel index g of (g+1)*pixel) that pins not just
+    the value multiset but the decoded pixel ORDER.  One Arrow batch pass:
+    huffman -> dequant -> IDCT -> color convert -> featurize per row."""
+    _ship_jpeg_by_value()
+    from flinkexp_spark.functions.jpeg import decode_baseline_jpeg
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            px = decode_baseline_jpeg(bytes(payload))
+            gray = (px[..., 0] if px.ndim == 3 else px).astype(np.int64)
+            h, w = gray.shape
+            flat = gray.reshape(-1)
+            g = np.arange(1, flat.size + 1, dtype=np.int64)
+            return (
+                w,
+                h,
+                w * h,
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((g * flat).sum()),
+            )
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            cols = [
+                "width", "height", "n_pixels", "px_sum",
+                "px_min", "px_max", "pos_checksum",
+            ]
+            out = {"doc_id": pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width long, height long, n_pixels long, "
+            "px_sum long, px_min long, px_max long, pos_checksum long"
+        ),
+    )
+
+
 # --- real codec: WAV (RIFF PCM) ---------------------------------------------
 # Second modality exercised END-TO-END: 16-bit mono PCM WAV, written and
 # parsed with the stdlib ``wave`` module — a true container encode/decode
@@ -840,18 +970,50 @@ def decode_mp3_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 # --- stubbed codecs (no media libraries in this environment) ---------------
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: decode compressed image bytes -> pixel data.
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode compressed image bytes -> pixel summary rows.
 
-    Requires an image codec (PIL/opencv) — not available here.  The
-    container-level JPEG metadata parse (dimensions, DQT) is handled for
-    real by :func:`decode_jpeg_meta`; this stub is the remaining
-    entropy-decode step.  The mapInPandas shape is identical to
-    :func:`extract_binary_metadata`.
-    """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; wire the codec into a mapInPandas "
-        "closure exactly like extract_binary_metadata()"
+    Baseline JFIF decodes for REAL via functions/jpeg.py (canonical-Huffman
+    scan decode + dequant + inverse zigzag + IDCT + YCbCr->RGB) — this was
+    the repo's last image stub through round 6.  Non-JPEG compressed
+    formats (PNG/webp) still require PIL/opencv and raise inside the task,
+    keeping the honest environment boundary visible."""
+    _ship_jpeg_by_value()
+    from flinkexp_spark.functions.jpeg import decode_baseline_jpeg
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            payload = bytes(payload)
+            if payload[:2] != b"\xff\xd8":
+                raise NotImplementedError(
+                    "non-JPEG compressed image decode requires PIL/opencv; "
+                    "wire the codec into this closure like decode_baseline_jpeg"
+                )
+            px = decode_baseline_jpeg(payload)
+            n_ch = 1 if px.ndim == 2 else px.shape[2]
+            flat = px.reshape(-1).astype(np.int64)
+            h, w = px.shape[:2]
+            return w, h, n_ch, int(flat.sum()), int(flat.min()), int(flat.max())
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            cols = ["width", "height", "n_channels", "px_sum", "px_min", "px_max"]
+            out = {"doc_id": pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, n_channels long, "
+            "px_sum long, px_min long, px_max long"
+        ),
     )
 
 

