@@ -25,8 +25,10 @@ Determinism across engines:
 
 Scale notes (100 TB): candidate pairs are bounded by cell occupancy, not
 |A| x |B| — the equi-join on (cell_lat, cell_lon) shuffles both sides by
-cell id, so skew maps to hot cells (cities): mitigate with the same
-salting used in join_salted_skew, or refine the grid one level.  The
+cell id, so skew maps to hot cells (cities): ``geo_neighbor_pairs_salted``
+below mitigates exactly that with hot-cell-only salting
+(operators/salting.py ``hot_key_salted_join``); refining the grid one
+level is the other lever.  The
 9x replication factor on ONE side is constant.  Longitude cells wrap
 modulo 360/CELL so antimeridian pairs are kept (the haversine formula is
 itself 360-periodic in delta-lon, so the brute-force oracle would find
@@ -39,16 +41,50 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
+from flinkexp_spark.operators.salting import hot_key_salted_join
 from flinkexp_spark.registry import register
 
 # Synthetic-but-deterministic coordinates in [-60, 60) lat x [-180, 180)
 # lon, derived from the entity key (multipliers coprime with the moduli so
 # consecutive keys spread over the whole grid).  |lat| < 60 keeps one
 # longitude degree >= 55.7 km, which bounds the cell width needed below.
-_CUST_LAT = "(CAST(c_custkey * 7919 % 12000 AS DOUBLE) / 100.0 - 60.0)"
-_CUST_LON = "(CAST(c_custkey * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0)"
-_SUPP_LAT = "(CAST(s_suppkey * 6121 % 12000 AS DOUBLE) / 100.0 - 60.0)"
-_SUPP_LON = "(CAST(s_suppkey * 15485863 % 36000 AS DOUBLE) / 100.0 - 180.0)"
+_CUST_LAT = (
+    "(CAST(CAST(c_custkey AS BIGINT) * 7919 % 12000 AS DOUBLE) / 100.0 - 60.0)"
+)
+_CUST_LON = (
+    "(CAST(CAST(c_custkey AS BIGINT) * 104729 % 36000 AS DOUBLE)"
+    " / 100.0 - 180.0)"
+)
+_SUPP_LAT = (
+    "(CAST(CAST(s_suppkey AS BIGINT) * 6121 % 12000 AS DOUBLE) / 100.0 - 60.0)"
+)
+_SUPP_LON = (
+    "(CAST(CAST(s_suppkey AS BIGINT) * 15485863 % 36000 AS DOUBLE)"
+    " / 100.0 - 180.0)"
+)
+
+# City-skewed variant for the salted join below: every third customer
+# collapses into one of four city centers (+-0.5 deg jitter), the rest keep
+# the uniform spread — deterministic hot cells, same on both engines.
+# Membership (key % 3 == 0) makes key % 12 land in {0,3,6,9}, so the city
+# index needs no division (CAST(double AS BIGINT) ROUNDS in DuckDB but
+# TRUNCATES in Spark — integer-only selectors sidestep that).
+_CITY_LAT = (
+    "(CASE WHEN c_custkey % 3 = 0 THEN "
+    "(CASE c_custkey % 12 WHEN 0 THEN 10.0 WHEN 3 THEN 40.0 "
+    "WHEN 6 THEN -30.0 ELSE 50.0 END "
+    "+ (CAST(CAST(c_custkey AS BIGINT) * 7907 % 100 AS DOUBLE)"
+    " / 100.0 - 0.5)) "
+    f"ELSE {_CUST_LAT} END)"
+)
+_CITY_LON = (
+    "(CASE WHEN c_custkey % 3 = 0 THEN "
+    "(CASE c_custkey % 12 WHEN 0 THEN 10.0 WHEN 3 THEN -70.0 "
+    "WHEN 6 THEN 150.0 ELSE 0.0 END "
+    "+ (CAST(CAST(c_custkey AS BIGINT) * 104717 % 100 AS DOUBLE)"
+    " / 100.0 - 0.5)) "
+    f"ELSE {_CUST_LON} END)"
+)
 
 # Haversine great-circle distance in km — one expression string shared by
 # both engines (sin^2 is 360-periodic in the raw coordinate difference, so
@@ -381,6 +417,76 @@ def q_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         left.join(right, ["cell_lat", "cell_lon"])
         .filter(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .filter(F.col("dist_km") <= 200.0)
+        .select("cust_a", "cust_b", "dist_km")
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+@register(
+    "geo_neighbor_pairs_salted",
+    oracle=f"""
+        WITH c AS (SELECT c_custkey,
+                          {_CITY_LAT} AS plat, {_CITY_LON} AS plon
+                   FROM customer),
+        pairs AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   a.plat AS lat1, a.plon AS lon1,
+                   b.plat AS lat2, b.plon AS lon2
+            FROM c a JOIN c b ON a.c_custkey < b.c_custkey)
+        SELECT cust_a, cust_b, {_HAVERSINE} AS dist_km
+        FROM pairs WHERE {_HAVERSINE} <= 200.0
+        ORDER BY cust_a, cust_b
+    """,
+    tags=("J7", "J5"),
+)
+def q_geo_neighbor_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`geo_neighbor_pairs` under SKEW, with hot-cell salting — the
+    mitigation the module doc (geo.py:26-31) promises.  A third of the
+    customers collapse into four "cities" (deterministic key-derived
+    jitter), so a handful of grid cells hold ~100x the mean occupancy and
+    a plain cell equi-join funnels each city's quadratic pair work through
+    ONE reducer — the skew AQE cannot split, because it is a single KEY.
+
+    :func:`flinkexp_spark.operators.salting.hot_key_salted_join` detects
+    hot cells from a map-side-combined count (tiny, broadcast), salts left
+    rows in hot cells by a content hash, explodes right rows in hot cells
+    into all ``n_salts`` replicas, and sort-merge-joins on
+    ``(cell_lat, cell_lon, __salt)`` — each city's pair space now splits
+    across 8 reducers while rural cells replicate nothing.  The oracle is
+    the brute-force a<b cross join on the SAME skewed coordinates: a green
+    hash proves the salted plan loses and duplicates nothing vs the
+    unsalted semantics.  tests/test_geo.py additionally property-tests
+    salted == unsalted pair sets on random skewed fixtures, and
+    tests/test_plans.py pins the SMJ-on-salt plan shape.
+    """
+    pts = _points(
+        datasets.load(spark, sf_dir, "customer"),
+        "c_custkey",
+        _CITY_LAT,
+        _CITY_LON,
+        cell_deg=4,
+    )
+    left = pts.withColumnsRenamed(
+        {"c_custkey": "cust_a", "lat": "lat1", "lon": "lon1"}
+    )
+    right = _replicate_neighbors(
+        pts.withColumnsRenamed(
+            {"c_custkey": "cust_b", "lat": "lat2", "lon": "lon2"}
+        ),
+        cell_deg=4,
+    )
+    joined = hot_key_salted_join(
+        left,
+        right,
+        ["cell_lat", "cell_lon"],
+        F.xxhash64("cust_a"),
+        n_salts=8,
+        hot_factor=8.0,
+    )
+    return (
+        joined.filter(F.col("cust_a") < F.col("cust_b"))
         .withColumn("dist_km", F.expr(_HAVERSINE))
         .filter(F.col("dist_km") <= 200.0)
         .select("cust_a", "cust_b", "dist_km")

@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "hot_key_salted_join"]
 
 
 def salted_agg(
@@ -82,3 +82,73 @@ def salted_join(
     ).alias("__salt")
     big_s = big.select("*", salt)
     return big_s.join(small_rep, [*on, "__salt"], how).drop("__salt")
+
+
+def hot_key_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_salt_col: str | Column,
+    n_salts: int = 8,
+    hot_factor: float = 8.0,
+) -> DataFrame:
+    """Big-to-big shuffle join with HOT-KEY-ONLY salting.
+
+    ``salted_join`` replicates the whole small side; with two fact-scale
+    inputs that is ``n_salts``x the shuffle volume — unaffordable.  This
+    variant replicates only the rows whose join key is HOT: a cheap
+    map-side-combined count over the LEFT side finds keys whose row count
+    exceeds ``hot_factor`` x the mean key count; that (tiny) hot-key set is
+    broadcast to both sides.  Left rows under a hot key take a
+    deterministic salt in ``[0, n_salts)`` (content hash — task retries
+    re-route identically); right rows under a hot key explode into all
+    ``n_salts`` replicas; everything else keeps salt 0.  The equi-join then
+    runs on ``(*on, __salt)``, splitting each hot key's pair work across
+    ``n_salts`` reducers while cold keys pay nothing.
+
+    This is the skew shape of the geospatial cell joins (catalog/geo.py):
+    city cells hold orders of magnitude more points than rural cells, and
+    AQE's skew split only rebalances SORT-side partitions — it cannot split
+    a single hot KEY whose pair product explodes inside one task.  Salting
+    the key itself can.  The join is pinned to sort-merge (``merge`` hint):
+    a broadcast pick at test scale would hide exactly the reducer this
+    operator exists to split.
+
+    Inner joins only (hot right rows are replicated; unmatched-row
+    semantics of outer joins would surface once per replica).
+    """
+    counts = left.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+    mean = counts.agg(F.avg("__n").alias("__mean"))
+    hot = (
+        counts.join(F.broadcast(mean))
+        .filter(F.col("__n") >= F.col("__mean") * hot_factor)
+        .select(*on, F.lit(True).alias("__hot"))
+    )
+    src = (
+        F.col(left_salt_col)
+        if isinstance(left_salt_col, str)
+        else left_salt_col
+    )
+    left_s = (
+        left.join(F.broadcast(hot), list(on), "left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__hot"), F.pmod(src, F.lit(n_salts))).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("__hot")
+    )
+    right_s = (
+        right.join(F.broadcast(hot), list(on), "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+    return left_s.hint("merge").join(right_s, [*on, "__salt"]).drop("__salt")

@@ -113,3 +113,68 @@ def test_blocking_keeps_cell_boundary_pairs(spark):
     )
     got = _assert_same_pairs(spark, left, right, 6, 300.0)
     assert {(lid, rid) for lid, rid, _ in got} == {(1, 10), (1, 20)}
+
+
+def test_hot_cell_salting_preserves_pair_sets(spark):
+    """Property: hot_key_salted_join over skewed points yields EXACTLY the
+    pair set of the plain (unsalted) cell join — salting may only re-route
+    rows across reducers, never lose or duplicate a pair.  The fixture
+    plants one deliberately hot cell (half of all points) plus a uniform
+    background, with points on both sides of the hot cell's edges so
+    salted rows must still meet their neighbor-cell partners."""
+    from flinkexp_spark.catalog.geo import _replicate_neighbors
+    from flinkexp_spark.operators.salting import hot_key_salted_join
+
+    rng = random.Random(20260816)
+    hot = [
+        (i, 40.0 + rng.uniform(-2.2, 2.2), 8.0 + rng.uniform(-2.2, 2.2))
+        for i in range(60)
+    ]  # 4-deg cell around (40, 8) plus spill into every neighbor
+    cold = [
+        (1000 + i, rng.uniform(-59.9, 59.9), rng.uniform(-180.0, 180.0))
+        for i in range(60)
+    ]
+    pts = _cellify(
+        spark.createDataFrame(
+            hot + cold, "pid long, plat double, plon double"
+        ),
+        "pid",
+        4,
+    )
+    left = pts.withColumnsRenamed(
+        {"pid": "lid", "lat": "lat1", "lon": "lon1"}
+    )
+    right = _replicate_neighbors(
+        pts.withColumnsRenamed({"pid": "rid", "lat": "lat2", "lon": "lon2"}),
+        4,
+    )
+
+    def finish(joined):
+        return sorted(
+            (r.lid, r.rid, r.dist_km)
+            for r in (
+                joined.filter(F.col("lid") < F.col("rid"))
+                .withColumn("dist_km", F.expr(_HAVERSINE))
+                .filter(F.col("dist_km") <= 200.0)
+                .select("lid", "rid", "dist_km")
+                .collect()
+            )
+        )
+
+    plain = finish(left.join(right, ["cell_lat", "cell_lon"]))
+    # low hot_factor + few salts so BOTH branches (salted hot cells,
+    # untouched cold cells) are exercised at this fixture size
+    salted = finish(
+        hot_key_salted_join(
+            left,
+            right,
+            ["cell_lat", "cell_lon"],
+            F.xxhash64("lid"),
+            n_salts=4,
+            hot_factor=4.0,
+        )
+    )
+    assert salted == plain and plain, (
+        f"salting changed the pair set: salted={len(salted)} "
+        f"plain={len(plain)}"
+    )

@@ -718,3 +718,22 @@ def test_regex_cep_sorted_collect_stays_one_stage(spark, sf_dir):
     sort_pos = plan.rfind("Sort ")
     agg_pos = plan.rfind("ObjectHashAggregate")
     assert sort_pos != -1 and agg_pos != -1
+
+
+def test_geo_salted_join_stays_smj_on_cell_and_salt(spark, sf_dir):
+    """The hot-cell salted spatial join must stay a SORT-MERGE join keyed
+    on (cell_lat, cell_lon, __salt) — a broadcast pick at test scale would
+    hide exactly the single-reducer hot key the salting exists to split,
+    and dropping __salt from the keys would silently de-salt the plan."""
+    df = queries()["geo_neighbor_pairs_salted"](spark, sf_dir)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj, f"salted geo join lost its SMJ:\n{plan}"
+    keyed = [ln for ln in smj if "__salt" in ln and "cell_lat" in ln]
+    assert keyed, f"SMJ no longer keyed on (cell, __salt):\n{smj}"
