@@ -119,6 +119,9 @@ HEADLINE = [
     "rfm_segmentation",
     "timeseries_forecast_backtest",
     "graph_clustering_coefficient",
+    # round-7 additions: baseline-JPEG entropy decode, hot-cell salted join
+    "multimodal_decode_jpeg_pixels",
+    "geo_neighbor_pairs_salted",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
@@ -134,6 +137,10 @@ def main() -> None:
         sf = -1.0
 
     spark = get_session(app_name="flinkexp_spark_bench")
+    # Runtime WARNs (e.g. WindowExec single-partition notes from bounded
+    # demo queries) go to the merged capture; r06's 2000-byte tail was
+    # mostly WARN spam and nearly pushed the JSON line out.  ERROR only.
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm up the JVM / codegen / parquet footer+page caches so per-query
     # timings measure the engine, not first-touch session costs.
     for t in ("nation", "documents", "events", "lineitem", "embeddings"):
@@ -201,42 +208,48 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # The driver captures only the LAST ~2000 bytes of stdout and json-parses
-    # them (BENCH_r02/r03 both came back "parsed": null because the full
-    # payload with queries_min ran ~2.8 KB and lost its head).  Emit a
-    # compact line to stdout — 2-decimal medians, no min map — and keep the
-    # full payload in BENCH_LOCAL.json for the judge.
-    compact = json.dumps(
-        {
+    # The driver captures only the LAST ~2000 bytes of merged output and
+    # json-parses them (BENCH_r02/r03 came back "parsed": null because the
+    # full payload ran ~2.8 KB and lost its head; r06 fell back to a
+    # suite_total-only line because 77 query names alone exceed the
+    # window).  Emit the SLOWEST queries until the byte budget is spent —
+    # those are the ones round-over-round diffs act on — plus an "others"
+    # rollup; the full per-query map lands in BENCH_LOCAL.json and is
+    # frozen per round as BENCH_r{N}_FULL.json at end-of-round commit.
+    def compact_line(n_top: int) -> str:
+        by_cost = sorted(medians, key=medians.get, reverse=True)
+        top = {k: round(medians[k], 2) for k in sorted(by_cost[:n_top])}
+        rest = by_cost[n_top:]
+        payload = {
             "metric": "headline_suite_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in medians.items()},
+            "queries": top,
             "repeats": repeats,
             "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    if len(compact) > 1900:  # still too big for the tail window: drop detail
-        compact = json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {"suite_total": total},
-                "n_queries": len(medians),
-                "repeats": repeats,
-                "sf": sf,
-                "detail": "BENCH_LOCAL.json",
-            },
-            separators=(",", ":"),
-        )
-    print(compact)
+        }
+        if rest:
+            payload["others"] = {
+                "n": len(rest),
+                "sec": round(sum(medians[k] for k in rest), 2),
+            }
+            payload["full"] = "BENCH_LOCAL.json"
+        return json.dumps(payload, separators=(",", ":"))
+
+    n_top = len(medians)
+    compact = compact_line(n_top)
+    while len(compact) > 1700 and n_top > 0:  # leave tail-window margin
+        n_top -= 5
+        compact = compact_line(n_top)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
             f.write(full_payload + "\n")
     except OSError as exc:  # never fail the bench over the backup copy
         print(f"# bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    # Stop Spark BEFORE the final print: nothing (shutdown logs, late
+    # executor stderr) may land after the JSON line in the merged capture.
+    spark.stop()
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

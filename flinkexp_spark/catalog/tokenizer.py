@@ -192,20 +192,88 @@ def trained_merges(
     return _MERGES_CACHE[key]
 
 
+def _select_exact_batch(
+    rows, floor: int, limit: int
+) -> list[tuple[str, str, int]]:
+    """Greedily pick a prefix of the sorted pair-count rows that sequential
+    BPE is PROVABLY going to merge in this exact order — the batching rule
+    behind the k-fold driver-cadence cut (VERDICT r6 #5).
+
+    Sequential BPE re-counts pairs after every merge, but a merge (a, b)
+    can only change the support of pairs touching ``a``, ``b``, or the
+    fused token ``ab``: disjoint pairs keep their counts exactly.  New or
+    changed pairs all descend from an old pair sharing one of those
+    tokens, so their support is bounded by the largest such "sharing"
+    pair's OLD support.  Scanning the old ranking top-down therefore
+    accepts candidates while they are (i) token-disjoint from everything
+    already accepted (merged strings included) and (ii) STRICTLY above
+    ``s_share`` — the max old support of any sharing pair (the first one
+    hit in sort order, thanks to the sort) or, for pairs outside the
+    collected top-k, the last collected row's support (``floor``).  Strict
+    ``>`` matters: an equal-support descendant could win the (a, b)
+    lexicographic tie-break against a later acceptance.  Everything from
+    the first rejection on is dropped — sequential BPE's next pick could
+    be that very pair with a changed count.
+
+    SELF-pairs (a == b) end the batch: merging (b, b) over a run "bbb"
+    creates (bb, b) pairs whose old-ranking ancestor is (b, b) ITSELF —
+    an accepted pair, which no non-accepted sharer's support bounds (fuzz
+    counter-example: {"bbb": 41} makes (bb, b) outrank every survivor).
+    Every other new pair's bridge shares a token with exactly one
+    accepted merge without being one, so ``s_share`` bounds it.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    tentative: list[tuple[str, str, int]] = []
+    s_share = floor
+    for r in rows:
+        a, b, s = r["a"], r["b"], int(r["support"])
+        if not accepted:
+            accepted.append((a, b, s))
+            used |= {a, b, a + b}
+            if a == b:
+                return accepted[:limit]
+            continue
+        if {a, b, a + b} & used:
+            s_share = max(s_share, s)  # sort order: first sharer is max
+            break
+        tentative.append((a, b, s))
+        used |= {a, b, a + b}
+    for t in tentative:
+        if t[2] <= s_share:
+            break
+        accepted.append(t)
+        if t[0] == t[1]:
+            break
+    return accepted[:limit]
+
+
 def train_bpe_merges(
-    spark: SparkSession, words: DataFrame, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    words: DataFrame,
+    n_merges: int = BPE_MERGES,
+    batch_k: int = 16,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, n) histogram.
 
     Returns [(rank, left, right, merged, support)]; ``support`` is the
-    weighted pair count that won the round.
+    weighted pair count that won the round.  Each Spark round collects the
+    top ``batch_k + 1`` pairs and accepts as many merges as
+    :func:`_select_exact_batch` can prove sequential BPE would make in
+    that order — output is bit-identical to one-merge-per-round training
+    (the unrolled DuckDB oracle and the pure-Python reference in
+    tests/test_tokenizer.py both pin this) while large vocabularies spend
+    ~k-fold fewer Spark jobs once the pair distribution's tail separates.
+    The round count actually used is exposed as
+    ``train_bpe_merges.last_rounds`` for the job-cadence trip-wire test.
     """
     hist = words.select(
         F.expr(_CHARS_EXPR).alias("toks"),
         F.col("n"),
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = (
             hist.filter(F.size("toks") >= 2)
             .select(
@@ -220,35 +288,35 @@ def train_bpe_merges(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("n").alias("support"))
         )
-        top = pairs.orderBy(
-            F.desc("support"), F.asc("a"), F.asc("b")
-        ).limit(1).collect()
+        top = (
+            pairs.orderBy(F.desc("support"), F.asc("a"), F.asc("b"))
+            .limit(batch_k + 1)
+            .collect()
+        )
+        rounds += 1
         if not top:
             break
-        a, b, support = top[0]["a"], top[0]["b"], int(top[0]["support"])
-        merged = a + b
-        merges.append((rank, a, b, merged, support))
-        # left-to-right merge fold; the freshly fused token (acc's last
-        # element == merged) can only match pattern-left `a` again if
-        # merged == a, which the scan rule forbids within one pass
-        prev = hist
-        hist = hist.select(
-            F.aggregate(
-                "toks",
+        # rows beyond the collected window bound every unseen pair's support
+        floor = int(top[-1]["support"]) if len(top) == batch_k + 1 else 0
+        batch = _select_exact_batch(
+            top[:batch_k], floor, n_merges - len(merges)
+        )
+        # left-to-right merge folds chained in rank order within ONE pass;
+        # a freshly fused token (acc's last element == merged) can only
+        # re-match pattern-left `a` if merged == a, which the scan rule
+        # forbids within one pass
+        col = F.col("toks")
+        for a, b, support in batch:
+            merges.append((len(merges), a, b, a + b, support))
+            col = F.aggregate(
+                col,
                 F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("toks"),
-            "n",
-        ).localCheckpoint()  # eager, so the previous copy is releasable now
-        prev.unpersist()  # don't pin n_merges+1 histogram copies in storage
+                _bpe_merge_fold(a, b, a + b),
+            )
+        prev = hist
+        hist = hist.select(col.alias("toks"), "n").localCheckpoint()
+        prev.unpersist()  # don't pin every histogram copy in storage
+    train_bpe_merges.last_rounds = rounds
     return merges
 
 
@@ -270,6 +338,24 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merge_fold(a: str, b: str, merged: str):
+    """Factory for one merge's left-to-right fold lambda.  A factory, NOT
+    default-arg capture: PySpark inspects the lambda's arity and rejects
+    extra (defaulted) parameters."""
+
+    def fold(acc, x):
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return fold
+
+
 def apply_bpe_merges(
     toks: F.Column | str, merges: list[tuple[int, str, str, str, int]]
 ):
@@ -277,25 +363,9 @@ def apply_bpe_merges(
     ENCODE side of BPE.  Merges are literals baked into the plan, so the
     whole encode is one chained expression per row (no join, no UDF)."""
     col = F.col(toks) if isinstance(toks, str) else toks
-
-    def merge_fold(a: str, b: str, merged: str):
-        # factory, NOT default-arg capture: PySpark inspects the lambda's
-        # arity and rejects extra (defaulted) parameters
-        def fold(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return fold
-
     for _, a, b, merged, _ in merges:
         col = F.aggregate(
-            col, F.array().cast("array<string>"), merge_fold(a, b, merged)
+            col, F.array().cast("array<string>"), _bpe_merge_fold(a, b, merged)
         )
     return col
 

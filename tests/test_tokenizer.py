@@ -127,3 +127,113 @@ def test_bpe_ignores_empty_words(spark):
     )
     merges = train_bpe_merges(spark, words, 1)
     assert merges == [(0, "a", "b", "ab", 1)]
+
+
+def test_batched_selection_is_exact_vs_sequential_bpe():
+    """Pure-Python fuzz: the batched acceptance rule in
+    _select_exact_batch must reproduce sequential BPE's merge sequence
+    EXACTLY on adversarial tiny-alphabet corpora (run-heavy words are
+    where the self-pair stop rule earns its keep — seed sweep includes
+    the {'bbb': 41} class that broke the first draft)."""
+    import random
+    from collections import Counter
+
+    from flinkexp_spark.catalog.tokenizer import _select_exact_batch
+
+    def seq(words, n):
+        toks = {w: list(w) for w in words}
+        out = []
+        for _ in range(n):
+            c = Counter()
+            for w, cnt in words.items():
+                t = toks[w]
+                for i in range(len(t) - 1):
+                    c[(t[i], t[i + 1])] += cnt
+            if not c:
+                break
+            (a, b), s = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((a, b, s))
+            for w in toks:
+                t = toks[w]
+                r = []
+                i = 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                        r.append(a + b)
+                        i += 2
+                    else:
+                        r.append(t[i])
+                        i += 1
+                toks[w] = r
+        return out
+
+    def batched(words, n, k):
+        toks = {w: list(w) for w in words}
+        out = []
+        rounds = 0
+        while len(out) < n:
+            c = Counter()
+            for w, cnt in words.items():
+                t = toks[w]
+                for i in range(len(t) - 1):
+                    c[(t[i], t[i + 1])] += cnt
+            if not c:
+                break
+            rows = sorted(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[: k + 1]
+            rounds += 1
+            floor = rows[-1][1] if len(rows) == k + 1 else 0
+            batch = _select_exact_batch(
+                [{"a": a, "b": b, "support": s} for (a, b), s in rows[:k]],
+                floor,
+                n - len(out),
+            )
+            for a, b, s in batch:
+                out.append((a, b, s))
+                for w in toks:
+                    t = toks[w]
+                    r = []
+                    i = 0
+                    while i < len(t):
+                        if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                            r.append(a + b)
+                            i += 2
+                        else:
+                            r.append(t[i])
+                            i += 1
+                    toks[w] = r
+        return out, rounds
+
+    for seed in range(400):
+        rng = random.Random(seed)
+        words = {}
+        alpha = "abcdef"[: rng.randint(1, 6)]
+        for _ in range(rng.randint(1, 40)):
+            w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            words[w] = words.get(w, 0) + rng.randint(1, 50)
+        n = rng.randint(1, 15)
+        want = seq(dict(words), n)
+        got, _ = batched(dict(words), n, rng.choice([2, 4, 16]))
+        assert got == want, f"seed={seed} words={words} n={n}"
+
+
+def test_batched_training_cuts_spark_rounds(spark, sf_dir):
+    """The driver-cadence win itself: training BPE_MERGES merges on the
+    fixture corpus must take FEWER pair-count Spark rounds than merges
+    (the whole point of VERDICT r6 #5), while the learned table stays
+    exactly the sequential reference's (pinned above)."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    got = train_bpe_merges(spark, words, BPE_MERGES)
+    assert len(got) == BPE_MERGES
+    rounds = train_bpe_merges.last_rounds
+    assert rounds < BPE_MERGES, (
+        f"batching never engaged: {rounds} rounds for {BPE_MERGES} merges"
+    )
