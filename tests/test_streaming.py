@@ -426,3 +426,43 @@ def test_python_stream_source_checkpoint_restart(spark, tmp_path):
     rows = spark.read.parquet(out).select("doc_id").collect()
     ids = sorted(r.doc_id for r in rows)
     assert ids == list(range(250)), (len(ids), ids[:5], ids[-5:])
+
+
+def test_update_sequence_emits_exactly_the_changed_keys(spark):
+    """VERDICT r6 #7 — E5 rolling-sum parity at micro-batch granularity:
+    in update mode, EVERY batch's emitted rows must be exactly the keys
+    whose counts changed in that batch (no re-emission of untouched keys,
+    no missing touched key), carrying the refreshed CUMULATIVE total.
+    Three quantile-split batches with known, partially-overlapping key
+    sets pin the whole sequence, not just the final totals."""
+    from flinkexp_spark.streaming.replay import replay_update_mode
+
+    rows = []
+    plan = {0: ["a"] * 6 + ["b"] * 4, 1: ["b"] * 3 + ["c"] * 7,
+            2: ["a"] * 5 + ["c"] * 5}
+    for batch, words in plan.items():
+        for i, w in enumerate(words):
+            rows.append((batch * 10 + i, w))
+    src = spark.createDataFrame(rows, "seq long, word string")
+
+    batches = replay_update_mode(
+        spark,
+        src,
+        lambda df: df.groupBy("word").agg(F.count("*").alias("cnt")),
+        n_files=3,
+        order_col="seq",
+    )
+    batches = [b for b in batches if len(b)]
+    assert len(batches) == 3, f"expected 3 micro-batches, got {len(batches)}"
+
+    running: dict[str, int] = {}
+    for batch_no, (pdf, words) in enumerate(zip(batches, plan.values())):
+        expected_changed = {}
+        for w in words:
+            running[w] = running.get(w, 0) + 1
+            expected_changed[w] = running[w]
+        got = dict(zip(pdf["word"], pdf["cnt"]))
+        assert got == expected_changed, (
+            f"batch {batch_no}: emitted {got}, the changed-key set is "
+            f"{expected_changed}"
+        )
