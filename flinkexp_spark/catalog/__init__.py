@@ -262,6 +262,7 @@ def _r06_window() -> tuple[str, ...]:
 _R07_NEW: tuple[str, ...] = (
     "multimodal_decode_jpeg_pixels",  # baseline-JPEG entropy decode (last X5 image stub)
     "geo_neighbor_pairs_salted",  # hot-cell salted big-big spatial self-join
+    "stream_wordcount_per_record",  # E5 at Flink's per-record emission cadence
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

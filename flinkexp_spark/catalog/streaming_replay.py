@@ -1348,3 +1348,85 @@ def q_stream_pipeline_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.expr(_WS).alias("window_start"), "n_name", "n"
     )
+
+
+@register(
+    "stream_wordcount_per_record",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   unnest(range(0, len(string_split(text, ' ')))) AS pos
+            FROM documents
+        )
+        SELECT word, doc_id * 1000000 + pos AS seq,
+               ROW_NUMBER() OVER (
+                   PARTITION BY word ORDER BY doc_id * 1000000 + pos
+               ) AS cnt
+        FROM w WHERE word <> ''
+    """,
+    tags=("E5", "E4", "T7", "T9"),
+)
+def q_stream_wordcount_per_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 at FLINK's emission cadence: one output row PER INPUT RECORD
+    carrying the key's refreshed running total — `keyBy().sum().print()`
+    (reference StreamSocket.scala:15-16) emits per record, and SURVEY
+    §2.1 scoped the repo's contract to micro-batch granularity; this
+    query closes that last visible semantic delta.  A stateful flat-map
+    (``applyInPandasWithState``: per-word ValueState count, one emission
+    per arriving record in arrival order) replayed over three
+    micro-batches, so totals provably CONTINUE across batches rather
+    than recount.  The oracle is the pure-SQL form of per-record
+    emission: ``ROW_NUMBER() OVER (PARTITION BY word ORDER BY seq)`` —
+    the k-th arrival of a word emits total k.  Scale: state is one long
+    per distinct word; emissions are input-sized (that IS the
+    contract); Arrow-batched per key, no driver materialization.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            (F.col("doc_id") * 1000000 + F.col("pos")).alias("seq"), "word"
+        )
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def per_record(key, pdfs, state):
+            # closure: pickled by value (workers can't import the repo)
+            import numpy as np
+            import pandas as pd
+
+            n = state.get[0] if state.exists else 0
+            pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+            k = len(pdf)
+            state.update((n + k,))
+            yield pd.DataFrame(
+                {
+                    "word": np.repeat(key[0], k),
+                    "seq": pdf["seq"].to_numpy(),
+                    "cnt": n + 1 + np.arange(k, dtype="int64"),
+                }
+            )
+
+        return stream.groupBy("word").applyInPandasWithState(
+            per_record,
+            outputStructType="word string, seq long, cnt long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return replay(
+        spark,
+        words,
+        transform,
+        output_mode="update",
+        n_files=3,
+        order_col="seq",
+        use_checkpoint=True,
+    )
