@@ -214,6 +214,7 @@ IVF_NPROBE = 2
 IVF_REPL = 2    # corpus-side multi-assignment (cells per indexed vector)
 IVF_ITERS = 2   # Lloyd refinement rounds (k-means with deterministic seed)
 IVF_FP = 1_000_000  # fixed-point scale for centroid means (see below)
+IVF_TARGET_CELL = 250  # target cell width for scaled_ivf_k (8 cells at <=2000 vecs)
 
 
 # --- int8 max-abs quantization: THE single definition -----------------------
@@ -271,11 +272,29 @@ def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return aff.withColumn("crnk", F.row_number().over(w_assign))
 
 
-_CENT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CENT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def scaled_ivf_k(n_vectors: int) -> int:
+    """Data-scaled cell count: K = max(IVF_K, n // IVF_TARGET_CELL).
+
+    SemDeDup's pair space is sum-of-cell² — with FIXED K a 10x corpus
+    densifies every cell 10x and pair work grows ~100x (the sf1 stress
+    run measured dedup_semantic at scaling exponent 1.35, BENCH_SF1.json).
+    Holding cell width near IVF_TARGET_CELL keeps pair work linear; the
+    assignment pass pays the standard IVF N*K dot products.  The constant
+    is picked so every shipped correctness/bench fixture (<= 2000 vectors)
+    still yields exactly IVF_K=8 — the unrolled DuckDB oracles embed that
+    literal, and this formula provably agrees with them at oracle scale.
+    """
+    return max(IVF_K, n_vectors // IVF_TARGET_CELL)
 
 
 def _ivf_centroids_df(
-    spark: SparkSession, emb: DataFrame, cache_key: str | None = None
+    spark: SparkSession,
+    emb: DataFrame,
+    cache_key: str | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """K seed centroids refined by IVF_ITERS Lloyd rounds (fixed-point means).
 
@@ -287,17 +306,21 @@ def _ivf_centroids_df(
     ``cache_key`` (the sf_dir) memoizes the refined table per session —
     sim_search_ivf and dedup_semantic share one quantizer, exactly like the
     shared MinHash signature table (llm_dedup.signature_table).
+    ``k=None`` keeps the fixed IVF_K quantizer; callers that must stay
+    linear under corpus growth pass :func:`scaled_ivf_k` of their count.
     """
     app_id = spark.sparkContext.applicationId
     # Evict entries from previous (stopped) applications: at most one app
     # is live per process, and a dead app's entries would pin its session's
     # plan graphs forever in a long-lived driver.
-    for stale in [k for k in _CENT_CACHE if k[0] != app_id]:
+    for stale in [k_ for k_ in _CENT_CACHE if k_[0] != app_id]:
         del _CENT_CACHE[stale]
-    key = (app_id, cache_key or "")
+    if k is None:
+        k = IVF_K
+    key = (app_id, cache_key or "", k)
     if cache_key is not None and key in _CENT_CACHE:
         return _CENT_CACHE[key]
-    cent = emb.filter(F.col("vec_id") < IVF_K).select(
+    cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").cast("array<double>").alias("centv"),
     )
@@ -590,10 +613,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold cell width roughly constant.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    # K scales with the corpus (cell width ~IVF_TARGET_CELL): fixed K made
+    # pair work quadratic under growth — sf1 stress exponent 1.35, now the
+    # assignment pays N*K dots and the pair join stays linear.  At every
+    # shipped oracle/bench fixture the formula yields exactly IVF_K, so
+    # the unrolled DuckDB oracle (which embeds the literal) still agrees.
+    cent = _ivf_centroids_df(
+        spark, emb, cache_key=sf_dir, k=scaled_ivf_k(emb.count())
+    )
     # Per-vector norm computed BEFORE the pair join: each of the
     # sum-of-cell² pairs then pays one dot product instead of three
     # (dot/(na*nb) is float-identical to V.cosine — same fold, same sqrt).
+    # No localCheckpoint even though `cells` feeds three consumers: AQE's
+    # ReusedExchange already dedupes the N*K assignment subtree (A/B at
+    # sf1: checkpointed 24.5/25.2 s vs plain 24.3/21.2 s warm).
     cells = (
         _ivf_assign_df(emb, cent)
         .filter(F.col("crnk") == 1)
