@@ -263,6 +263,8 @@ _R07_NEW: tuple[str, ...] = (
     "multimodal_decode_jpeg_pixels",  # baseline-JPEG entropy decode (last X5 image stub)
     "geo_neighbor_pairs_salted",  # hot-cell salted big-big spatial self-join
     "stream_wordcount_per_record",  # E5 at Flink's per-record emission cadence
+    "changelog_incremental_join",  # delta-join IVM vs recompute oracle
+    "sample_priority_weighted",  # exact-k weighted sample (DLT priority)
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

@@ -226,3 +226,77 @@ def q_changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "changelog_incremental_join",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, event_id, event_id % 3 AS ta
+            FROM events WHERE user_id % 5 = 0
+        ),
+        b AS (
+            SELECT o_custkey, o_orderkey, o_orderkey % 3 AS tb
+            FROM orders
+        )
+        SELECT a.user_id, a.event_id, b.o_orderkey,
+               greatest(a.ta, b.tb) AS epoch
+        FROM a JOIN b ON a.user_id = b.o_custkey
+    """,
+    tags=("J1", "T8", "T9"),
+)
+def q_changelog_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (delta-join IVM) — the join-view
+    sibling of `changelog_incremental_agg`'s retraction aggregate: two
+    insert-only changelogs A (events, epoch = event_id % 3) and B (orders,
+    epoch = o_orderkey % 3) maintain the view V = A JOIN B by computing,
+    per epoch t, only the DELTA
+
+        dV_t  =  dA_t JOIN B_{<=t}   UNION ALL   A_{<t} JOIN dB_t
+
+    (the classic decomposition; the dA JOIN dB corner lives in the first
+    term because B_{<=t} includes dB_t).  Each joined pair (a, b) appears
+    in exactly one delta — the epoch both sides exist, max(ta, tb) — so
+    the UNION of the three deltas equals the full join: the oracle
+    RECOMPUTES A JOIN B with greatest-epoch attribution, and the hash
+    check proves the incremental plan neither drops nor duplicates a
+    pair.  This is Flink's two-sided streaming-join state update
+    expressed as bounded epochs.
+
+    Scale: per epoch the join keys shuffle only the DELTA plus the probe
+    side — at 100 TB the deltas are micro-batch-sized while B_{<=t} is
+    served by the (bucketed) accumulated table, which is exactly how a
+    streaming warehouse maintains join views without recomputing them.
+    """
+    a = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            "user_id", "event_id", (F.col("event_id") % 3).alias("ta")
+        )
+    )
+    b = datasets.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", (F.col("o_orderkey") % 3).alias("tb")
+    )
+    deltas = []
+    for t in range(3):
+        da = a.filter(F.col("ta") == t)
+        db = b.filter(F.col("tb") == t)
+        b_upto = b.filter(F.col("tb") <= t)
+        a_before = a.filter(F.col("ta") < t)
+        deltas.append(
+            da.join(b_upto, F.col("user_id") == F.col("o_custkey")).select(
+                "user_id", "event_id", "o_orderkey",
+                F.lit(t).cast("long").alias("epoch"),
+            )
+        )
+        deltas.append(
+            a_before.join(db, F.col("user_id") == F.col("o_custkey")).select(
+                "user_id", "event_id", "o_orderkey",
+                F.lit(t).cast("long").alias("epoch"),
+            )
+        )
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionAll(d)
+    return out

@@ -644,3 +644,71 @@ def q_pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("margin_x1000") > 0)
         .orderBy("prompt_id")
     )
+
+
+RSAMPLE_K = 20  # exact per-stratum budget for the priority sample
+RSAMPLE_M = 1 << 20  # uniform grid: u = (h % M + 1) / M in (0, 1]
+
+
+@register(
+    "sample_priority_weighted",
+    oracle=f"""
+        WITH pri AS (
+            SELECT lang, doc_id, n_chars,
+                   n_chars * {RSAMPLE_M}.0 /
+                   ({T.h64_sql("concat('rsample-', CAST(doc_id AS VARCHAR))")}
+                        % {RSAMPLE_M} + 1) AS priority
+            FROM documents
+        ),
+        r AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY priority DESC, doc_id) AS rnk
+            FROM pri
+        )
+        SELECT lang, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {RSAMPLE_K}
+    """,
+    tags=("X4", "W5", "P2"),
+)
+def q_sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k weighted sampling without replacement per stratum — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007; the scheme behind
+    weight-proportional corpus subsampling with a FIXED budget, where the
+    Bernoulli `sample_weighted_hash` gives only an expected size): each doc
+    draws u in (0,1] from a content-keyed hash and gets priority w/u
+    (w = n_chars); the top-k priorities per lang are the sample.
+
+    Cross-engine float contract: u is a 2^20-grid rational and w*M stays
+    under 2^53, so priority = (exact int) / (exact int) is ONE
+    correctly-rounded IEEE division — bit-identical on both engines with
+    no transcendental (the classic ES exponential-jitter form needs ln(u),
+    whose last-ulp libm differences could flip ranks at the k-boundary).
+    Deterministic hash => retries/speculation/reruns keep the identical
+    sample (the same exactly-once argument as the other sampling queries).
+
+    Scale: one shuffle on the stratum key for the top-k window; at 100 TB
+    swap the full sort for the per-partition-top-k + re-rank pattern of
+    `window_topk_per_group` (same contract, partial top-k combines
+    map-side).
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+    u_units = (
+        T.h64(F.concat(F.lit("rsample-"), F.col("doc_id").cast("string")))
+        % RSAMPLE_M
+        + 1
+    )
+    pri = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars") * F.lit(float(RSAMPLE_M)) / u_units).alias(
+            "priority"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pri.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RSAMPLE_K)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
