@@ -265,6 +265,8 @@ _R07_NEW: tuple[str, ...] = (
     "stream_wordcount_per_record",  # E5 at Flink's per-record emission cadence
     "changelog_incremental_join",  # delta-join IVM vs recompute oracle
     "sample_priority_weighted",  # exact-k weighted sample (DLT priority)
+    "sim_search_ivf2",  # two-level (sqrt-K) IVF descent
+    "sim_search_recall_ivf2",  # measured recall contract for the descent
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

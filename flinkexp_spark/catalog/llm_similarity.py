@@ -937,3 +937,250 @@ def q_sim_search_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x1000"),
         )
     )
+
+
+# --- two-level IVF: hierarchical coarse assignment ---------------------------
+# The sf1 stress analysis (SCALING.md) names the flat N*K assignment as the
+# next bottleneck once K scales with the corpus.  The standard fix (IMI /
+# two-level IVF) descends a hierarchy: G super-seeds over the fine
+# centroids, each vector scores G supers then only its group's fine cells —
+# per-vector work drops from K to G + K/G (sqrt-K shape at G ~ sqrt(K)).
+# Assignment becomes APPROXIMATE (a group wall can hide the true nearest
+# fine cell), so like every ANN knob here it ships with a measured,
+# hash-pinned recall contract instead of an exact-assignment claim.
+IVF2_G = 3       # super-groups over the fine centroids
+IVF2_SPROBE = 2  # super-groups a QUERY descends into
+IVF2_IREPL = 2   # super-groups an INDEXED vector descends into (cross-wall
+#                  replication, the SPANN trick one level up: 1 group
+#                  measures recall 0.625/0.71 at sf0.001/sf0.01, 2 groups
+#                  0.72/0.735 for 2x index-assignment work)
+
+
+def _ivf2_assign_df(emb: DataFrame, cent: DataFrame, sprobe: int) -> DataFrame:
+    """Two-level descent, ranked like :func:`_ivf_assign_df`: rank the
+    IVF2_G super-seeds per vector, take ``sprobe`` groups, then rank the
+    fine cells of those groups by (rounded cosine DESC, cent_id)."""
+    supers = cent.filter(F.col("cent_id") < IVF2_G).select(
+        F.col("cent_id").alias("super_id"), F.col("centv").alias("superv")
+    )
+    gaff = cent.join(F.broadcast(supers)).select(
+        "cent_id",
+        "centv",
+        "super_id",
+        F.round(
+            V.cosine(F.col("centv"), F.col("superv")), V.COS_DECIMALS
+        ).alias("gs"),
+    )
+    wg = Window.partitionBy("cent_id").orderBy(F.desc("gs"), F.asc("super_id"))
+    groups = (
+        gaff.withColumn("grnk", F.row_number().over(wg))
+        .filter(F.col("grnk") == 1)
+        .select("cent_id", "centv", "super_id")
+    )
+    vs = emb.join(F.broadcast(supers)).select(
+        "vec_id",
+        "embedding",
+        "super_id",
+        F.round(
+            V.cosine(F.col("embedding"), F.col("superv")), V.COS_DECIMALS
+        ).alias("ss"),
+    )
+    ws = Window.partitionBy("vec_id").orderBy(F.desc("ss"), F.asc("super_id"))
+    picked = (
+        vs.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= sprobe)
+        .select("vec_id", "embedding", "super_id")
+    )
+    aff = picked.join(F.broadcast(groups), "super_id").select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(
+            V.cosine(F.col("embedding"), F.col("centv")), V.COS_DECIMALS
+        ).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cent_id")
+    )
+    return aff.withColumn("crnk", F.row_number().over(w))
+
+
+def _ivf2_sql_parts() -> tuple[str, str]:
+    """(ctes, final select) for the two-level oracle — extends the shared
+    Lloyd chain with super-grouping and the two descent chains (index
+    sprobe=1, probe sprobe=IVF2_SPROBE)."""
+    ctes, final = _lloyd_ctes()
+    gcos = V.cosine_sql("c.centv", "s.superv")
+    icos = V.cosine_sql("i.embedding", "g.centv")
+    scos = V.cosine_sql("e.embedding", "s.superv")
+    more = f"""sup AS (
+            SELECT cent_id AS super_id, centv AS superv
+            FROM {final} WHERE cent_id < {IVF2_G}),
+        grp AS (
+            SELECT cent_id, centv, super_id FROM (
+                SELECT c.cent_id, c.centv, s.super_id,
+                       row_number() OVER (
+                           PARTITION BY c.cent_id
+                           ORDER BY round({gcos}, {V.COS_DECIMALS}) DESC,
+                                    s.super_id) AS grnk
+                FROM {final} c CROSS JOIN sup s)
+            WHERE grnk = 1),
+        isup AS (
+            SELECT vec_id, embedding, super_id FROM (
+                SELECT e.vec_id, e.embedding, s.super_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({scos}, {V.COS_DECIMALS}) DESC,
+                                    s.super_id) AS srnk
+                FROM embeddings e CROSS JOIN sup s)
+            WHERE srnk <= {IVF2_IREPL}),
+        icell AS (
+            SELECT vec_id AS match_id, embedding AS cv, cell FROM (
+                SELECT i.vec_id, i.embedding, g.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY i.vec_id
+                           ORDER BY round({icos}, {V.COS_DECIMALS}) DESC,
+                                    g.cent_id) AS crnk
+                FROM isup i JOIN grp g ON i.super_id = g.super_id)
+            WHERE crnk <= {IVF_REPL}),
+        psup AS (
+            SELECT vec_id, embedding, super_id FROM (
+                SELECT e.vec_id, e.embedding, s.super_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({scos}, {V.COS_DECIMALS}) DESC,
+                                    s.super_id) AS srnk
+                FROM embeddings e CROSS JOIN sup s
+                WHERE e.vec_id < {N_QUERIES})
+            WHERE srnk <= {IVF2_SPROBE}),
+        pcell AS (
+            SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+                SELECT i.vec_id, i.embedding, g.cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY i.vec_id
+                           ORDER BY round({icos}, {V.COS_DECIMALS}) DESC,
+                                    g.cent_id) AS crnk
+                FROM psup i JOIN grp g ON i.super_id = g.super_id)
+            WHERE crnk <= {IVF_NPROBE})"""
+    sel = f"""p AS (
+            SELECT DISTINCT q.query_id, c.match_id,
+                   round({V.cosine_sql('q.qv', 'c.cv')},
+                         {V.COS_DECIMALS}) AS score
+            FROM pcell q JOIN icell c
+              ON q.cell = c.cell AND q.query_id <> c.match_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM p)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}"""
+    return ",\n".join(ctes) + ",\n" + more, sel
+
+
+def _ivf2_oracle_sql() -> str:
+    ctes, sel = _ivf2_sql_parts()
+    return f"WITH {ctes},\n{sel}"
+
+
+@register("sim_search_ivf2", oracle=_ivf2_oracle_sql(), tags=("X3",))
+def q_sim_search_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #3: TWO-LEVEL IVF — the hierarchical coarse quantizer
+    the sf1 scaling note calls for once K grows with the corpus (flat
+    assignment is N*K; the descent is N*(G + K/G)).  Fine centroids come
+    from the shared deterministic Lloyd chain; IVF2_G super-seeds (the
+    first G fine centroids) partition the fine cells into groups; index
+    vectors descend into IVF2_IREPL groups (then IVF_REPL fine cells over
+    the union — cross-wall replication), queries into IVF2_SPROBE groups
+    (then IVF_NPROBE fine cells over the union).  The
+    extra group wall makes assignment approximate — recall is therefore a
+    MEASURED, hash-pinned contract (`sim_search_recall_ivf2`), exactly
+    like the one-level index's.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    cells = (
+        _ivf2_assign_df(emb, cent, sprobe=IVF2_IREPL)
+        .filter(F.col("crnk") <= IVF_REPL)
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("cv"),
+            F.col("cent_id").alias("cell"),
+            V.norm(F.col("embedding")).alias("nc"),
+        )
+    )
+    probes = F.broadcast(
+        _ivf2_assign_df(
+            emb.filter(F.col("vec_id") < N_QUERIES), cent, IVF2_SPROBE
+        )
+        .filter(F.col("crnk") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cent_id").alias("cell"),
+            V.norm(F.col("embedding")).alias("nq"),
+        )
+    )
+    scored = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                V.dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                V.COS_DECIMALS,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    return _topk(scored)
+
+
+def _recall_ivf2_oracle_sql() -> str:
+    from flinkexp_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_search_topk"].oracle
+    ivf2 = REGISTRY["sim_search_ivf2"].oracle
+    return f"""
+        WITH brute AS ({brute}),
+        ivf2 AS ({ivf2}),
+        h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM brute b JOIN ivf2 i
+                ON b.query_id = i.query_id AND b.match_id = i.match_id),
+        t AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS truth_pairs
+              FROM brute)
+        SELECT n_queries, CAST({TOP_K} AS BIGINT) AS k, truth_pairs, hits,
+               CAST(FLOOR(hits * 1000.0 / truth_pairs) AS BIGINT)
+                 AS recall_x1000
+        FROM t CROSS JOIN h
+    """
+
+
+@register(
+    "sim_search_recall_ivf2",
+    oracle=_recall_ivf2_oracle_sql(),
+    tags=("X3", "A2"),
+)
+def q_sim_search_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TWO-LEVEL index vs brute-force ground truth — the
+    quality price of the sqrt-K assignment, measured and hash-pinned the
+    same way as `sim_search_recall_ivf` (tests pin the floor; the oracle
+    derives from the same nested SQL so the contract cannot drift)."""
+    brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
+    ivf2 = q_sim_search_ivf2(spark, sf_dir).select("query_id", "match_id")
+    hits = brute.join(ivf2, ["query_id", "match_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "truth_pairs",
+            "hits",
+            F.floor(F.col("hits") * 1000 / F.col("truth_pairs"))
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )

@@ -77,9 +77,15 @@ def test_lsh_bucket_is_stable_and_bounded(spark, sf_dir):
 
 def test_multimodal_stubs_raise(spark, sf_dir):
     docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(1))
-    for stub in (M.decode_image, M.decode_audio, M.sample_frames):
+    for stub in (M.decode_audio, M.sample_frames):
         with pytest.raises(NotImplementedError):
             stub(docs)
+    # decode_image stopped being a stub in round 7 (functions/jpeg.py
+    # decodes baseline JFIF for real); the honest environment boundary
+    # remains for non-JPEG payloads and now surfaces at TASK time, since
+    # the decode runs lazily inside mapInPandas.
+    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+        M.decode_image(docs).collect()
 
 
 def test_wav_roundtrip_is_a_real_riff_container(spark, sf_dir):
@@ -470,3 +476,18 @@ def test_adc_rerank_recall_vs_brute_force(spark, sf_dir):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.9, f"ADC recall {hits}/{total}"
+
+
+def test_ivf2_recall_beats_floor(spark, sf_dir):
+    """Two-level IVF (G=3 super-groups, index AND queries descend 2
+    groups, then the same R=2/nprobe=2 fine knobs) must recover >=70% of
+    the exact top-10 — the measured group-wall price vs the flat index's
+    0.82/0.85 (sf0.01/sf0.001 measure 0.735/0.72; the sqrt-K descent buys
+    N*(G + 2K/G) instead of N*K).  A regression below the floor means the
+    descent is losing groups it should probe, not ordinary noise."""
+    from flinkexp_spark.registry import queries
+
+    row = queries()["sim_search_recall_ivf2"](spark, sf_dir).collect()[0]
+    assert row.recall_x1000 >= 700, (
+        f"two-level IVF recall {row.recall_x1000}/1000 under the 0.70 floor"
+    )
