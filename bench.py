@@ -119,9 +119,13 @@ HEADLINE = [
     "rfm_segmentation",
     "timeseries_forecast_backtest",
     "graph_clustering_coefficient",
-    # round-7 additions: baseline-JPEG entropy decode, hot-cell salted join
+    # round-7 additions: baseline-JPEG entropy decode, hot-cell salted join,
+    # delta-join IVM, exact-k weighted sampling, two-level IVF descent
     "multimodal_decode_jpeg_pixels",
     "geo_neighbor_pairs_salted",
+    "changelog_incremental_join",
+    "sample_priority_weighted",
+    "sim_search_ivf2",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -27,6 +27,8 @@ ROWS = [
             "join_broadcast_star", "join_bucketed_colocated", "join_asof",
             "join_range_binned", "window_topk_per_group", "func_string",
             "join_salted_skew", "agg_histogram_quantile", "table_fingerprint",
+            "geo_neighbor_pairs_salted", "changelog_incremental_join",
+            "sample_priority_weighted", "multimodal_decode_jpeg_pixels",
         ],
     ),
     (
@@ -66,7 +68,8 @@ ROWS = [
         "embedding similarity top-k (≤60 s)",
         60.0,
         None,
-        ["sim_search_topk", "sim_search_ivf", "sim_search_adc_rerank"],
+        ["sim_search_topk", "sim_search_ivf", "sim_search_ivf2",
+         "sim_search_adc_rerank"],
     ),
 ]
 

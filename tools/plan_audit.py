@@ -106,6 +106,14 @@ AUDIT = [
     "graph_clustering_coefficient",
     "dedup_containment",
     "join_fuzzy_blocked",
+    # round-7 additions
+    "multimodal_decode_jpeg_pixels",
+    "geo_neighbor_pairs_salted",
+    "changelog_incremental_join",
+    "sample_priority_weighted",
+    "sim_search_ivf2",
+    "sim_search_recall_ivf2",
+    "pattern_regex_cep",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
