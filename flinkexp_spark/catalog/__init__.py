@@ -267,6 +267,8 @@ _R07_NEW: tuple[str, ...] = (
     "sample_priority_weighted",  # exact-k weighted sample (DLT priority)
     "sim_search_ivf2",  # two-level (sqrt-K) IVF descent
     "sim_search_recall_ivf2",  # measured recall contract for the descent
+    "quality_t_closeness",  # per-class TVD privacy audit (exact-int algebra)
+    "graph_label_propagation",  # deterministic sync label-prop communities
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

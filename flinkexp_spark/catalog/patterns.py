@@ -919,3 +919,130 @@ def q_graph_clustering_coefficient(
         )
         .orderBy("node")
     )
+
+
+LABELPROP_ROUNDS = 3
+_LP_EDGES = """
+    SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+"""
+_LP_ITER = """
+    c{t} AS (
+        SELECT e.dst AS node, l{t}.label, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM e JOIN l{t} ON l{t}.node = e.src
+        GROUP BY 1, 2
+    ),
+    p{t} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM c{t}) WHERE rn = 1
+    ),
+    l{next} AS (
+        SELECT n.node, COALESCE(p.label, l.label) AS label
+        FROM nodes n
+        JOIN l{t} l ON l.node = n.node
+        LEFT JOIN p{t} p ON p.node = n.node
+    )
+"""
+_LP_ORACLE = (
+    f"""
+    WITH de AS ({_LP_EDGES}),
+    e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    """
+    + ",".join(
+        _LP_ITER.format(t=i, next=i + 1) for i in range(LABELPROP_ROUNDS)
+    )
+    + f"""
+    SELECT node, label FROM l{LABELPROP_ROUNDS} ORDER BY node
+    """
+)
+
+
+@register("graph_label_propagation", oracle=_LP_ORACLE, tags=("J1", "A1", "W1"))
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) over the undirected nation trade graph: every node starts
+    as its own label; each round it adopts the most frequent label among
+    its neighbors (ties -> smallest label, making the algorithm fully
+    deterministic — the usual random tie-break is what the unrolled SQL
+    oracle could never mirror).  LABELPROP_ROUNDS fixed rounds, so the
+    loop unrolls into per-round (count, argmax, relabel) CTE triples like
+    the PageRank and BPE oracles.
+
+    The per-round plan is one join (labels x edges) + one grouped count +
+    one ranking window — integer-only, no float accumulates anywhere.
+    At 100 TB: pre-partition edges by src and localCheckpoint the label
+    frame every few rounds (the PageRank loop-invariant treatment);
+    rounds are bounded, label state is one row per node.
+    """
+    li = datasets.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = datasets.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = datasets.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = datasets.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = datasets.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    de = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "src")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "dst")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    # symmetrize once, reuse across every round (localCheckpoint: the edge
+    # frame feeds all LABELPROP_ROUNDS joins plus the node set)
+    e = de.unionByName(
+        de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(LABELPROP_ROUNDS):
+        cnt = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("nnode"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("nnode").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nnode").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return labels.orderBy("node")

@@ -632,3 +632,98 @@ def q_quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_risky_rows"),
     )
+
+
+@register(
+    "quality_t_closeness",
+    oracle="""
+        WITH b AS (SELECT c_nationkey, c_mktsegment,
+                          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket
+                   FROM customer),
+        g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS gcnt
+              FROM b GROUP BY bucket),
+        t AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n_total FROM g),
+        cb AS (SELECT c_nationkey, c_mktsegment, bucket,
+                      CAST(COUNT(*) AS BIGINT) AS ccnt
+               FROM b GROUP BY 1, 2, 3),
+        cls AS (SELECT c_nationkey, c_mktsegment,
+                       CAST(SUM(ccnt) AS BIGINT) AS class_size
+                FROM cb GROUP BY 1, 2),
+        j AS (SELECT cb.c_nationkey, cb.c_mktsegment, cb.ccnt,
+                     cls.class_size, g.gcnt, t.n_total
+              FROM cb
+              JOIN cls USING (c_nationkey, c_mktsegment)
+              JOIN g USING (bucket) CROSS JOIN t)
+        SELECT c_nationkey, c_mktsegment,
+               MAX(class_size) AS class_size,
+               round((CAST(SUM(abs(ccnt * n_total - gcnt * class_size))
+                           AS BIGINT)
+                      + MAX(class_size) * (MAX(n_total) - CAST(SUM(gcnt)
+                                                               AS BIGINT)))
+                     / (2.0 * MAX(class_size) * MAX(n_total)), 6) AS tvd
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("A1", "A2", "A9"),
+)
+def q_quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy-release ladder next to `quality_k_anonymity`
+    and `quality_l_diversity`: per quasi-identifier class, the TOTAL
+    VARIATION DISTANCE between the class's sensitive-attribute
+    distribution (acctbal k$-buckets) and the global one.  l-diversity
+    counts distinct sensitive values; t-closeness catches classes whose
+    values are distinct yet SKEWED toward a revealing range.
+
+    Cross-engine float contract: TVD is computed as
+    (sum_b |ccnt*N - gcnt*class| + class*(N - sum_present gcnt))
+    / (2*class*N) — the numerator is EXACT BIGINT algebra (missing buckets
+    fold into the complement term, so no class x bucket cross join), and
+    the single final division of identical integers is one
+    correctly-rounded IEEE op on both engines.  Never a float sum.
+
+    Scale: two map-side-combinable aggregations on (class, bucket) and
+    (class), a broadcast of the bucket-global histogram (|buckets| rows)
+    and one 1-row total — the audit costs one shuffle on the
+    quasi-identifier at any table size.
+    """
+    cust = datasets.load(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bucket"),
+    )
+    g = b.groupBy("bucket").agg(F.count("*").cast("long").alias("gcnt"))
+    tot = g.agg(F.sum("gcnt").cast("long").alias("n_total"))
+    cb = b.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
+        F.count("*").cast("long").alias("ccnt")
+    )
+    cls = cb.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("ccnt").cast("long").alias("class_size")
+    )
+    j = (
+        cb.join(cls, ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(g), "bucket")
+        .crossJoin(F.broadcast(tot))
+    )
+    present = F.sum(
+        F.abs(
+            F.col("ccnt") * F.col("n_total")
+            - F.col("gcnt") * F.col("class_size")
+        )
+    ).cast("long")
+    return (
+        j.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("class_size").alias("class_size"),
+            F.round(
+                (
+                    present
+                    + F.max("class_size")
+                    * (F.max("n_total") - F.sum("gcnt").cast("long"))
+                )
+                / (2.0 * F.max("class_size") * F.max("n_total")),
+                6,
+            ).alias("tvd"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
