@@ -269,6 +269,7 @@ _R07_NEW: tuple[str, ...] = (
     "sim_search_recall_ivf2",  # measured recall contract for the descent
     "quality_t_closeness",  # per-class TVD privacy audit (exact-int algebra)
     "graph_label_propagation",  # deterministic sync label-prop communities
+    "profile_join_skew",  # key-skew diagnostics feeding the salting ops
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

@@ -727,3 +727,72 @@ def q_quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_oracle() -> str:
+    parts = [
+        f"""SELECT '{t}.{c}' AS key_col,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                   round(MAX(cnt) * COUNT(*) / (1.0 * SUM(cnt)), 6)
+                       AS skew_ratio,
+                   round(MAX(cnt) / (1.0 * SUM(cnt)), 6) AS top1_share
+            FROM (SELECT {c}, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM {t} GROUP BY {c})"""
+        for t, c in _SKEW_KEYS
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY key_col"
+    )
+
+
+@register("profile_join_skew", oracle=_skew_oracle(), tags=("A1", "A2", "P1"))
+def q_profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW diagnostics — the operational pre-check behind every
+    salting decision in this engine (join_salted_skew, agg_salted_skew,
+    geo_neighbor_pairs_salted): for each canonical join key, the key-space
+    size, the hottest key's row count, its ratio to the mean key
+    (``skew_ratio`` = max/mean — >~8 is where hot_key_salted_join's
+    default threshold starts splitting), and the hottest key's share of
+    all rows.  Ratios divide exact BIGINTs once and round(6), so both
+    engines hash identically.
+
+    Scale: one map-side-combinable count per key column and a 1-row
+    rollup each — the diagnosis costs a scan + tiny shuffle per key, and
+    at 100 TB you run it on a sample partition first anyway.
+    """
+    outs = []
+    for t, c in _SKEW_KEYS:
+        counts = (
+            datasets.load(spark, sf_dir, t)
+            .groupBy(c)
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        outs.append(
+            counts.agg(
+                F.lit(f"{t}.{c}").alias("key_col"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_cnt"),
+                F.round(
+                    F.max("cnt") * F.count("*") / (1.0 * F.sum("cnt")), 6
+                ).alias("skew_ratio"),
+                F.round(F.max("cnt") / (1.0 * F.sum("cnt")), 6).alias(
+                    "top1_share"
+                ),
+            ).select("key_col", "n_keys", "max_cnt", "skew_ratio", "top1_share")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_col")
