@@ -126,6 +126,9 @@ HEADLINE = [
     "changelog_incremental_join",
     "sample_priority_weighted",
     "sim_search_ivf2",
+    "quality_t_closeness",
+    "graph_label_propagation",
+    "profile_join_skew",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -29,6 +29,8 @@ ROWS = [
             "join_salted_skew", "agg_histogram_quantile", "table_fingerprint",
             "geo_neighbor_pairs_salted", "changelog_incremental_join",
             "sample_priority_weighted", "multimodal_decode_jpeg_pixels",
+            "quality_t_closeness", "graph_label_propagation",
+            "profile_join_skew",
         ],
     ),
     (

@@ -114,6 +114,9 @@ AUDIT = [
     "sim_search_ivf2",
     "sim_search_recall_ivf2",
     "pattern_regex_cep",
+    "quality_t_closeness",
+    "graph_label_propagation",
+    "profile_join_skew",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
