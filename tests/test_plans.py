@@ -714,10 +714,18 @@ def test_regex_cep_sorted_collect_stays_one_stage(spark, sf_dir):
     assert "Sort" in plan
     assert "array_sort" not in plan, "per-group struct sort crept back in"
     # the sort and the aggregate must share a stage: no Exchange between
-    # the Sort node and the partial collect_list above it
+    # the Sort node and the partial collect_list that consumes it (the
+    # parent agg prints above its child sort in executedPlan toString, so
+    # the window between them is exactly the pipeline that must stay
+    # exchange-free or the collect order is lost)
     sort_pos = plan.rfind("Sort ")
     agg_pos = plan.rfind("ObjectHashAggregate")
     assert sort_pos != -1 and agg_pos != -1
+    assert agg_pos < sort_pos, f"partial agg not above its sort:\n{plan}"
+    between = plan[agg_pos:sort_pos]
+    assert "Exchange" not in between, (
+        f"an exchange crept between the ordered collect and its sort:\n{between}"
+    )
 
 
 def test_geo_salted_join_stays_smj_on_cell_and_salt(spark, sf_dir):
