@@ -270,6 +270,9 @@ _R07_NEW: tuple[str, ...] = (
     "quality_t_closeness",  # per-class TVD privacy audit (exact-int algebra)
     "graph_label_propagation",  # deterministic sync label-prop communities
     "profile_join_skew",  # key-skew diagnostics feeding the salting ops
+    "embed_quantize_pq",  # product-quantization codes (64x memory cut)
+    "sim_search_pq_adc",  # ADC search over PQ codes + exact rerank
+    "sim_search_recall_pq",  # measured recall contract for PQ-ADC
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

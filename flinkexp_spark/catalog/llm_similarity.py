@@ -1184,3 +1184,417 @@ def q_sim_search_recall_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x1000"),
         )
     )
+
+
+# --- product quantization: 64-dim float -> PQ_M code bytes ------------------
+# The real 100 TB vector-memory story: int8 scalar quantization (above)
+# cuts 4x; PQ cuts DIM*4 bytes to PQ_M bytes (64x here) by snapping each
+# 16-dim SUBVECTOR to one of 16 learned codewords (Jégou et al. 2011,
+# §PQ).  Search never touches floats until the rerank: the ADC lookup
+# table (per query: PQ_M x PQ_K subvector dots) is broadcast, candidates
+# are scanned as code tuples, and the estimated inner product is an
+# integer sum of fixed-point table entries — order-independent, so both
+# engines rank identically.
+PQ_M = 4                  # subspaces
+PQ_SUBDIM = V.DIM // PQ_M  # 16 dims per subspace
+PQ_K = 16                 # codewords per subspace (codes = vec_id < 16)
+PQ_ITERS = 1              # Lloyd rounds per subspace codebook
+PQ_FP = 1_000_000         # fixed point for codeword means AND ADC entries
+PQ_COARSE_C = 120         # candidates surviving the ADC stage (measured
+#                           recall@10: C=40 -> 0.55/0.59, C=80 ->
+#                           0.80/0.77, C=120 -> 0.86/0.85 at sf0.001/0.01;
+#                           raw 4-byte codes rank coarsely, the rerank
+#                           budget buys the quality back — at corpus scale
+#                           C is a constant, the ADC scan stays code-only)
+
+_PQ_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pq_l2_rank(sv_col: str, cv_col: str):
+    """Argmin-by-L2 ranking expression: |x-c|^2 = x·x + c·c - 2 x·c, and
+    x·x is candidate-independent, so rank by round(c·c - 2 x·c, 6) with
+    the code id as tie-break (deterministic on both engines)."""
+    cc = V.dot(F.col(cv_col), F.col(cv_col))
+    xc = V.dot(F.col(sv_col), F.col(cv_col))
+    return F.round(cc - 2.0 * xc, 6)
+
+
+def _pq_codebooks_df(
+    spark: SparkSession, emb: DataFrame, cache_key: str | None = None
+) -> DataFrame:
+    """(sub, code, cv) codebook table: per subspace, PQ_K seed codewords
+    (the first PQ_K vectors' subvectors) refined by PQ_ITERS Lloyd rounds
+    with the same fixed-point means as the IVF quantizer — bit-identical
+    codebooks on both engines, broadcast-sized (PQ_M x PQ_K rows)."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _PQ_CB_CACHE if k[0] != app_id]:
+        del _PQ_CB_CACHE[stale]
+    key = (app_id, cache_key or "")
+    if cache_key is not None and key in _PQ_CB_CACHE:
+        return _PQ_CB_CACHE[key]
+    all_rows: list = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM + 1
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", lo, PQ_SUBDIM)
+            .cast("array<double>")
+            .alias("sv"),
+        )
+        cent = sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+        )
+        for _ in range(PQ_ITERS):
+            aff = sub.join(F.broadcast(cent)).select(
+                "vec_id", "sv", "code", _pq_l2_rank("sv", "cv").alias("d2")
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.asc("d2"), F.asc("code")
+            )
+            members = (
+                aff.withColumn("crnk", F.row_number().over(w))
+                .filter(F.col("crnk") == 1)
+                .select("code", "sv")
+            )
+            comp = members.select(
+                "code", F.posexplode("sv").alias("pos", "x")
+            ).select(
+                "code",
+                "pos",
+                F.floor(F.col("x") * PQ_FP).cast("long").alias("fp"),
+            )
+            mean_fp = comp.groupBy("code", "pos").agg(
+                F.floor(F.sum("fp") / F.count("*")).cast("long").alias("mfp")
+            )
+            rows = (
+                mean_fp.groupBy("code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mfp"))),
+                        lambda t: t["mfp"] / F.lit(float(PQ_FP)),
+                    ).alias("cv")
+                )
+                .collect()
+            )
+            cent = datasets.local_df(
+                spark, rows, "code long, cv array<double>"
+            )
+        all_rows.extend((s, r["code"], r["cv"]) for r in cent.collect())
+    cb = datasets.local_df(
+        spark, all_rows, "sub long, code long, cv array<double>"
+    )
+    if cache_key is not None:
+        _PQ_CB_CACHE[key] = cb
+    return cb
+
+
+def _pq_codes_long(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, sub, code) — every vector's nearest codeword per subspace."""
+    parts = []
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM + 1
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", lo, PQ_SUBDIM)
+            .cast("array<double>")
+            .alias("sv"),
+        )
+        cb_s = cb.filter(F.col("sub") == s).select("code", "cv")
+        aff = sub.join(F.broadcast(cb_s)).select(
+            "vec_id", "code", _pq_l2_rank("sv", "cv").alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("code"))
+        parts.append(
+            aff.withColumn("crnk", F.row_number().over(w))
+            .filter(F.col("crnk") == 1)
+            .select("vec_id", F.lit(s).cast("long").alias("sub"), "code")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_cb_ctes() -> str:
+    """Unrolled per-subspace codebook CTEs (pqc{s}: code, cv) mirroring
+    :func:`_pq_codebooks_df` — seed, L2 argmin assign, fixed-point means."""
+    parts = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        sv = f"embedding[{lo}:{hi}]"
+        prev = f"pq{s}c0"
+        parts.append(
+            f"""{prev} AS (
+            SELECT vec_id AS code, {sv} AS cv
+            FROM embeddings WHERE vec_id < {PQ_K})"""
+        )
+        for t in range(PQ_ITERS):
+            cc = V.dot_sql_n("c.cv", "c.cv", PQ_SUBDIM)
+            xc = V.dot_sql_n("e.sv", "c.cv", PQ_SUBDIM)
+            parts.append(
+                f"""pq{s}a{t} AS (
+                SELECT vec_id, sv, code FROM (
+                    SELECT e.vec_id, e.sv, c.code,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round({cc} - 2.0 * {xc}, 6), c.code
+                           ) AS crnk
+                    FROM (SELECT vec_id, {sv} AS sv FROM embeddings) e
+                    CROSS JOIN {prev} c)
+                WHERE crnk = 1)"""
+            )
+            parts.append(
+                f"""pq{s}m{t} AS (
+                SELECT code, i.pos,
+                       CAST(floor(SUM(CAST(floor(CAST(sv[i.pos + 1] AS DOUBLE)
+                                                  * {PQ_FP}) AS BIGINT))
+                                  / COUNT(*)) AS BIGINT) AS mfp
+                FROM pq{s}a{t}, (SELECT unnest(range({PQ_SUBDIM})) AS pos) i
+                GROUP BY code, i.pos)"""
+            )
+            prev = f"pq{s}c{t + 1}"
+            parts.append(
+                f"""{prev} AS (
+                SELECT code, array_agg(mfp / {float(PQ_FP)} ORDER BY pos) AS cv
+                FROM pq{s}m{t} GROUP BY code)"""
+            )
+        parts.append(
+            f"pqc{s} AS (SELECT {s} AS sub, code, cv FROM {prev})"
+        )
+    parts.append(
+        "pqcb AS (" + " UNION ALL ".join(
+            f"SELECT * FROM pqc{s}" for s in range(PQ_M)
+        ) + ")"
+    )
+    return ",\n".join(parts)
+
+
+def _pq_codes_sql() -> str:
+    """(vec_id, sub, code) assignment CTE chain on top of the codebooks."""
+    parts = []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        cc = V.dot_sql_n("c.cv", "c.cv", PQ_SUBDIM)
+        xc = V.dot_sql_n("e.sv", "c.cv", PQ_SUBDIM)
+        parts.append(
+            f"""code{s} AS (
+            SELECT vec_id, {s} AS sub, code FROM (
+                SELECT e.vec_id, c.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cc} - 2.0 * {xc}, 6), c.code
+                       ) AS crnk
+                FROM (SELECT vec_id, embedding[{lo}:{hi}] AS sv
+                      FROM embeddings) e
+                CROSS JOIN pqc{s} c)
+            WHERE crnk = 1)"""
+        )
+    parts.append(
+        "codes AS (" + " UNION ALL ".join(
+            f"SELECT * FROM code{s}" for s in range(PQ_M)
+        ) + ")"
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "embed_quantize_pq",
+    oracle=f"""
+        WITH {_pq_cb_ctes()},
+        {_pq_codes_sql()}
+        SELECT vec_id,
+               CAST(MAX(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS code_0,
+               CAST(MAX(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS code_1,
+               CAST(MAX(CASE WHEN sub = 2 THEN code END) AS BIGINT) AS code_2,
+               CAST(MAX(CASE WHEN sub = 3 THEN code END) AS BIGINT) AS code_3
+        FROM codes GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=("X3", "U1"),
+)
+def q_embed_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT quantization (Jégou et al. 2011): each 64-dim vector snaps
+    to 4 codeword ids — one per 16-dim subspace, codebooks learned by the
+    same deterministic fixed-point Lloyd as the IVF quantizer — for a 64x
+    memory cut (256 B float -> 4 B).  The int8 path above is SCALAR
+    quantization (4x); PQ is what a 100 TB corpus actually serves ANN
+    from.  L2 assignment ranks round(c·c - 2 x·c, 6) with code-id
+    tie-break: x·x drops out of the argmin and the two dots are
+    ordered folds, so codes hash identically on both engines.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark, emb, cache_key=sf_dir)
+    codes = _pq_codes_long(emb, cb)
+    aggs = [
+        F.max(F.when(F.col("sub") == s, F.col("code")))
+        .cast("long")
+        .alias(f"code_{s}")
+        for s in range(PQ_M)
+    ]
+    return codes.groupBy("vec_id").agg(*aggs).orderBy("vec_id")
+
+
+def _pq_adc_oracle() -> str:
+    qsub = " UNION ALL ".join(
+        f"""SELECT vec_id AS query_id, {s} AS sub,
+                   embedding[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}"""
+        for s in range(PQ_M)
+    )
+    qdot = V.dot_sql_n("q.qv", "c.cv", PQ_SUBDIM)
+    return f"""
+        WITH {_pq_cb_ctes()},
+        {_pq_codes_sql()},
+        qsub AS ({qsub}),
+        adc AS (
+            SELECT q.query_id, c.sub, c.code,
+                   CAST(floor({qdot} * {PQ_FP}) AS BIGINT) AS dot_fp
+            FROM qsub q JOIN pqcb c ON q.sub = c.sub),
+        est AS (
+            SELECT a.query_id, k.vec_id AS match_id,
+                   CAST(SUM(a.dot_fp) AS BIGINT) AS est_fp
+            FROM codes k JOIN adc a ON a.sub = k.sub AND a.code = k.code
+            WHERE a.query_id <> k.vec_id
+            GROUP BY 1, 2),
+        coarse AS (
+            SELECT query_id, match_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY est_fp DESC, match_id) AS crnk
+            FROM est),
+        rer AS (
+            SELECT c.query_id, c.match_id,
+                   round({V.cosine_sql('q.embedding', 'm.embedding')},
+                         {V.COS_DECIMALS}) AS score
+            FROM coarse c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings m ON m.vec_id = c.match_id
+            WHERE c.crnk <= {PQ_COARSE_C}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM rer)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_search_pq_adc", oracle=_pq_adc_oracle(), tags=("X3",))
+def q_sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes — the serving shape of a PQ index: per
+    query, ONE broadcast lookup table of PQ_M x PQ_K fixed-point
+    subvector dots; the corpus is scanned as (sub, code) tuples only
+    (floats never leave the rerank), the estimated inner product is an
+    INTEGER sum of table entries (order-independent — float sums would
+    tie-break differently across engines), the top PQ_COARSE_C
+    candidates rerank with exact cosine, top-k out.  Scan cost per query
+    = |corpus| code tuples + PQ_COARSE_C float vectors — the 64x memory
+    cut of `embed_quantize_pq` made queryable.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks_df(spark, emb, cache_key=sf_dir)
+    codes = _pq_codes_long(emb, cb)
+    qsub = None
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM + 1
+        part = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(s).cast("long").alias("sub"),
+            F.slice("embedding", lo, PQ_SUBDIM)
+            .cast("array<double>")
+            .alias("qv"),
+        )
+        qsub = part if qsub is None else qsub.unionByName(part)
+    adc = qsub.join(cb, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.floor(V.dot(F.col("qv"), F.col("cv")) * PQ_FP)
+        .cast("long")
+        .alias("dot_fp"),
+    )
+    est = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("dot_fp").cast("long").alias("est_fp"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("est_fp"), F.asc("match_id")
+    )
+    coarse = (
+        est.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= PQ_COARSE_C)
+        .select("query_id", "match_id")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qfull"),
+        V.norm(F.col("embedding")).alias("nq"),
+    )
+    mv = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("mfull"),
+        V.norm(F.col("embedding")).alias("nm"),
+    )
+    rer = (
+        coarse.join(F.broadcast(qv), "query_id")
+        .join(mv, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                V.dot(F.col("qfull"), F.col("mfull"))
+                / (F.col("nq") * F.col("nm")),
+                V.COS_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return _topk(rer)
+
+
+def _recall_pq_oracle_sql() -> str:
+    from flinkexp_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_search_topk"].oracle
+    pq = REGISTRY["sim_search_pq_adc"].oracle
+    return f"""
+        WITH brute AS ({brute}),
+        pq AS ({pq}),
+        h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM brute b JOIN pq i
+                ON b.query_id = i.query_id AND b.match_id = i.match_id),
+        t AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS truth_pairs
+              FROM brute)
+        SELECT n_queries, CAST({TOP_K} AS BIGINT) AS k, truth_pairs, hits,
+               CAST(FLOOR(hits * 1000.0 / truth_pairs) AS BIGINT)
+                 AS recall_x1000
+        FROM t CROSS JOIN h
+    """
+
+
+@register(
+    "sim_search_recall_pq",
+    oracle=_recall_pq_oracle_sql(),
+    tags=("X3", "A2"),
+)
+def q_sim_search_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC vs brute-force ground truth — the quality price
+    of the 64x compression, measured and hash-pinned like the IVF and
+    two-level-IVF contracts (tests pin the floor)."""
+    brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
+    pq = q_sim_search_pq_adc(spark, sf_dir).select("query_id", "match_id")
+    hits = brute.join(pq, ["query_id", "match_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "truth_pairs",
+            "hits",
+            F.floor(F.col("hits") * 1000 / F.col("truth_pairs"))
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )

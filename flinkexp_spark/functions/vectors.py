@@ -123,3 +123,15 @@ def lsh_bucket_sql(vec: str) -> str:
         )
         parts.append(f"(CAST(({terms}) > 0 AS BIGINT) << {p})")
     return "(" + " + ".join(parts) + ")"
+
+
+def dot_sql_n(a: str, b: str, n: int) -> str:
+    """Ordered-fold dot product over the first ``n`` components — the
+    subvector form of ``_dot_sql`` for product-quantization codebooks
+    (same fold order as the Spark-side :func:`dot`, so doubles stay
+    bit-identical across engines)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({n}), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
