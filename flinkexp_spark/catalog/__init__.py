@@ -273,6 +273,8 @@ _R07_NEW: tuple[str, ...] = (
     "embed_quantize_pq",  # product-quantization codes (64x memory cut)
     "sim_search_pq_adc",  # ADC search over PQ codes + exact rerank
     "sim_search_recall_pq",  # measured recall contract for PQ-ADC
+    "sim_search_ivfpq_adc",  # the full IVFADC serving pipeline
+    "sim_search_recall_ivfpq",  # compounded-approximation recall contract
 )
 
 _R07_REVERIFY: tuple[str, ...] = (

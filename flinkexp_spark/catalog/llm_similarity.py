@@ -1598,3 +1598,204 @@ def q_sim_search_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_x1000"),
         )
     )
+
+
+def _ivfpq_oracle() -> str:
+    lloyd_ctes, final = _lloyd_ctes()
+    cos_final = V.cosine_sql("e.embedding", "c.centv")
+    qdot = V.dot_sql_n("q.qv", "c.cv", PQ_SUBDIM)
+    qsub = " UNION ALL ".join(
+        f"""SELECT vec_id AS query_id, {s} AS sub,
+                   embedding[{s * PQ_SUBDIM + 1}:{(s + 1) * PQ_SUBDIM}] AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}"""
+        for s in range(PQ_M)
+    )
+    return f"""
+        WITH {",".join(lloyd_ctes)},
+        {_pq_cb_ctes()},
+        {_pq_codes_sql()},
+        aff AS (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cos_final}, {V.COS_DECIMALS}) DESC,
+                                c.cent_id) AS crnk
+            FROM embeddings e CROSS JOIN {final} c),
+        cells AS (SELECT vec_id AS match_id, cent_id AS cell
+                  FROM aff WHERE crnk <= {IVF_REPL}),
+        prb AS (SELECT vec_id AS query_id, cent_id AS cell
+                FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {IVF_NPROBE}),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.match_id
+            FROM prb p JOIN cells c ON p.cell = c.cell
+            WHERE p.query_id <> c.match_id),
+        qsub AS ({qsub}),
+        adc AS (
+            SELECT q.query_id, c.sub, c.code,
+                   CAST(floor({qdot} * {PQ_FP}) AS BIGINT) AS dot_fp
+            FROM qsub q JOIN pqcb c ON q.sub = c.sub),
+        est AS (
+            SELECT cand.query_id, cand.match_id,
+                   CAST(SUM(a.dot_fp) AS BIGINT) AS est_fp
+            FROM cand
+            JOIN codes k ON k.vec_id = cand.match_id
+            JOIN adc a ON a.query_id = cand.query_id
+                      AND a.sub = k.sub AND a.code = k.code
+            GROUP BY 1, 2),
+        coarse AS (
+            SELECT query_id, match_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY est_fp DESC, match_id) AS crnk
+            FROM est),
+        rer AS (
+            SELECT c.query_id, c.match_id,
+                   round({V.cosine_sql('q.embedding', 'm.embedding')},
+                         {V.COS_DECIMALS}) AS score
+            FROM coarse c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings m ON m.vec_id = c.match_id
+            WHERE c.crnk <= {PQ_COARSE_C}),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, match_id) AS rnk FROM rer)
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_search_ivfpq_adc", oracle=_ivfpq_oracle(), tags=("X3",))
+def q_sim_search_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-ADC — the production serving configuration (Jégou et al.
+    2011's full IVFADC): the IVF coarse quantizer restricts candidates to
+    the probe cells' members (REPL*nprobe/K of the corpus), the PQ codes
+    rank them with the integer ADC table (floats never leave the rerank),
+    and PQ_COARSE_C survivors rerank exact.  At 100 TB: cells are the
+    partition key, each cell's payload is 4-byte codes + ids — a probe
+    reads nprobe partitions of codes, a few KB per million vectors.
+    Recall compounds both approximations; `sim_search_recall_ivfpq`
+    measures and pins it like every other ANN contract here.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    cb = _pq_codebooks_df(spark, emb, cache_key=sf_dir)
+    ranked = _ivf_assign_df(emb, cent)
+    cells = ranked.filter(F.col("crnk") <= IVF_REPL).select(
+        F.col("vec_id").alias("match_id"), F.col("cent_id").alias("cell")
+    )
+    prb = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    cand = (
+        F.broadcast(prb)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    codes = _pq_codes_long(emb, cb)
+    qsub = None
+    for s in range(PQ_M):
+        lo = s * PQ_SUBDIM + 1
+        part = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(s).cast("long").alias("sub"),
+            F.slice("embedding", lo, PQ_SUBDIM)
+            .cast("array<double>")
+            .alias("qv"),
+        )
+        qsub = part if qsub is None else qsub.unionByName(part)
+    adc = qsub.join(cb, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.floor(V.dot(F.col("qv"), F.col("cv")) * PQ_FP)
+        .cast("long")
+        .alias("dot_fp"),
+    )
+    est = (
+        cand.join(codes, cand.match_id == codes.vec_id)
+        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("dot_fp").cast("long").alias("est_fp"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("est_fp"), F.asc("match_id")
+    )
+    coarse = (
+        est.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= PQ_COARSE_C)
+        .select("query_id", "match_id")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qfull"),
+        V.norm(F.col("embedding")).alias("nq"),
+    )
+    mv = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("mfull"),
+        V.norm(F.col("embedding")).alias("nm"),
+    )
+    rer = (
+        coarse.join(F.broadcast(qv), "query_id")
+        .join(mv, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                V.dot(F.col("qfull"), F.col("mfull"))
+                / (F.col("nq") * F.col("nm")),
+                V.COS_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return _topk(rer)
+
+
+def _recall_ivfpq_oracle_sql() -> str:
+    from flinkexp_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_search_topk"].oracle
+    ivfpq = REGISTRY["sim_search_ivfpq_adc"].oracle
+    return f"""
+        WITH brute AS ({brute}),
+        ivfpq AS ({ivfpq}),
+        h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM brute b JOIN ivfpq i
+                ON b.query_id = i.query_id AND b.match_id = i.match_id),
+        t AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS truth_pairs
+              FROM brute)
+        SELECT n_queries, CAST({TOP_K} AS BIGINT) AS k, truth_pairs, hits,
+               CAST(FLOOR(hits * 1000.0 / truth_pairs) AS BIGINT)
+                 AS recall_x1000
+        FROM t CROSS JOIN h
+    """
+
+
+@register(
+    "sim_search_recall_ivfpq",
+    oracle=_recall_ivfpq_oracle_sql(),
+    tags=("X3", "A2"),
+)
+def q_sim_search_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the combined IVF + PQ-ADC pipeline vs brute force —
+    the compounded approximation cost, hash-pinned like its parents."""
+    brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
+    got = q_sim_search_ivfpq_adc(spark, sf_dir).select("query_id", "match_id")
+    hits = brute.join(got, ["query_id", "match_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "truth_pairs",
+            "hits",
+            F.floor(F.col("hits") * 1000 / F.col("truth_pairs"))
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )
