@@ -129,6 +129,8 @@ HEADLINE = [
     "quality_t_closeness",
     "graph_label_propagation",
     "profile_join_skew",
+    "embed_quantize_pq",
+    "sim_search_ivfpq_adc",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

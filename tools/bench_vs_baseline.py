@@ -71,7 +71,8 @@ ROWS = [
         60.0,
         None,
         ["sim_search_topk", "sim_search_ivf", "sim_search_ivf2",
-         "sim_search_adc_rerank"],
+         "sim_search_adc_rerank", "embed_quantize_pq",
+         "sim_search_ivfpq_adc"],
     ),
 ]
 

@@ -117,6 +117,9 @@ AUDIT = [
     "quality_t_closeness",
     "graph_label_propagation",
     "profile_join_skew",
+    "embed_quantize_pq",
+    "sim_search_pq_adc",
+    "sim_search_ivfpq_adc",
 ]
 
 PY_OPS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
