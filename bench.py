@@ -248,7 +248,9 @@ def main() -> None:
     n_top = len(medians)
     compact = compact_line(n_top)
     while len(compact) > 1700 and n_top > 0:  # leave tail-window margin
-        n_top -= 5
+        # clamp: an unclamped decrement would go negative and compact_line's
+        # by_cost[:n_top] slice would flip meaning (nearly-full map again)
+        n_top = max(0, n_top - 5)
         compact = compact_line(n_top)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:

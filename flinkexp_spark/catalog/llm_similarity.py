@@ -617,7 +617,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair work quadratic under growth — sf1 stress exponent 1.35, now the
     # assignment pays N*K dots and the pair join stays linear.  At every
     # shipped oracle/bench fixture the formula yields exactly IVF_K, so
-    # the unrolled DuckDB oracle (which embeds the literal) still agrees.
+    # the unrolled DuckDB oracle (which embeds the literal) still agrees —
+    # a precondition enforced loudly by tests/test_llm_ops.py::
+    # test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale
+    # (ADVICE r07: a grown fixture must fail pytest, not the hash gate).
     cent = _ivf_centroids_df(
         spark, emb, cache_key=sf_dir, k=scaled_ivf_k(emb.count())
     )

@@ -655,24 +655,24 @@ def q_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user activity (chars, not rows); a 10M-event hot key would need the
     windowed variant (split sequences at session gaps first).
 
-    Plan shape (r07 rework, VERDICT r6 #2): repartition on user_id +
-    sortWithinPartitions(user_id, ts, event_id), then an ordered
-    collect_list in the SAME stage — the aggregate consumes its task's
-    sorted iterator, so each key's list accumulates in time order with no
-    per-group array_sort over structs (which was the r06 constant: one
-    O(n log n) struct sort per user on top of the shuffle).  Measured at
-    sf0.1: 3.8 s -> ~0.7 s warm median.  The sort->agg order guarantee
-    holds because no exchange separates them (pinned by a plan trip-wire
-    in tests/test_plans.py).
+    Plan shape (r08 rework, ADVICE r07): ``listagg(c) WITHIN GROUP
+    (ORDER BY ts, event_id)`` — the ordering spec lives INSIDE the
+    aggregate function, so the engine guarantees per-key time order
+    regardless of input order, hash-agg spill, or the sort-based
+    ObjectHashAggregate fallback past
+    spark.sql.objectHashAggregate.sortBased.fallbackThreshold (the r07
+    repartition+sortWithinPartitions form silently depended on input
+    order surviving all of those).  It is also FASTER: partial_listagg
+    map-side-combines before the shuffle, so the exchange carries one
+    buffer per (task, user) instead of every event row — sf0.1 warm
+    median 0.49 s vs 0.77 s for the sorted-input form.
     """
     events = datasets.load(spark, sf_dir, "events")
-    pre = (
-        events.select("user_id", "ts", "event_id", F.expr(_CEP_CHR).alias("c"))
-        .repartition("user_id")
-        .sortWithinPartitions("user_id", "ts", "event_id")
+    base = events.select(
+        "user_id", "ts", "event_id", F.expr(_CEP_CHR).alias("c")
     )
-    seqs = pre.groupBy("user_id").agg(
-        F.concat_ws("", F.collect_list("c")).alias("seq")
+    seqs = base.groupBy("user_id").agg(
+        F.expr("listagg(c) WITHIN GROUP (ORDER BY ts, event_id)").alias("seq")
     )
     n = F.regexp_count("seq", F.lit(CEP_PATTERN))
     return (

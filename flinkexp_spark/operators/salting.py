@@ -129,13 +129,20 @@ def hot_key_salted_join(
         if isinstance(left_salt_col, str)
         else left_salt_col
     )
+    # NULL-safe salt: a NULL salt source on a hot-key row would make
+    # __salt NULL and the inner equi-join on (*on, __salt) would silently
+    # DROP the row — diverging from the unsalted join.  Coalesce to salt 0
+    # (any constant works: the right side replicates hot keys into every
+    # salt, so membership is preserved; only the split of that one
+    # degenerate bucket is affected).
     left_s = (
         left.join(F.broadcast(hot), list(on), "left")
         .withColumn(
             "__salt",
-            F.when(F.col("__hot"), F.pmod(src, F.lit(n_salts))).otherwise(
-                F.lit(0)
-            ),
+            F.when(
+                F.col("__hot"),
+                F.pmod(F.coalesce(src.cast("long"), F.lit(0)), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
         )
         .drop("__hot")
     )

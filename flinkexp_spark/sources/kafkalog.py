@@ -32,12 +32,18 @@ records' positions in (base file, then segment dirs in name order) — so
 they are stable only while that enumeration is append-only.  Two rules
 enforce it: (1) ``produce()`` refuses to append to the base file once any
 committed segment exists (a base-file grow would shift every segment
-record's offset); (2) batch-writer segments carry a monotonically
-increasing zero-padded sequence label, so a new segment always sorts
-AFTER every existing one.  CONCURRENT writers to one topic are out of
-contract (single-writer-per-topic — Kafka's one-leader-per-partition
-analog); each STREAMING query stages under its own run-scoped dir, so a
-misconfigured second writer fails at publish, not by corrupting offsets.
+record's offset); (2) ALL segments — batch and streaming — carry a
+monotonically increasing zero-padded sequence label (``_next_seq``), so
+a new segment always sorts AFTER every existing one.  Streaming commits
+additionally embed a ``s{checkpoint-hash}-{batchId}`` tag in the segment
+name: replay of an epoch is detected by THAT tag (per-query,
+published atomically with the data), never by bare batchId — a second
+query with a fresh checkpoint (batchId restarting at 0) therefore
+appends normally instead of silently discarding its batch.  CONCURRENT
+writers to one topic are out of contract (single-writer-per-topic —
+Kafka's one-leader-per-partition analog); each STREAMING query stages
+under its own run-scoped dir, so overlapping queries cannot interleave
+staged files even when misconfigured.
 
 SERIALIZATION RULE (see sources/pysource.py): the DataSource classes are
 closure-scoped so cloudpickle ships them by value — executors launched by
@@ -358,6 +364,32 @@ def make_kafka_log_source():
         _os.replace(commit_dir, _os.path.join(topic_dir, f"seg-{label}"))
         _shutil.rmtree(staging, ignore_errors=True)
 
+    def _next_seq(topic_dir: str) -> int:
+        """Next monotonic sequence over EXISTING segments.
+
+        Zero-padded in the label, so lexicographic order == numeric order:
+        a fresh segment can never sort before an already-committed one —
+        the offset-stability invariant the reader's enumeration relies on.
+        Shared by the batch writer and the stream writer (a streaming
+        query's batchId restarts at 0 under a fresh checkpoint, so the raw
+        batchId cannot be the sort key).
+        """
+        import os as _os
+
+        seq = 0
+        if _os.path.isdir(topic_dir):
+            for n in _os.listdir(topic_dir):
+                if n.startswith("seg-"):
+                    digits = ""
+                    for ch in n[4:]:
+                        if ch.isdigit():
+                            digits += ch
+                        else:
+                            break
+                    if digits:
+                        seq = max(seq, int(digits))
+        return seq + 1
+
     class _BatchWriter(DataSourceWriter):
         def __init__(self, options: dict):
             import os as _os
@@ -377,28 +409,13 @@ def make_kafka_log_source():
         def commit(self, messages):
             import os as _os
 
-            # Segment label: next monotonic sequence over EXISTING segments
-            # (zero-padded, so lexicographic order == numeric order) plus a
-            # job-uuid suffix for uniqueness.  A fresh batch segment can
-            # therefore never sort before an already-committed one — the
-            # offset-stability invariant the reader's enumeration relies on.
+            # Segment label: next monotonic sequence (see _next_seq) plus a
+            # job-uuid suffix for uniqueness.
             topic_dir = _os.path.join(self.path, self.topic)
-            seq = 0
-            if _os.path.isdir(topic_dir):
-                for n in _os.listdir(topic_dir):
-                    if n.startswith("seg-"):
-                        digits = ""
-                        for ch in n[4:]:
-                            if ch.isdigit():
-                                digits += ch
-                            else:
-                                break
-                        if digits:
-                            seq = max(seq, int(digits))
             _publish(
                 self.staging,
                 topic_dir,
-                f"{seq + 1:010d}b{self.job[:8]}",
+                f"{_next_seq(topic_dir):010d}b{self.job[:8]}",
                 messages,
             )
 
@@ -439,16 +456,29 @@ def make_kafka_log_source():
         def commit(self, messages, batchId: int) -> None:
             import os as _os
 
-            seg = _os.path.join(self.path, self.topic, f"seg-{batchId:010d}")
-            if _os.path.isdir(seg):  # replayed epoch — already published
+            topic_dir = _os.path.join(self.path, self.topic)
+            # Replay detection is keyed on (query checkpoint, batchId): the
+            # tag rides in the segment NAME, published atomically with the
+            # data by _publish's os.replace.  A bare seg-{batchId} existence
+            # check (the pre-r08 form) confused a DIFFERENT query's segment
+            # for this query's replay — a second query (fresh checkpoint,
+            # batchId restarting at 0) against a topic with an existing
+            # seg-0000000000 would silently discard its staged batch.
+            tag = f"s{self.run}-{batchId}"
+            if _os.path.isdir(topic_dir) and any(
+                n.startswith("seg-") and n.endswith(tag)
+                for n in _os.listdir(topic_dir)
+            ):  # replayed epoch — already published
                 import shutil as _shutil
 
                 _shutil.rmtree(self._staging(), ignore_errors=True)
                 return
+            # Label: monotonic sequence first (offset stability — same rule
+            # as the batch writer), then the replay tag.
             _publish(
                 self._staging(),
-                _os.path.join(self.path, self.topic),
-                f"{batchId:010d}",
+                topic_dir,
+                f"{_next_seq(topic_dir):010d}{tag}",
                 messages,
             )
 

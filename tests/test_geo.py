@@ -178,3 +178,34 @@ def test_hot_cell_salting_preserves_pair_sets(spark):
         f"salting changed the pair set: salted={len(salted)} "
         f"plain={len(plain)}"
     )
+
+
+def test_hot_key_salting_null_salt_source_keeps_rows(spark):
+    """ADVICE r07: a NULL salt source on a hot-key row must not drop the
+    row — the salt is coalesced to bucket 0, so the inner equi-join on
+    (*on, __salt) still meets the replicated right side."""
+    from flinkexp_spark.operators.salting import hot_key_salted_join
+
+    # one hot key (k=1, 40 rows) + cold background; salt source NULL on
+    # half of the hot rows
+    left = spark.createDataFrame(
+        [(1, i, i if i % 2 == 0 else None) for i in range(40)]
+        + [(k, 0, k) for k in range(2, 12)],
+        "k long, payload long, saltsrc long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (1, 101), (5, 102)], "k long, rval long"
+    )
+    plain = sorted(
+        (r.k, r.payload, r.rval)
+        for r in left.join(right, ["k"]).select("k", "payload", "rval").collect()
+    )
+    salted = sorted(
+        (r.k, r.payload, r.rval)
+        for r in hot_key_salted_join(
+            left, right, ["k"], "saltsrc", n_salts=4, hot_factor=2.0
+        )
+        .select("k", "payload", "rval")
+        .collect()
+    )
+    assert salted == plain and plain

@@ -412,6 +412,71 @@ def test_datasource_stream_writer_epoch_segments(spark, topic_dir):
     assert not [n for n in os.listdir(topic_dir) if "staging" in n]
 
 
+def test_second_stream_query_fresh_checkpoint_appends(spark, topic_dir):
+    """ADVICE r07 (medium): two SEQUENTIAL streaming queries with distinct
+    checkpoints writing to one topic.  The second query's batchId restarts
+    at 0; with the old bare seg-{batchId} replay check it mistook the first
+    query's segment for its own replay and silently discarded its batch.
+    Now replay detection is checkpoint-keyed (tag in the segment name) and
+    labels are monotonic, so the second query APPENDS and committed
+    offsets of the first query's records never shift."""
+    register_kafka_log_source(spark)
+    _produce_n(topic_dir, "in", 30)
+
+    def run_query(ckpt: str) -> None:
+        q = (
+            spark.readStream.format("kafkalog")
+            .option("path", topic_dir)
+            .option("subscribe", "in")
+            .load()
+            .selectExpr(
+                "CAST(key AS STRING) AS key",
+                "CAST(value AS STRING) AS value",
+                "CAST(unix_timestamp(timestamp) * 1000 AS LONG) AS ts_ms",
+            )
+            .writeStream.format("kafkalog")
+            .option("path", topic_dir)
+            .option("topic", "out2")
+            .option("partitions", "2")
+            .option("checkpointLocation", os.path.join(topic_dir, ckpt))
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def read_rows() -> list[tuple]:
+        return sorted(
+            (r.partition, r.offset, bytes(r.value))
+            for r in spark.read.format("kafkalog")
+            .option("path", topic_dir)
+            .option("subscribe", "out2")
+            .load()
+            .collect()
+        )
+
+    run_query("_ckpt_a")
+    first = read_rows()
+    assert len(first) == 30
+    run_query("_ckpt_b")  # fresh checkpoint: batchId restarts at 0
+    both = read_rows()
+    assert len(both) == 60, (
+        f"second query's batch was discarded: {len(both)} rows"
+    )
+    # offset stability: every (partition, offset, value) the first query
+    # committed is still there, unchanged, after the second append
+    assert set(first) <= set(both)
+    segs = sorted(
+        n
+        for n in os.listdir(os.path.join(topic_dir, "out2"))
+        if n.startswith("seg-")
+    )
+    assert len(segs) == 2 and segs[0] < segs[1]
+
+
 def test_live_broker_parity_with_kafkalog(spark, topic_dir):
     """VERDICT r6 #6 — the day real connector jars + a broker appear,
     parity is PROVEN, not assumed: the exact fixture payload the file-log

@@ -4,6 +4,8 @@ structural properties of dedup/similarity, multimodal stubs, closure rules.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -517,3 +519,26 @@ def test_ivfpq_recall_beats_floor(spark, sf_dir):
     assert row.recall_x1000 >= 750, (
         f"IVFPQ recall {row.recall_x1000}/1000 under the 0.75 floor"
     )
+
+
+def test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale():
+    """ADVICE r07 trip-wire: q_dedup_semantic scales K with corpus size,
+    but its registered DuckDB oracle embeds the literal IVF_K Lloyd chain.
+    The two agree only while every oracle/bench fixture stays under
+    (IVF_K+1)*IVF_TARGET_CELL vectors.  Enforce that precondition loudly
+    here — a silently grown embeddings fixture must fail THIS test, not
+    hash-mismatch (or vacuously pass) in the driver gate."""
+    import pyarrow.parquet as pq
+
+    from flinkexp_spark.catalog.llm_similarity import IVF_K, scaled_ivf_k
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        n = pq.ParquetFile(path).metadata.num_rows
+        assert scaled_ivf_k(n) == IVF_K, (
+            f"sf{sf} embeddings fixture grew to {n} vectors: "
+            f"scaled_ivf_k={scaled_ivf_k(n)} != oracle literal {IVF_K}; "
+            "regenerate the unrolled oracle SQL before trusting hashes"
+        )

@@ -692,12 +692,15 @@ def test_shingles_evaluate_the_token_split_once(spark):
     assert n <= 3, f"token split duplicated {n}x into the shingle lambda"
 
 
-def test_regex_cep_sorted_collect_stays_one_stage(spark, sf_dir):
-    """The r07 CEP rework relies on sortWithinPartitions feeding the
-    ordered collect_list with NO exchange in between (order would be lost
-    across a shuffle).  Pin: exactly one Exchange (the user_id
-    repartition), a Sort in the plan, and no per-group array_sort — the
-    r06 constant this rework removed."""
+def test_regex_cep_ordered_listagg_plan(spark, sf_dir):
+    """r08 CEP shape (ADVICE r07): the per-user sequence is built by
+    ``listagg ... WITHIN GROUP (ORDER BY ts, event_id)`` — ordering is a
+    property of the AGGREGATE FUNCTION, not of input order, so hash-agg
+    spill / the sort-based ObjectHashAggregate fallback cannot reorder
+    sequences.  Pin: the ordering spec appears inside the listagg call, a
+    partial_listagg map-side combine runs BELOW the shuffle (the exchange
+    carries per-key buffers, not event rows), <=2 exchanges total, and no
+    per-group array_sort (the r06 constant)."""
     import re
 
     df = queries()["pattern_regex_cep"](spark, sf_dir)
@@ -708,23 +711,18 @@ def test_regex_cep_sorted_collect_stays_one_stage(spark, sf_dir):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    body = plan.split("TakeOrderedAndProject")[-1] if "TakeOrderedAndProject" in plan else plan
-    n_exchange = len(re.findall(r"\bExchange\b", body))
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
     assert n_exchange <= 2, f"CEP plan grew to {n_exchange} exchanges:\n{plan}"
-    assert "Sort" in plan
     assert "array_sort" not in plan, "per-group struct sort crept back in"
-    # the sort and the aggregate must share a stage: no Exchange between
-    # the Sort node and the partial collect_list that consumes it (the
-    # parent agg prints above its child sort in executedPlan toString, so
-    # the window between them is exactly the pipeline that must stay
-    # exchange-free or the collect order is lost)
-    sort_pos = plan.rfind("Sort ")
-    agg_pos = plan.rfind("ObjectHashAggregate")
-    assert sort_pos != -1 and agg_pos != -1
-    assert agg_pos < sort_pos, f"partial agg not above its sort:\n{plan}"
-    between = plan[agg_pos:sort_pos]
-    assert "Exchange" not in between, (
-        f"an exchange crept between the ordered collect and its sort:\n{between}"
+    assert re.search(r"partial_listagg\(c#\d+, null, ts#\d+ ASC", plan), (
+        f"ordered map-side partial_listagg missing:\n{plan}"
+    )
+    # map-side combine: the partial agg must sit BELOW the hash exchange
+    # (toString prints parents above children)
+    exch_pos = plan.find("Exchange hashpartitioning")
+    part_pos = plan.find("partial_listagg")
+    assert exch_pos != -1 and part_pos != -1 and part_pos > exch_pos, (
+        f"partial_listagg not below the shuffle:\n{plan}"
     )
 
 
