@@ -368,6 +368,16 @@ def q_stream_geofence_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Radius/cell pairing for the UNSALTED big-big self-join.  VERDICT r07 #2:
+# at 200 km the uniform coordinate spread yields ZERO pairs at the oracle
+# sf (0-rows-vs-0-rows — a vacuous hash match), so the official row proved
+# nothing.  400 km carries 274 pairs at sf0.01 / ~95k at sf0.1.  The cell
+# must still bound the radius at the |lat| < 60 cap (55.66 km per lon
+# degree): 8 deg * 55.66 = 445 km >= 400.
+NEIGHBOR_RADIUS_KM = 400.0
+NEIGHBOR_CELL_DEG = 8
+
+
 @register(
     "geo_neighbor_pairs",
     oracle=f"""
@@ -380,30 +390,32 @@ def q_stream_geofence_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
                    b.plat AS lat2, b.plon AS lon2
             FROM c a JOIN c b ON a.c_custkey < b.c_custkey)
         SELECT cust_a, cust_b, {_HAVERSINE} AS dist_km
-        FROM pairs WHERE {_HAVERSINE} <= 200.0
+        FROM pairs WHERE {_HAVERSINE} <= {NEIGHBOR_RADIUS_KM}
         ORDER BY cust_a, cust_b
     """,
     tags=("J7", "J5"),
 )
 def q_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-customer neighbor pairs within 200 km — the BIG-to-BIG
+    """Customer-customer neighbor pairs within 400 km — the BIG-to-BIG
     spatial self-join: unlike `geo_distance_join` (dim-sized right side,
     broadcast), neither side here is small, so the cell-id equi-join runs
     as an ordinary shuffle join — the plan shape that holds when both
     inputs are fact-scale (Catalyst/AQE may still pick broadcast at test
-    scale; nothing forces it).  4-degree cells bound the 200 km radius at
+    scale; nothing forces it).  8-degree cells bound the 400 km radius at
     the |lat| < 60 cap; the canonical key order (a < b) dedups the
     symmetric pair and drops self-pairs before the distance evaluates.
 
     The oracle is the brute-force a<b self cross join — quadratic in
-    DuckDB, cell-bounded here: the green hash is the losslessness proof.
+    DuckDB, cell-bounded here: the green hash is the losslessness proof,
+    and the radius is sized so the proof is NON-VACUOUS at the oracle sf
+    (274 pairs at sf0.01; the pre-r08 200 km row matched 0-vs-0 rows).
     """
     pts = _points(
         datasets.load(spark, sf_dir, "customer"),
         "c_custkey",
         _CUST_LAT,
         _CUST_LON,
-        cell_deg=4,
+        cell_deg=NEIGHBOR_CELL_DEG,
     )
     left = pts.withColumnsRenamed(
         {"c_custkey": "cust_a", "lat": "lat1", "lon": "lon1"}
@@ -412,13 +424,13 @@ def q_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.withColumnsRenamed(
             {"c_custkey": "cust_b", "lat": "lat2", "lon": "lon2"}
         ),
-        cell_deg=4,
+        cell_deg=NEIGHBOR_CELL_DEG,
     )
     return (
         left.join(right, ["cell_lat", "cell_lon"])
         .filter(F.col("cust_a") < F.col("cust_b"))
         .withColumn("dist_km", F.expr(_HAVERSINE))
-        .filter(F.col("dist_km") <= 200.0)
+        .filter(F.col("dist_km") <= NEIGHBOR_RADIUS_KM)
         .select("cust_a", "cust_b", "dist_km")
         .orderBy("cust_a", "cust_b")
     )

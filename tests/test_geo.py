@@ -209,3 +209,15 @@ def test_hot_key_salting_null_salt_source_keeps_rows(spark):
         .collect()
     )
     assert salted == plain and plain
+
+
+def test_neighbor_pairs_official_row_is_non_vacuous(spark):
+    """VERDICT r07 #2: the unsalted big-big self-join's oracle row must
+    carry pairs — a 0-rows-vs-0-rows hash match proves nothing.  Pin the
+    exact pair count at the driver's oracle sf (0.01): the number is
+    deterministic (coordinates derive from c_custkey), so any drift means
+    the radius/cell pairing or the coordinate scheme changed."""
+    from flinkexp_spark.registry import queries
+
+    n = queries()["geo_neighbor_pairs"](spark, "/root/testdata/sf0.01").count()
+    assert n == 274, f"expected 274 neighbor pairs at sf0.01, got {n}"
