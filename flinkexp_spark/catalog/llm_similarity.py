@@ -1210,6 +1210,19 @@ PQ_COARSE_C = 120         # candidates surviving the ADC stage (measured
 #                           budget buys the quality back — at corpus scale
 #                           C is a constant, the ADC scan stays code-only)
 
+# The COMBINED pipeline compounds cell-wall misses with code-ranking
+# misses, so it gets its own, more generous knobs (VERDICT r07 #6 sweep,
+# recall@10 at sf0.001/sf0.01):
+#     nprobe=2 C=120 -> 0.795/0.770   (the r07 config, floor 0.75)
+#     nprobe=2 C=200 -> 0.850/0.820
+#     nprobe=3 C=120 -> 0.850/0.805
+#     nprobe=3 C=200 -> 0.910/0.880   <- shipped; floor pinned 0.85
+# Cost: one extra probe cell per query (candidates 3/2x) and an 80-row
+# larger exact rerank — both constants, both dwarfed by the 64x memory
+# cut the codes buy at corpus scale.
+IVFPQ_NPROBE = 3
+IVFPQ_COARSE_C = 200
+
 _PQ_CB_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1627,7 +1640,7 @@ def _ivfpq_oracle() -> str:
         cells AS (SELECT vec_id AS match_id, cent_id AS cell
                   FROM aff WHERE crnk <= {IVF_REPL}),
         prb AS (SELECT vec_id AS query_id, cent_id AS cell
-                FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {IVF_NPROBE}),
+                FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {IVFPQ_NPROBE}),
         cand AS (
             SELECT DISTINCT p.query_id, c.match_id
             FROM prb p JOIN cells c ON p.cell = c.cell
@@ -1657,7 +1670,7 @@ def _ivfpq_oracle() -> str:
             FROM coarse c
             JOIN embeddings q ON q.vec_id = c.query_id
             JOIN embeddings m ON m.vec_id = c.match_id
-            WHERE c.crnk <= {PQ_COARSE_C}),
+            WHERE c.crnk <= {IVFPQ_COARSE_C}),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, match_id) AS rnk FROM rer)
         SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
@@ -1671,7 +1684,7 @@ def q_sim_search_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     2011's full IVFADC): the IVF coarse quantizer restricts candidates to
     the probe cells' members (REPL*nprobe/K of the corpus), the PQ codes
     rank them with the integer ADC table (floats never leave the rerank),
-    and PQ_COARSE_C survivors rerank exact.  At 100 TB: cells are the
+    and IVFPQ_COARSE_C survivors rerank exact.  At 100 TB: cells are the
     partition key, each cell's payload is 4-byte codes + ids — a probe
     reads nprobe partitions of codes, a few KB per million vectors.
     Recall compounds both approximations; `sim_search_recall_ivfpq`
@@ -1685,7 +1698,7 @@ def q_sim_search_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("match_id"), F.col("cent_id").alias("cell")
     )
     prb = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= IVF_NPROBE)
+        (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= IVFPQ_NPROBE)
     ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     cand = (
         F.broadcast(prb)
@@ -1725,7 +1738,7 @@ def q_sim_search_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coarse = (
         est.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") <= PQ_COARSE_C)
+        .filter(F.col("crnk") <= IVFPQ_COARSE_C)
         .select("query_id", "match_id")
     )
     qv = emb.select(
