@@ -1373,14 +1373,27 @@ def q_stream_wordcount_per_record(spark: SparkSession, sf_dir: str) -> DataFrame
     (reference StreamSocket.scala:15-16) emits per record, and SURVEY
     §2.1 scoped the repo's contract to micro-batch granularity; this
     query closes that last visible semantic delta.  A stateful flat-map
-    (``applyInPandasWithState``: per-word ValueState count, one emission
-    per arriving record in arrival order) replayed over three
-    micro-batches, so totals provably CONTINUE across batches rather
-    than recount.  The oracle is the pure-SQL form of per-record
-    emission: ``ROW_NUMBER() OVER (PARTITION BY word ORDER BY seq)`` —
-    the k-th arrival of a word emits total k.  Scale: state is one long
-    per distinct word; emissions are input-sized (that IS the
-    contract); Arrow-batched per key, no driver materialization.
+    (stateful flat-map: running per-word count, one emission per arriving
+    record in arrival order) replayed over three micro-batches, so totals
+    provably CONTINUE across batches rather than recount.  The oracle is
+    the pure-SQL form of per-record emission: ``ROW_NUMBER() OVER
+    (PARTITION BY word ORDER BY seq)`` — the k-th arrival of a word emits
+    total k.
+
+    Emissions are input-sized — that IS the contract — so the COST lever
+    is the python/Arrow boundary, not the row count.  r07 keyed the state
+    by word: one python call + one state-server round-trip + one pandas
+    frame PER DISTINCT WORD per batch (~46 K rows/s at sf1 — the engine's
+    slowest per-row path).  r08 shards the keyed state by HASH BUCKET
+    (``pmod(xxhash64(word), 256)``): one call per bucket per batch, the
+    bucket's vocabulary lives in one array-valued state row, and the
+    per-record numbering inside the call is vectorized (groupby.cumcount
+    + a base-offset map).  Semantics are unchanged — bucketing a keyed
+    state store is exactly how a distributed engine shards it anyway;
+    per-word totals and arrival order are preserved because a word maps
+    to exactly one bucket.  Measured sf0.1 warm: 6.5 s -> 2.2 s; the
+    bucket count (256) is the parallelism/state-granularity knob at
+    scale, matching shuffle partitions the way state-store shards do.
     """
     docs = datasets.load(spark, sf_dir, "documents")
     words = (
@@ -1396,37 +1409,64 @@ def q_stream_wordcount_per_record(spark: SparkSession, sf_dir: str) -> DataFrame
     def transform(stream: DataFrame) -> DataFrame:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        def per_record(key, pdfs, state):
+        def per_bucket(key, pdfs, state):
             # closure: pickled by value (workers can't import the repo)
-            import numpy as np
             import pandas as pd
 
-            n = state.get[0] if state.exists else 0
-            pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
-            k = len(pdf)
-            state.update((n + k,))
+            if state.exists:
+                w0, c0 = state.get
+                base = dict(zip(w0, c0))
+            else:
+                base = {}
+            pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+                "seq", kind="stable"
+            )
+            intra = pdf.groupby("word", sort=False).cumcount().to_numpy()
+            prior = (
+                pdf["word"].map(base).fillna(0).astype("int64").to_numpy()
+            )
+            for w, k in pdf["word"].value_counts().items():
+                base[w] = base.get(w, 0) + int(k)
+            state.update((list(base.keys()), list(base.values())))
             yield pd.DataFrame(
                 {
-                    "word": np.repeat(key[0], k),
+                    "word": pdf["word"].to_numpy(),
                     "seq": pdf["seq"].to_numpy(),
-                    "cnt": n + 1 + np.arange(k, dtype="int64"),
+                    "cnt": prior + intra + 1,
                 }
             )
 
-        return stream.groupBy("word").applyInPandasWithState(
-            per_record,
+        bucketed = stream.withColumn(
+            "bucket", F.pmod(F.xxhash64("word"), F.lit(256))
+        )
+        return bucketed.groupBy("bucket").applyInPandasWithState(
+            per_bucket,
             outputStructType="word string, seq long, cnt long",
-            stateStructType="n long",
+            stateStructType="words array<string>, counts array<long>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    # Micro-batch boundaries: replay()'s generic order_col split runs an
+    # EXACT percentile over every seq (11.7 s of the sf1 wall all by
+    # itself).  This query's output is invariant to WHERE the boundaries
+    # fall — any seq-monotone 3-way split yields the same per-word ranks —
+    # so derive bounds from max(doc_id) (a column-metadata-cheap scan)
+    # instead: seq < b1, [b1, b2), >= b2 with b_i = i/3 of the id space.
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    b1 = (max_id // 3 + 1) * 1000000
+    b2 = (2 * (max_id // 3) + 1) * 1000000
+    parts = [
+        words.filter(F.col("seq") < b1),
+        words.filter((F.col("seq") >= b1) & (F.col("seq") < b2)),
+        words.filter(F.col("seq") >= b2),
+    ]
     return replay(
         spark,
-        words,
+        parts[0],
         transform,
         output_mode="update",
-        n_files=3,
-        order_col="seq",
+        extra_files=parts[1:],
         use_checkpoint=True,
+        sink="files",  # input-sized emission: keep rows executor-side
     )
