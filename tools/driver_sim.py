@@ -43,6 +43,12 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--tz", default=None, help="DuckDB connection TimeZone")
+    ap.add_argument(
+        "--artifact",
+        default=None,
+        help="write a CORRECTNESS_FULL.json-style artifact (driver row "
+        "schema: rows/schema/hash_match, spark/oracle_rows, err) here",
+    )
     args = ap.parse_args()
 
     os.chdir("/tmp")
@@ -75,22 +81,40 @@ def main() -> int:
     names = args.only.split(",") if args.only else list(qs)
     t0, n_ok = time.time(), 0
     failures: list[str] = []
+    records: dict[str, dict] = {}
     for i, name in enumerate(names, 1):
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
             s = canon(qs[name](spark, args.sf_dir).toPandas())
+            rec["spark_rows"] = len(s)
             if name not in osql:
                 print(f"[{i}/{len(names)}] {name}: rows-only ({len(s)})")
+                rec.update(rows_match=True, schema_match=True, hash_match=True)
+                rec["oracle_rows"] = None
+                rec["err"] = "rows-only (no oracle registered)"
+                records[name] = rec
                 n_ok += 1
                 continue
             o = canon(con.execute(osql[name]).df())
-            ok = (
-                list(s.columns) == list(o.columns)
-                and len(s) == len(o)
-                and s.equals(o)
+            rec["oracle_rows"] = len(o)
+            rec["rows_match"] = len(s) == len(o)
+            rec["schema_match"] = list(s.columns) == list(o.columns)
+            rec["hash_match"] = (
+                rec["rows_match"] and rec["schema_match"] and s.equals(o)
             )
+            ok = rec["hash_match"]
         except Exception as ex:  # noqa: BLE001
             ok = False
+            rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
             failures.append(f"{name}: ERR {type(ex).__name__}: {ex}")
+        records[name] = rec
         if ok:
             n_ok += 1
         else:
@@ -102,6 +126,13 @@ def main() -> int:
     print(f"DONE {n_ok}/{len(names)} ok in {time.time()-t0:.0f}s")
     for f in failures:
         print("  " + f[:300])
+    if args.artifact:
+        import json
+
+        with open(args.artifact, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"wrote {args.artifact} ({len(records)} rows)")
     return 0 if n_ok == len(names) else 1
 
 
