@@ -1017,18 +1017,180 @@ def decode_image(
     )
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: decode compressed audio bytes -> PCM samples.
+FLAC_RATE_BASE = 8000
+FLAC_RATE_STEP = 4000  # sample_rate = 8000 + (doc_id % 3) * 4000
+FLAC_MAX_SAMPLES = 200  # per channel: n = byte_len % 200 + 80 (2-5 frames)
+FLAC_MIN_SAMPLES = 80
+FLAC_BLOCK = 64  # frame block size: short enough to cycle stereo modes
 
-    Uncompressed PCM WAV decodes for real via :func:`decode_wav`, and the
-    container/frame layers of Ogg and MP3 parse for real via
-    :func:`decode_ogg_meta` / :func:`decode_mp3_meta`; this stub is only
-    the remaining DSP step (vorbis/opus packet decode, Layer III
-    Huffman+MDCT), which needs soundfile/librosa — wire them into the same
-    mapInPandas closure."""
-    raise NotImplementedError(
-        "compressed audio decode requires soundfile/librosa; wire the codec "
-        "into a mapInPandas closure exactly like decode_wav()"
+
+def _ship_flac_by_value() -> None:
+    """Register functions/flac.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import flac  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.flac"]
+    )
+
+
+def with_flac_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL compressed-audio payload: a FLAC stream written by the
+    from-spec encoder in functions/flac.py (fixed/LPC prediction, Rice
+    residuals, frame CRCs, STREAMINFO MD5).  The PCM derives from the row
+    exactly like the WAV fixture — interleaved sample g is
+    ``(md5_byte*257 + g*9973) % 65536 - 32768`` — so the decoded stats are
+    arithmetically reproducible in the oracle; the encoder cycles stereo
+    decorrelation modes and subframe types frame-over-frame so a 100-doc
+    fixture exercises every decoder path."""
+    _ship_flac_by_value()
+    from flinkexp_spark.functions.flac import encode_flac
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            n = len(raw) % FLAC_MAX_SAMPLES + FLAC_MIN_SAMPLES
+            ch = doc_id % 2 + 1
+            rate = FLAC_RATE_BASE + (doc_id % 3) * FLAC_RATE_STEP
+            s = hashlib.md5(raw).digest()[0]
+            g = np.arange(n * ch, dtype=np.int64)
+            v = (s * 257 + g * 9973) % 65536 - 32768
+            return encode_flac(
+                v.reshape(n, ch), sample_rate=rate, block_size=FLAC_BLOCK
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def flac_pcm_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-audio decode: FLAC -> PCM inside one Arrow
+    mapInPandas pass (frame sync, CRC-8/CRC-16 verification, subframe
+    prediction inversion, stereo decorrelation, STREAMINFO MD5 check),
+    then exact-integer waveform stats.  ``pos_checksum`` is position-
+    weighted over the INTERLEAVED samples, so channel order and sample
+    order are both pinned, not just the value multiset.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    _ship_flac_by_value()
+    from flinkexp_spark.functions.flac import decode_flac
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            pcm, rate = decode_flac(bytes(payload))
+            inter = pcm.reshape(-1).astype(np.int64)  # row-major: interleaved
+            pos = np.arange(1, len(inter) + 1, dtype=np.int64)
+            return (
+                rate,
+                pcm.shape[1],
+                pcm.shape[0],
+                int(inter.sum()),
+                int(inter.min()),
+                int(inter.max()),
+                int((pos * inter).sum()),
+            )
+
+        cols = [
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            "sample_sum",
+            "sample_min",
+            "sample_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {"doc_id": pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, n_samples long, "
+            "sample_sum long, sample_min long, sample_max long, "
+            "pos_checksum long"
+        ),
+    )
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode compressed audio bytes -> PCM waveform stats.
+
+    FLAC payloads decode FOR REAL (functions/flac.py — from-spec pure
+    python: prediction inversion, Rice residuals, CRC + MD5 verification);
+    uncompressed PCM WAV decodes via :func:`decode_wav`; the container and
+    frame layers of Ogg and MP3 parse via :func:`decode_ogg_meta` /
+    :func:`decode_mp3_meta`.  The remaining honest boundary is the
+    PERCEPTUAL codecs' DSP (MP3 Layer III, Vorbis/Opus): their specs make
+    large literal constant tables normative (Layer III's Table B.3
+    synthesis window + 34 Huffman tables; Vorbis' floor inverse-dB
+    table), which cannot be derived offline — a decoder with invented
+    tables would mis-decode every real-world file while still round-
+    tripping our own, so those stay behind this error until
+    soundfile/librosa (or the spec tables) are available; wire them into
+    the same mapInPandas closure as the FLAC path."""
+    _ship_flac_by_value()
+    from flinkexp_spark.functions.flac import FLAC_MAGIC, decode_flac
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            payload = bytes(payload)
+            if payload[:4] != FLAC_MAGIC:
+                raise NotImplementedError(
+                    "perceptual-codec DSP (MP3 Layer III / Vorbis / Opus) "
+                    "requires soundfile/librosa or the specs' normative "
+                    "constant tables; FLAC decodes for real — wire other "
+                    "codecs into this closure like decode_flac"
+                )
+            pcm, rate = decode_flac(payload)
+            inter = pcm.reshape(-1).astype(np.int64)
+            return rate, pcm.shape[1], pcm.shape[0], int(inter.sum())
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            out = {"doc_id": pdf["doc_id"]}
+            for j, c in enumerate(
+                ["sample_rate", "n_channels", "n_samples", "sample_sum"]
+            ):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, n_samples long, "
+            "sample_sum long"
+        ),
     )
 
 

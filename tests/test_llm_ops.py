@@ -79,15 +79,20 @@ def test_lsh_bucket_is_stable_and_bounded(spark, sf_dir):
 
 def test_multimodal_stubs_raise(spark, sf_dir):
     docs = M.with_binary_payload(datasets.load(spark, sf_dir, "documents").limit(1))
-    for stub in (M.decode_audio, M.sample_frames):
-        with pytest.raises(NotImplementedError):
-            stub(docs)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(docs)
     # decode_image stopped being a stub in round 7 (functions/jpeg.py
     # decodes baseline JFIF for real); the honest environment boundary
     # remains for non-JPEG payloads and now surfaces at TASK time, since
     # the decode runs lazily inside mapInPandas.
     with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         M.decode_image(docs).collect()
+    # decode_audio stopped being a stub in round 8 (functions/flac.py
+    # decodes FLAC for real); the honest boundary remains for perceptual
+    # codecs (MP3/Vorbis — normative spec tables unavailable offline) and
+    # surfaces at TASK time like decode_image.
+    with pytest.raises(Exception, match="NotImplementedError|perceptual"):
+        M.decode_audio(docs).collect()
 
 
 def test_wav_roundtrip_is_a_real_riff_container(spark, sf_dir):
