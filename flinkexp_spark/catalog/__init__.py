@@ -349,8 +349,11 @@ def _r07_window() -> tuple[str, ...]:
 # queries first, padded to 50 with re-verification slots for every
 # implementation this round touched (ADVICE fixes: kafka stream writer,
 # listagg CEP, salted geo; VERDICT items: widened geo_neighbor_pairs,
-# bucket-sharded per-record wordcount, IVFPQ knobs, JPEG 4:2:0) plus the
-# standing heavy-plan pool.
+# bucket-sharded per-record wordcount, IVFPQ knobs) plus the standing
+# heavy-plan pool.  (The r08 REVERIFY list also scheduled
+# multimodal_decode_jpeg_pixels anticipating a 4:2:0 rework; that rework
+# did NOT land in r08 — the r08 row re-verified the 4:4:4-only decoder.
+# 4:2:0 support shipped in r09.)
 # --------------------------------------------------------------------------
 _R08_NEW: tuple[str, ...] = (
     "multimodal_decode_flac_pcm",  # from-spec FLAC decode (compressed-audio X5)
@@ -425,6 +428,83 @@ def _r08_window() -> tuple[str, ...]:
     return (_R08_NEW + tuple(pad))[:50]
 
 
+# --------------------------------------------------------------------------
+# ROUND-9 WINDOW: staleness rotation.  After r08 the ledger union is
+# 306/306 green, but 134 queries' newest official row still dates from
+# r01-r03 (COVERAGE.md rotation ledger).  r09 therefore re-proves the
+# OLDEST rows against current code: all 43 r01-only queries plus the
+# oldest r02 block, padded behind this round's new/reworked entries.
+# NEW QUERIES added this round must be appended to _R09_NEW (the
+# registry-window test derives the current round from these attrs and
+# fails loudly on drift).
+# --------------------------------------------------------------------------
+_R09_NEW: tuple[str, ...] = ()  # append every query first registered in r09
+
+_R09_REVERIFY: tuple[str, ...] = (
+    # implementation touched this round — re-check on purpose
+    "multimodal_decode_jpeg_pixels",  # 4:2:0 chroma subsampling (VERDICT #4)
+    "multimodal_decode_flac_pcm",  # frame-sequence check (ADVICE)
+    "multimodal_audio_stats",  # decode_audio id_col seam (ADVICE)
+    # staleness pool: every query whose ONLY official rows are r01
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_cube",
+    "agg_distinct",
+    "agg_global",
+    "agg_having",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_keep",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_rows",
+    "embed_neardup_cosine",
+    "filter_predicates",
+    "join_anti",
+    "join_asof",
+    "join_broadcast_star",
+    "join_cross_theta",
+    "join_full_outer",
+    "join_inner",
+    "join_interval",
+    "join_left_outer",
+    "join_lookup_dim",
+    "join_semi",
+    "multimodal_fake_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "project_compute",
+    "rename_drop",
+    "sample_stratified_hash",
+    "sim_search_ann",
+    "sim_search_topk",
+    "split_train_val",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_profile",
+    "text_repetition_filter",
+    "text_token_stats",
+    # oldest r02 rows, by representativeness
+    "wordcount_batch",
+    "sql_tpch_q6",
+    "func_string",
+    "window_ranking",
+    "udf_scalar_net_cents",
+    "union_all",
+)
+
+
+def _r09_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots."""
+    pad = [n for n in _R09_REVERIFY if n not in _R09_NEW]
+    return (_R09_NEW + tuple(pad))[:50]
+
+
 def _apply_rotation() -> None:
     """Reorder the registry dict: priority lists first, then module order.
 
@@ -433,7 +513,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r08_window()
+    priority = _r09_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

@@ -654,20 +654,31 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
     frames: list[np.ndarray] = []
     got = 0
+    frame_idx = 0
     while got < total:
         r = BitReader(payload, pos)
         if r.read(14) != SYNC_CODE:
             raise ValueError("flac: lost frame sync")
         if r.read(1) != 0:
             raise ValueError("flac: reserved header bit set")
-        r.read(1)  # blocking strategy (number semantics only)
+        variable_blocking = r.read(1)  # number semantics: frame vs sample
         bs_code = r.read(4)
         sr_code = r.read(4)
         assignment = r.read(4)
         ss_code = r.read(3)
         if r.read(1) != 0:
             raise ValueError("flac: reserved header bit set")
-        decode_utf8_number(r)
+        coded_number = decode_utf8_number(r)
+        # A spliced/reordered stream can carry per-frame-valid CRCs; the
+        # coded frame/sample number is the spec's ordering witness — check
+        # it here so the error is precise, not a generic final-MD5 miss.
+        expected = got if variable_blocking else frame_idx
+        if coded_number != expected:
+            kind = "sample" if variable_blocking else "frame"
+            raise ValueError(
+                f"flac: frame out of sequence — coded {kind} number "
+                f"{coded_number}, expected {expected}"
+            )
         if bs_code == 0b0110:
             bs = r.read(8) + 1
         elif bs_code == 0b0111:
@@ -733,6 +744,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         pos = frame_end + 2
         frames.append(np.stack(cols, axis=1))
         got += bs
+        frame_idx += 1
 
     if got != total:
         raise ValueError("flac: sample count mismatch")

@@ -1140,7 +1140,9 @@ def flac_pcm_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
     """Decode compressed audio bytes -> PCM waveform stats.
 
     FLAC payloads decode FOR REAL (functions/flac.py — from-spec pure
@@ -1178,7 +1180,7 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
         for pdf in batches:
             rows = [one(p) for p in pdf[payload_col]]
-            out = {"doc_id": pdf["doc_id"]}
+            out = {id_col: pdf[id_col]}
             for j, c in enumerate(
                 ["sample_rate", "n_channels", "n_samples", "sample_sum"]
             ):
@@ -1188,8 +1190,8 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(
         decode,
         schema=(
-            "doc_id long, sample_rate long, n_channels long, n_samples long, "
-            "sample_sum long"
+            f"{id_col} long, sample_rate long, n_channels long, "
+            "n_samples long, sample_sum long"
         ),
     )
 

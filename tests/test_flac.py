@@ -190,3 +190,22 @@ def test_streaminfo_fields_roundtrip():
     assert int.from_bytes(enc[5:8], "big") == 34
     # frame sync code on the first frame
     assert enc[42] == 0xFF and (enc[43] >> 2) == 0b111110
+
+
+def test_spliced_frames_raise_sequence_error():
+    """ADVICE r08: frame-level CRCs pass on a reordered/spliced stream;
+    the coded frame number must catch it with a precise error instead of
+    a generic final-MD5 mismatch."""
+    x = np.arange(256, dtype=np.int64) % 97 - 48
+    enc = encode_flac(x, block_size=64)
+    # locate frame sync points (0xFF 0xF8) after the metadata blocks
+    syncs = [
+        i
+        for i in range(4, len(enc) - 1)
+        if enc[i] == 0xFF and (enc[i + 1] & 0xFC) == 0xF8
+    ]
+    assert len(syncs) >= 3, "fixture should hold >=3 frames"
+    f0, f1, f2 = syncs[0], syncs[1], syncs[2]
+    spliced = enc[:f0] + enc[f1:f2] + enc[f0:f1] + enc[f2:]
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_flac(spliced)

@@ -84,6 +84,7 @@ def main() -> int:
     records: dict[str, dict] = {}
     for i, name in enumerate(names, 1):
         rec = {
+            "oracle": True,
             "rows_match": False,
             "schema_match": False,
             "hash_match": False,
@@ -95,10 +96,19 @@ def main() -> int:
             s = canon(qs[name](spark, args.sf_dir).toPandas())
             rec["spark_rows"] = len(s)
             if name not in osql:
+                # Rows-only query (no DuckDB oracle): the driver records a
+                # weaker ran-and-produced-rows check.  Mark it explicitly
+                # instead of faking green match flags (ADVICE r08) so an
+                # artifact consumer cannot overcount oracle-verified rows.
                 print(f"[{i}/{len(names)}] {name}: rows-only ({len(s)})")
-                rec.update(rows_match=True, schema_match=True, hash_match=True)
-                rec["oracle_rows"] = None
-                rec["err"] = "rows-only (no oracle registered)"
+                rec.update(
+                    oracle=False,
+                    rows_match=True,
+                    schema_match=None,
+                    hash_match=None,
+                    oracle_rows=None,
+                    err=None,
+                )
                 records[name] = rec
                 n_ok += 1
                 continue
