@@ -496,26 +496,50 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_jpeg_pixels",
-    # Oracle recomputes the ENTIRE entropy-decode path arithmetically: the
-    # fixture is block-constant with DC quant 8, so huffman decode ->
-    # dequantize -> IDCT -> YCbCr->RGB lands on EXACTLY the synthesized
-    # gray (s + 17*block) % 160 + 48 at every pixel (IDCT of a DC-only
-    # block is coefficient/8 at every sample; mid-range values avoid the
-    # clamp).  pos_checksum pins the decoded pixel ORDER, not just the
-    # value multiset — a transposed or block-shuffled decode hash-fails.
+    # Oracle recomputes the ENTIRE entropy-decode path arithmetically.
+    # The fixture mixes chroma samplings by doc_id % 3 (0 -> 4:4:4 gray,
+    # 1 -> 4:2:0, 2 -> 4:2:2); every plane is block-constant with DC
+    # quant 8, so huffman decode -> dequantize -> IDCT -> upsample ->
+    # YCbCr->RGB lands on EXACT integers: gray rows decode to
+    # (s + 17*block) % 160 + 48 directly, subsampled rows to
+    # round-half-even(y + 1.402*(cr - 128)) with y the same block ramp
+    # and cr constant per chroma macroblock (16x16 for 4:2:0, 16x8 for
+    # 4:2:2; round_even == numpy rint, and the narrow chroma range keeps
+    # every channel clip-free).  pos_checksum pins the decoded pixel
+    # ORDER — a transposed, block-shuffled, or MCU-misinterleaved decode
+    # hash-fails, which is exactly what a wrong A.2.3 raster would do.
     oracle=f"""
         WITH m AS (
             SELECT doc_id,
                    strlen(text) % {M.JPEG_PX_MAX_DIM} + 1 AS w,
                    doc_id % {M.JPEG_PX_MAX_DIM} + 1 AS h,
-                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s,
+                   CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) AS s2,
+                   CAST(concat('0x', substr(md5(text), 5, 2)) AS BIGINT) AS s3
             FROM documents WHERE doc_id < 100),
+        geom AS (
+            SELECT doc_id, w, h, s, s2, s3, g,
+                   g // w AS py, g % w AS px_,
+                   (g // w // 8) * ((w + 7) // 8) + (g % w) // 8 AS blk,
+                   CASE doc_id % 3
+                       WHEN 1 THEN (g // w // 16) * ((w + 15) // 16)
+                                   + (g % w) // 16
+                       WHEN 2 THEN (g // w // 8) * ((w + 15) // 16)
+                                   + (g % w) // 16
+                   END AS mb
+            FROM (SELECT *, unnest(range(w * h)) AS g FROM m)),
         px AS (
             SELECT doc_id, w, h, g,
-                   (s + {M.JPEG_PX_BLOCK_STEP}
-                        * ((g // w // 8) * ((w + 7) // 8) + (g % w) // 8))
-                   % 160 + 48 AS v
-            FROM (SELECT doc_id, w, h, s, unnest(range(w * h)) AS g FROM m))
+                   CASE WHEN doc_id % 3 = 0
+                        THEN (s + {M.JPEG_PX_BLOCK_STEP} * blk) % 160 + 48
+                        ELSE CAST(round_even(
+                                 ((s + {M.JPEG_PX_BLOCK_STEP} * blk)
+                                  % 160 + 48)
+                                 + 1.402 * (((s3 + 23 * mb) % 40 + 108)
+                                            - 128.0), 0)
+                             AS BIGINT)
+                   END AS v
+            FROM geom)
         SELECT doc_id,
                CAST(w AS BIGINT) AS width,
                CAST(h AS BIGINT) AS height,
@@ -530,13 +554,17 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: baseline-JPEG ENTROPY decode to pixels — the compressed-media
-    step that was the repo's last image stub through round 6.  The payload
-    is a real JFIF stream written by the full forward path (DCT, quantize,
-    canonical Huffman, byte stuffing); the decoder (functions/jpeg.py) is
+    step that was the repo's last image stub through round 6; since r09
+    the corpus MIXES chroma samplings (doc_id % 3: 4:4:4 gray, 4:2:0,
+    4:2:2 — most real camera JPEGs are 4:2:0).  The payload is a real
+    JFIF stream written by the full forward path (chroma box-average
+    downsample, DCT, quantize, canonical Huffman, T.81 A.2.3 MCU
+    interleave, byte stuffing); the decoder (functions/jpeg.py) is
     table-driven from the stream's own DQT/DHT and runs huffman decode,
-    dequantization, inverse zigzag, float IDCT and BT.601 color conversion
-    inside one Arrow mapInPandas pass.  Per-row independent work: no
-    shuffle, scales linearly with the corpus."""
+    dequantization, inverse zigzag, float IDCT, replication upsampling
+    and BT.601 color conversion inside one Arrow mapInPandas pass.
+    Per-row independent work: no shuffle, scales linearly with the
+    corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.jpeg_image_stats(M.with_jpeg_pixel_payload(docs))
 

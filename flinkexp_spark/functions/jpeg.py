@@ -13,10 +13,12 @@ decoder runs inside Arrow ``mapInPandas`` batches, one independent row at
 a time — embarrassingly parallel, no shuffle, 100 TB-safe.
 
 Supported class (and honestly scoped): baseline sequential DCT (SOF0),
-8-bit samples, 1 or 3 components, no chroma subsampling (all sampling
-factors 1x1), optional restart intervals.  Progressive (SOF2) and
-subsampled streams raise ``NotImplementedError`` — parse errors, not
-silent wrong pixels.
+8-bit samples, 1 or 3 components, interleaved single-scan streams with
+ANY divisible sampling factors — 4:4:4, 4:2:2 (2x1) and 4:2:0 (2x2)
+included — via generic T.81 A.2.3 MCU interleaving and
+sample-replication chroma upsampling, optional restart intervals.
+Progressive (SOF2), non-interleaved multi-scan, and non-divisible
+sampling-factor streams raise — parse errors, not silent wrong pixels.
 
 The encoder exists to SYNTHESIZE deterministic fixtures (and to
 property-test the decoder bit-level round trip); it is a real forward
@@ -212,7 +214,8 @@ def _category(value: int) -> int:
 # --------------------------------------------------------------------------
 # Scan-level codec: coefficient blocks <-> entropy bytes.  Blocks are int
 # arrays of 64 coefficients in NATURAL (row-major) order; interleaving is
-# one block per component per MCU (valid for the supported 1x1 sampling).
+# T.81 A.2.3 MCU order — each MCU carries ``blocks_per_mcu[c]`` consecutive
+# blocks per component (h_c * v_c for subsampled frames, 1 for 1x1).
 # --------------------------------------------------------------------------
 
 def encode_scan(
@@ -220,8 +223,10 @@ def encode_scan(
     dc_tables: list[dict[int, tuple[int, int]]],
     ac_tables: list[dict[int, tuple[int, int]]],
     restart_interval: int = 0,
+    blocks_per_mcu: list[int] | None = None,
 ) -> bytes:
-    n_mcu = len(comp_blocks[0])
+    bpm = blocks_per_mcu or [1] * len(comp_blocks)
+    n_mcu = len(comp_blocks[0]) // bpm[0]
     w = _BitWriter()
     pred = [0] * len(comp_blocks)
     rst = 0
@@ -231,33 +236,34 @@ def encode_scan(
             rst += 1
             pred = [0] * len(comp_blocks)
         for c, blocks in enumerate(comp_blocks):
-            nat = np.asarray(blocks[m]).reshape(64)
-            zz = [int(nat[ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - pred[c]
-            pred[c] = zz[0]
-            t = _category(diff)
-            code, length = dc_tables[c][t]
-            w.write(code, length)
-            if t:
-                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_tables[c][0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size = _category(zz[k])
-                code, length = ac_tables[c][(run << 4) | size]
+            for bi in range(bpm[c]):
+                nat = np.asarray(blocks[m * bpm[c] + bi]).reshape(64)
+                zz = [int(nat[ZIGZAG[i]]) for i in range(64)]
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                t = _category(diff)
+                code, length = dc_tables[c][t]
                 w.write(code, length)
-                v = zz[k]
-                w.write(v if v >= 0 else v + (1 << size) - 1, size)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
                 run = 0
-            if run:
-                code, length = ac_tables[c][0x00]  # EOB
-                w.write(code, length)
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_tables[c][0xF0]  # ZRL
+                        w.write(code, length)
+                        run -= 16
+                    size = _category(zz[k])
+                    code, length = ac_tables[c][(run << 4) | size]
+                    w.write(code, length)
+                    v = zz[k]
+                    w.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    code, length = ac_tables[c][0x00]  # EOB
+                    w.write(code, length)
     w.pad_to_byte()
     return bytes(w.out)
 
@@ -269,12 +275,14 @@ def decode_scan(
     dc_decoders: list[_HuffDecoder],
     ac_decoders: list[_HuffDecoder],
     restart_interval: int = 0,
+    blocks_per_mcu: list[int] | None = None,
 ) -> tuple[list[list[np.ndarray]], int]:
     """Decode ``n_mcu`` interleaved MCUs starting at ``data[pos]``.
 
     Returns (per-component block lists in natural order, end position)."""
     r = _BitReader(data, pos)
     n_comp = len(dc_decoders)
+    bpm = blocks_per_mcu or [1] * n_comp
     out: list[list[np.ndarray]] = [[] for _ in range(n_comp)]
     pred = [0] * n_comp
     rst = 0
@@ -284,33 +292,34 @@ def decode_scan(
             rst += 1
             pred = [0] * n_comp
         for c in range(n_comp):
-            t = dc_decoders[c].decode(r)
-            bits = 0
-            for _ in range(t):
-                bits = (bits << 1) | r.read_bit()
-            pred[c] += _extend(bits, t)
-            zz = np.zeros(64, dtype=np.int32)
-            zz[0] = pred[c]
-            k = 1
-            while k < 64:
-                sym = ac_decoders[c].decode(r)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
+            for _bi in range(bpm[c]):
+                t = dc_decoders[c].decode(r)
                 bits = 0
-                for _ in range(size):
+                for _ in range(t):
                     bits = (bits << 1) | r.read_bit()
-                zz[k] = _extend(bits, size)
-                k += 1
-            nat = np.zeros(64, dtype=np.int32)
-            nat[list(ZIGZAG)] = zz
-            out[c].append(nat)
+                pred[c] += _extend(bits, t)
+                zz = np.zeros(64, dtype=np.int32)
+                zz[0] = pred[c]
+                k = 1
+                while k < 64:
+                    sym = ac_decoders[c].decode(r)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    bits = 0
+                    for _ in range(size):
+                        bits = (bits << 1) | r.read_bit()
+                    zz[k] = _extend(bits, size)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int32)
+                nat[list(ZIGZAG)] = zz
+                out[c].append(nat)
     return out, r.pos
 
 
@@ -319,17 +328,29 @@ def decode_scan(
 # --------------------------------------------------------------------------
 
 def encode_baseline_jpeg(
-    pixels: np.ndarray, qtables: list[np.ndarray], restart_interval: int = 0
+    pixels: np.ndarray,
+    qtables: list[np.ndarray],
+    restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
+    color_space: str = "rgb",
 ) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF stream (1x1 sampling, flat-length Huffman tables).
+    """Encode an (h, w) grayscale or (h, w, 3) color uint8 array as a
+    baseline JFIF stream (flat-length Huffman tables).
 
-    A REAL forward path: RGB->YCbCr (BT.601), level shift, float DCT-II,
+    A REAL forward path: RGB->YCbCr (BT.601) unless ``color_space`` is
+    "ycbcr" (planes taken verbatim — lets fixtures pin exact chroma),
+    chroma downsampling by box average per ``sampling`` (per-component
+    (h, v) factors, e.g. ``[(2, 2), (1, 1), (1, 1)]`` for 4:2:0 and
+    ``[(2, 1), (1, 1), (1, 1)]`` for 4:2:2), level shift, float DCT-II,
     quantization (round-half-away, mirrored by the decoder's oracle
-    arithmetic), zigzag, canonical-Huffman scan with byte stuffing.
+    arithmetic), zigzag, and a canonical-Huffman scan with byte stuffing
+    in T.81 A.2.3 MCU interleave order.
     """
     if pixels.ndim == 2:
         planes = [pixels.astype(np.float64)]
+    elif color_space == "ycbcr":
+        ycc = pixels.astype(np.float64)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     else:
         rgb = pixels.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -339,21 +360,44 @@ def encode_baseline_jpeg(
         planes = [y, cb, cr]
     n_comp = len(planes)
     h, w = planes[0].shape
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    sampling = sampling or [(1, 1)] * n_comp
+    if len(sampling) != n_comp:
+        raise ValueError("one (h, v) sampling factor pair per component")
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    for sh, sv in sampling:
+        if hmax % sh or vmax % sv:
+            raise ValueError("sampling factors must divide the max factor")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mh, mv = (w + mcu_w - 1) // mcu_w, (h + mcu_h - 1) // mcu_h
 
     comp_blocks: list[list[np.ndarray]] = []
     for c, plane in enumerate(planes):
+        sh, sv = sampling[c]
+        fy, fx = vmax // sv, hmax // sh
         q = qtables[min(c, len(qtables) - 1)].reshape(8, 8).astype(np.float64)
-        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        padded = np.pad(
+            plane, ((0, mv * mcu_h - h), (0, mh * mcu_w - w)), mode="edge"
+        )
+        if fy > 1 or fx > 1:  # box-average chroma downsample
+            padded = padded.reshape(
+                padded.shape[0] // fy, fy, padded.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
         blocks = []
-        for by in range(bh):
-            for bx in range(bw):
-                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _T @ blk @ _T.T
-                ratio = coef / q
-                blocks.append(
-                    (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)).astype(np.int32)
-                )
+        # T.81 A.2.3: MCU raster, then the component's v x h blocks
+        # row-major within each MCU.
+        for my in range(mv):
+            for mx in range(mh):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _T @ blk @ _T.T
+                        ratio = coef / q
+                        blocks.append(
+                            (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5))
+                            .astype(np.int32)
+                        )
         comp_blocks.append(blocks)
 
     dc_bits, dc_vals = flat_dc_table()
@@ -365,6 +409,7 @@ def encode_baseline_jpeg(
         [dc_enc] * n_comp,
         [ac_enc] * n_comp,
         restart_interval=restart_interval,
+        blocks_per_mcu=[sh * sv for sh, sv in sampling],
     )
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -376,7 +421,8 @@ def encode_baseline_jpeg(
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t]) + zz
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
     for c in range(n_comp):
-        out += bytes((c + 1, 0x11, min(c, 1)))  # 1x1 sampling, qtable id
+        sh, sv = sampling[c]
+        out += bytes((c + 1, (sh << 4) | sv, min(c, 1)))  # sampling, qtable id
     for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         for t in range(min(n_comp, 2)):
             out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
@@ -461,46 +507,75 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit precision supported")
             comps = []
             for c in range(n_comp):
-                cid, sampling, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if sampling != 0x11:
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError("sampling factors must be 1..4")
+                comps.append((cid, tq, sh, sv))
+            hmax = max(sh for _, _, sh, _ in comps)
+            vmax = max(sv for _, _, _, sv in comps)
+            for _, _, sh, sv in comps:
+                if hmax % sh or vmax % sv:
                     raise NotImplementedError(
-                        "chroma subsampling not supported (need 1x1 factors)"
+                        "non-divisible sampling factors not supported "
+                        "(replication upsampling needs integer ratios)"
                     )
-                comps.append((cid, tq))
-            frame = (h, w, comps)
+            if n_comp == 1 and (hmax, vmax) != (1, 1):
+                raise NotImplementedError(
+                    "single-component frames must use 1x1 sampling"
+                )
+            frame = (h, w, comps, hmax, vmax)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
-            h, w, comps = frame
+            h, w, comps, hmax, vmax = frame
             ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) streams not supported"
+                )
             table_ids = {}
             for c in range(ns):
                 cid, tids = struct.unpack_from(">BB", body, 1 + 2 * c)
                 table_ids[cid] = (tids >> 4, tids & 0x0F)
             dc_dec = [
-                _HuffDecoder(*dc_raw[table_ids[cid][0]]) for cid, _ in comps
+                _HuffDecoder(*dc_raw[table_ids[cid][0]])
+                for cid, _, _, _ in comps
             ]
             ac_dec = [
-                _HuffDecoder(*ac_raw[table_ids[cid][1]]) for cid, _ in comps
+                _HuffDecoder(*ac_raw[table_ids[cid][1]])
+                for cid, _, _, _ in comps
             ]
-            bw, bh = (w + 7) // 8, (h + 7) // 8
+            mcu_w, mcu_h = 8 * hmax, 8 * vmax
+            mh = (w + mcu_w - 1) // mcu_w
+            mv = (h + mcu_h - 1) // mcu_h
             blocks, end = decode_scan(
                 payload,
                 pos + 2 + seg_len,
-                bw * bh,
+                mh * mv,
                 dc_dec,
                 ac_dec,
                 restart_interval=restart_interval,
+                blocks_per_mcu=[sh * sv for _, _, sh, sv in comps],
             )
             planes = []
-            for c, (cid, tq) in enumerate(comps):
+            for c, (cid, tq, sh, sv) in enumerate(comps):
                 q = qtables[tq].astype(np.float64)
-                plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+                # component plane at its own resolution, MCU-padded
+                plane = np.empty((mv * sv * 8, mh * sh * 8), dtype=np.float64)
                 for m, nat in enumerate(blocks[c]):
                     coef = nat.reshape(8, 8).astype(np.float64) * q
                     spatial = _T.T @ coef @ _T + 128.0
-                    by, bx = divmod(m, bw)
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                    mcu, bi = divmod(m, sh * sv)
+                    my, mx = divmod(mcu, mh)
+                    by, bx = divmod(bi, sh)
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial
+                # sample-replication upsample to full resolution, then crop
+                fy, fx = vmax // sv, hmax // sh
+                if fy > 1 or fx > 1:
+                    plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
                 planes.append(plane[:h, :w])
             result_planes = planes
             pos = end

@@ -455,13 +455,20 @@ def _ship_jpeg_by_value() -> None:
 def with_jpeg_pixel_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Attach a baseline JPEG with REAL entropy-coded pixel data.
+    """Attach a baseline JPEG with REAL entropy-coded pixel data —
+    MIXED chroma sampling across the corpus (r08 VERDICT #4).
 
-    Each 8x8 block is a constant gray (s + 17*block)%160+48 (mid-range, so
-    no clamping), replicated across R=G=B; the encoder runs the full
-    forward path (BT.601, DCT, quantize, zigzag, Huffman, byte stuffing).
-    Dimensions/seed derive from the row exactly like the PPM fixture, so
-    the decoded pixels are oracle-checkable."""
+    ``doc_id % 3`` picks the stream class: 0 -> 4:4:4 gray RGB (the
+    original r07 fixture, unchanged bytes), 1 -> 4:2:0 (2x2 luma), 2 ->
+    4:2:2 (2x1 luma).  Subsampled rows are synthesized in YCbCr: Y is the
+    same 8x8-block-constant ramp, Cb/Cr are constant per chroma
+    MACROBLOCK (16x16 for 4:2:0, 16x8 for 4:2:2) in a narrow range so no
+    RGB channel clips — box-average downsampling and replication
+    upsampling of a constant are identities, so the decoded planes are
+    EXACT integers and the oracle can recompute every pixel
+    arithmetically (R = round-half-even(y + 1.402*(cr-128))).  The
+    encoder runs the full forward path (DCT, quantize, zigzag,
+    canonical Huffman, T.81 A.2.3 MCU interleave, byte stuffing)."""
     _ship_jpeg_by_value()
     from flinkexp_spark.functions.jpeg import encode_baseline_jpeg
 
@@ -477,15 +484,31 @@ def with_jpeg_pixel_payload(
         def jpg(doc_id: int, text: str) -> bytes:
             w = len(text.encode("utf-8")) % max_dim + 1
             h = doc_id % max_dim + 1
-            s = hashlib.md5(text.encode("utf-8")).digest()[0]
+            digest = hashlib.md5(text.encode("utf-8")).digest()
+            s, s2, s3 = digest[0], digest[1], digest[2]
             bw = (w + 7) // 8
             ys, xs = np.mgrid[0:h, 0:w]
             block = (ys // 8) * bw + xs // 8
             gray = ((s + step * block) % 160 + 48).astype(np.uint8)
-            rgb = np.stack([gray, gray, gray], axis=-1)
             q = np.full(64, 16, dtype=np.int64)
             q[0] = dcq
-            return encode_baseline_jpeg(rgb, [q, q])
+            mode = doc_id % 3
+            if mode == 0:  # 4:4:4, gray RGB — byte-identical to the r07 fixture
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                return encode_baseline_jpeg(rgb, [q, q])
+            mbw = (w + 15) // 16
+            if mode == 1:  # 4:2:0 — chroma macroblocks 16x16
+                sampling = [(2, 2), (1, 1), (1, 1)]
+                mb = (ys // 16) * mbw + xs // 16
+            else:  # 4:2:2 — chroma macroblocks 16 wide x 8 tall
+                sampling = [(2, 1), (1, 1), (1, 1)]
+                mb = (ys // 8) * mbw + xs // 16
+            cb = ((s2 + 11 * mb) % 40 + 108).astype(np.float64)
+            cr = ((s3 + 23 * mb) % 40 + 108).astype(np.float64)
+            ycc = np.stack([gray.astype(np.float64), cb, cr], axis=-1)
+            return encode_baseline_jpeg(
+                ycc, [q, q], sampling=sampling, color_space="ycbcr"
+            )
 
         for pdf in batches:
             yield pd.DataFrame(

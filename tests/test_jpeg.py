@@ -135,17 +135,28 @@ def test_random_color_near_lossless_and_restart() -> None:
     assert (with_rst == plain).all()
 
 
-def test_progressive_and_subsampled_raise() -> None:
+def test_progressive_and_unsupported_sampling_raise() -> None:
     q = np.ones(64, dtype=np.int64)
     payload = bytearray(encode_baseline_jpeg(np.zeros((8, 8), dtype=np.uint8), [q]))
     sof = payload.find(b"\xff\xc0")
     progressive = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_baseline_jpeg(progressive)
+    # gray (single-component) frames must stay 1x1 — a declared 2x2 there
+    # has no interleave meaning
     subsampled = bytearray(payload)
     subsampled[sof + 11] = 0x22  # sampling factors of component 1 -> 2x2
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    with pytest.raises(NotImplementedError, match="1x1"):
         decode_baseline_jpeg(bytes(subsampled))
+    # non-divisible color factors (3x1 luma over 2x1 chroma) are out of scope
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    color = bytearray(encode_baseline_jpeg(rgb, [q, q]))
+    sof = color.find(b"\xff\xc0")
+    bad = bytearray(color)
+    bad[sof + 11] = 0x31  # luma 3x1; chroma stays 1x1 -> 3 % 1 ok, hmax 3
+    bad[sof + 14] = 0x21  # chroma-1 2x1: 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="divisible"):
+        decode_baseline_jpeg(bytes(bad))
 
 
 def test_garbage_rejects() -> None:
@@ -187,3 +198,94 @@ def test_decode_image_stub_is_closed(spark) -> None:
     bad = spark.createDataFrame([(1, bytearray(b"\x89PNG...."))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="PIL|opencv"):
         M.decode_image(bad).collect()
+
+
+def _macroblock_constant_ycc(h: int, w: int, seed: int) -> np.ndarray:
+    """Y constant per 8x8 block, chroma constant per 16x16 macroblock —
+    the class where 4:4:4 / 4:2:2 / 4:2:0 all decode to EXACT integers
+    (DC-only blocks; box-average and replication of constants are
+    identity)."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    blk = (ys // 8) * ((w + 7) // 8) + xs // 8
+    mb = (ys // 16) * ((w + 15) // 16) + xs // 16
+    y = ((seed + 17 * blk) % 160 + 48).astype(np.float64)
+    cb = ((seed * 3 + 11 * mb) % 40 + 108).astype(np.float64)
+    cr = ((seed * 7 + 23 * mb) % 40 + 108).astype(np.float64)
+    return np.stack([y, cb, cr], axis=-1)
+
+
+@pytest.mark.parametrize(
+    "sampling",
+    [[(1, 1)] * 3, [(2, 1), (1, 1), (1, 1)], [(2, 2), (1, 1), (1, 1)]],
+    ids=["444", "422", "420"],
+)
+@pytest.mark.parametrize("dims", [(8, 8), (16, 32), (37, 53), (17, 15), (1, 1)])
+def test_subsampled_roundtrip_exact_on_macroblock_constant(sampling, dims):
+    h, w = dims
+    ycc = _macroblock_constant_ycc(h, w, seed=h * 31 + w)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    enc = encode_baseline_jpeg(ycc, [q, q], sampling=sampling, color_space="ycbcr")
+    px = decode_baseline_jpeg(enc)
+    assert px.shape == (h, w, 3)
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    exp_r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+    exp_b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+    assert np.array_equal(px[..., 0].astype(np.float64), exp_r)
+    assert np.array_equal(px[..., 2].astype(np.float64), exp_b)
+
+
+@pytest.mark.parametrize(
+    "sampling", [[(2, 1), (1, 1), (1, 1)], [(2, 2), (1, 1), (1, 1)]],
+    ids=["422", "420"],
+)
+def test_subsampled_restart_intervals_roundtrip(sampling):
+    ycc = _macroblock_constant_ycc(48, 64, seed=9)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    plain = decode_baseline_jpeg(
+        encode_baseline_jpeg(ycc, [q, q], sampling=sampling, color_space="ycbcr")
+    )
+    rst = decode_baseline_jpeg(
+        encode_baseline_jpeg(
+            ycc, [q, q], sampling=sampling, color_space="ycbcr",
+            restart_interval=2,
+        )
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_subsampled_fuzz_roundtrip_random_images():
+    """Random (not block-constant) images: subsampling is lossy, so pin a
+    structural contract instead of exactness — decode must succeed, dims
+    must match, LUMA (never subsampled, unit quant) must stay near the
+    source Y, and chroma must land within the box-average's range."""
+    rng = np.random.default_rng(42)
+    q1 = np.ones(64, dtype=np.int64)
+    for trial in range(8):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        # keep all RGB channels clip-free: y mid-range, chroma near 128
+        ycc = np.stack(
+            [
+                rng.integers(60, 197, size=(h, w)),
+                rng.integers(108, 149, size=(h, w)),
+                rng.integers(108, 149, size=(h, w)),
+            ],
+            axis=-1,
+        ).astype(np.float64)
+        sampling = [[(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]][trial % 2]
+        enc = encode_baseline_jpeg(
+            ycc, [q1, q1], sampling=sampling, color_space="ycbcr",
+            restart_interval=int(rng.integers(0, 4)),
+        )
+        px = decode_baseline_jpeg(enc)
+        assert px.shape == (h, w, 3)
+        # recover Y/Cb/Cr from RGB (inverse of the decoder's BT.601)
+        r = px[..., 0].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        y_rec = 0.299 * r + 0.587 * g + 0.114 * b
+        # unit quant: DCT+round-trip error per sample is < 2; color
+        # round-trips through uint8 add ~1 more
+        assert np.abs(y_rec - ycc[..., 0]).max() < 4.0, f"trial {trial}"
