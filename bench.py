@@ -131,6 +131,9 @@ HEADLINE = [
     "profile_join_skew",
     "embed_quantize_pq",
     "sim_search_ivfpq_adc",
+    # round-8/9 codec additions: FLAC lossless + IMA-ADPCM lossy decode
+    "multimodal_decode_flac_pcm",
+    "multimodal_decode_adpcm_pcm",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

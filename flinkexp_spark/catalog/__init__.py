@@ -438,7 +438,9 @@ def _r08_window() -> tuple[str, ...]:
 # registry-window test derives the current round from these attrs and
 # fails loudly on drift).
 # --------------------------------------------------------------------------
-_R09_NEW: tuple[str, ...] = ()  # append every query first registered in r09
+_R09_NEW: tuple[str, ...] = (
+    "multimodal_decode_adpcm_pcm",  # IMA-ADPCM decode, recursive-CTE oracle
+)
 
 _R09_REVERIFY: tuple[str, ...] = (
     # implementation touched this round — re-check on purpose

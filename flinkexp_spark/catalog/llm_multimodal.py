@@ -620,3 +620,90 @@ def q_multimodal_decode_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-row independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.flac_pcm_stats(M.with_flac_payload(docs))
+
+
+_ADPCM_STEPS = "[" + ",".join(
+    str(v) for v in __import__(
+        "flinkexp_spark.functions.adpcm", fromlist=["STEP_TABLE"]
+    ).STEP_TABLE
+) + "]"
+
+# shared closed forms (mirrored by multimodal.with_adpcm_payload)
+_ADPCM_NIB = "(s + 13*b + 7*g) % 16"
+
+
+@register(
+    "multimodal_decode_adpcm_pcm",
+    # The oracle REPLAYS THE ENTIRE DECODER inside DuckDB: a recursive
+    # CTE steps the IMA state machine (step-table lookup, shift/add
+    # vpdiff, +-32768 clamp, index adaptation with 0/88 rails) over the
+    # same closed-form nibble stream the fixture packs into the WAV
+    # payload — an independent-engine re-execution of the integer
+    # recurrence, not a re-statement of the synthesis (the synthesized
+    # artifact is the BITSTREAM; the samples only exist by decoding).
+    # pos_checksum is position-weighted across block boundaries, pinning
+    # block order, nibble order (low-first), and every state transition.
+    oracle=f"""
+        WITH RECURSIVE m AS (
+            SELECT doc_id,
+                   doc_id % 3 + 1 AS nb,
+                   {M.ADPCM_RATE_BASE}
+                       + (doc_id % 3) * {M.ADPCM_RATE_STEP} AS rate,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s,
+                   CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) AS s2
+            FROM documents WHERE doc_id < 100),
+        blocks AS (
+            SELECT doc_id, rate, s, b,
+                   (s * 131 + b * 77) % 1024 - 512 AS pred0,
+                   (s2 + 5 * b) % 30 AS idx0
+            FROM (SELECT *, unnest(range(nb)) AS b FROM m)),
+        chain AS (
+            SELECT doc_id, rate, s, b, 0 AS g, pred0 AS pred, idx0 AS idx
+            FROM blocks
+            UNION ALL
+            SELECT doc_id, rate, s, b, g + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CASE WHEN {_ADPCM_NIB} >= 8 THEN pred - vpdiff
+                            ELSE pred + vpdiff END)),
+                   LEAST(88, GREATEST(0, idx +
+                       CASE WHEN {_ADPCM_NIB} % 8 < 4 THEN -1
+                            ELSE ({_ADPCM_NIB} % 8 - 3) * 2 END))
+            FROM (
+                SELECT *,
+                       (step >> 3)
+                       + CASE WHEN {_ADPCM_NIB} % 8 >= 4
+                              THEN step ELSE 0 END
+                       + CASE WHEN {_ADPCM_NIB} % 4 >= 2
+                              THEN step >> 1 ELSE 0 END
+                       + CASE WHEN {_ADPCM_NIB} % 2 = 1
+                              THEN step >> 2 ELSE 0 END AS vpdiff
+                FROM (SELECT *, ({_ADPCM_STEPS})[idx + 1] AS step
+                      FROM chain)
+            )
+            WHERE g < {(M.ADPCM_BLOCK_ALIGN - 4) * 2})
+        SELECT doc_id,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(pred) AS BIGINT) AS sample_sum,
+               CAST(MIN(pred) AS BIGINT) AS sample_min,
+               CAST(MAX(pred) AS BIGINT) AS sample_max,
+               CAST(SUM((b * {(M.ADPCM_BLOCK_ALIGN - 4) * 2 + 1} + g + 1)
+                        * pred) AS BIGINT) AS pos_checksum
+        FROM chain GROUP BY doc_id, rate
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_adpcm_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: LOSSY compressed-audio decode — IMA-ADPCM (WAV 0x0011) to
+    PCM, the codec family whose normative data is small and derivable
+    (89-entry ~1.1x step staircase), unlike MP3/Vorbis (see
+    functions/adpcm.py).  The payload is a real WAV container (RIFF
+    chunks, fmt/fact, per-block state headers, packed nibbles) and the
+    decoder runs the full integer state machine inside one Arrow
+    mapInPandas pass.  The DuckDB oracle re-executes the decoder as a
+    recursive CTE — the strongest oracle shape in the X5 family: a
+    second engine replays the DSP rather than checking a closed form.
+    Per-row independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.adpcm_pcm_stats(M.with_adpcm_payload(docs))

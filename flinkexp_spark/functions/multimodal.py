@@ -1348,3 +1348,132 @@ def sample_y4m_frames(df: DataFrame, every_n: int = 2, id_col: str = "doc_id") -
             "frame_bytes long, byte_sum long"
         ),
     )
+
+# --- real codec: IMA-ADPCM (WAV format 0x0011) ------------------------------
+# Lossy compressed audio with fully-derivable normative data (89-entry
+# ~1.1x step staircase + 8-entry index table — see functions/adpcm.py
+# module doc for why this clears the bar MP3/Vorbis cannot).  The fixture
+# synthesizes the BITSTREAM arithmetically (per-block state headers +
+# nibbles from a closed-form ramp), so the DuckDB oracle can replay the
+# entire integer decode state machine as a recursive CTE — an
+# independent-engine check of the decoder, not of the synthesis.
+
+ADPCM_BLOCK_ALIGN = 36  # 4-byte header + 32 nibble bytes = 65 samples/block
+ADPCM_RATE_BASE = 8000
+ADPCM_RATE_STEP = 4000  # sample_rate = 8000 + (doc_id % 3) * 4000
+
+
+def _ship_adpcm_by_value() -> None:
+    """Register functions/adpcm.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import adpcm  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.adpcm"]
+    )
+
+
+def with_adpcm_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a mono WAV-IMA-ADPCM payload with arithmetically-derived
+    content: block b starts at predictor (s*131 + b*77) % 1024 - 512 with
+    step index (s2 + 5*b) % 30, followed by 64 nibbles
+    (s + 13*b + 7*g) % 16 — closed forms the SQL oracle mirrors before
+    replaying the decode recurrence.  doc_id picks 1-3 blocks and the
+    sample rate, exactly like the WAV/FLAC fixtures."""
+    _ship_adpcm_by_value()
+    from flinkexp_spark.functions.adpcm import build_ima_wav
+
+    ba, rb, rs = ADPCM_BLOCK_ALIGN, ADPCM_RATE_BASE, ADPCM_RATE_STEP
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import pandas as pd
+
+        def wav(doc_id: int, text: str) -> bytes:
+            d = hashlib.md5(text.encode("utf-8")).digest()
+            s, s2 = d[0], d[1]
+            nb = doc_id % 3 + 1
+            headers = [
+                ((s * 131 + b * 77) % 1024 - 512, (s2 + 5 * b) % 30)
+                for b in range(nb)
+            ]
+            nibs = [
+                [(s + 13 * b + 7 * g) % 16 for g in range((ba - 4) * 2)]
+                for b in range(nb)
+            ]
+            return build_ima_wav(headers, nibs, rb + (doc_id % 3) * rs, ba)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        wav(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def adpcm_pcm_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-audio decode: WAV-IMA-ADPCM -> PCM inside one
+    Arrow mapInPandas pass (RIFF chunk walk, fmt/fact validation,
+    per-block state headers, nibble unpack low-first, integer shift/add
+    state machine), then exact-integer waveform stats.  ``pos_checksum``
+    pins sample ORDER across block boundaries — a block processed out of
+    order or a nibble order flip hash-fails.  Per-row independent work:
+    no shuffle, linear in the corpus."""
+    _ship_adpcm_by_value()
+    from flinkexp_spark.functions.adpcm import decode_ima_wav
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            pcm, rate = decode_ima_wav(bytes(payload))
+            pos = np.arange(1, len(pcm) + 1, dtype=np.int64)
+            return (
+                rate,
+                1,
+                len(pcm),
+                int(pcm.sum()),
+                int(pcm.min()),
+                int(pcm.max()),
+                int((pos * pcm).sum()),
+            )
+
+        cols = [
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            "sample_sum",
+            "sample_min",
+            "sample_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, sample_rate long, n_channels long, "
+            "n_samples long, sample_sum long, sample_min long, "
+            "sample_max long, pos_checksum long"
+        ),
+    )
