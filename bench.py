@@ -140,6 +140,24 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Host-load guard (r08 VERDICT #3): BENCH_r08 was frozen on a loaded
+    # machine — 17 noise-flagged medians and a phantom 3x regression.
+    # Record the pre-run load average in the artifact and refuse to bless
+    # a dirty run silently: above the threshold the run still executes
+    # (the driver may call us on a shared host) but the JSON carries
+    # load1 so any consumer can see the artifact is suspect, and we warn
+    # loudly up front.  SPARK_GRAFT_BENCH_MAX_LOAD=0 disables the warn.
+    load1 = round(os.getloadavg()[0], 2)
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4"))
+    if max_load and load1 > max_load:
+        print(
+            f"# bench: WARNING — 1-min load average {load1} > {max_load}; "
+            "medians from this run are NOT trustworthy for round-over-round "
+            "comparison (see BENCH noise history). Re-run on a quiet host "
+            "before freezing an artifact.",
+            file=sys.stderr,
+        )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # infer sf from the dir name, e.g. ".../sf0.1" -> 0.1
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -217,6 +235,8 @@ def main() -> None:
             "queries_spread": spread,
             "noisy_queries": noisy,
             "repeats": repeats,
+            "load1_prerun": load1,
+            "load1_postrun": round(os.getloadavg()[0], 2),
             "sf": sf,
         }
     )
@@ -238,6 +258,7 @@ def main() -> None:
             "unit": "sec",
             "queries": top,
             "repeats": repeats,
+            "load1": load1,
             "sf": sf,
         }
         if rest:

@@ -497,17 +497,21 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_jpeg_pixels",
     # Oracle recomputes the ENTIRE entropy-decode path arithmetically.
-    # The fixture mixes chroma samplings by doc_id % 3 (0 -> 4:4:4 gray,
-    # 1 -> 4:2:0, 2 -> 4:2:2); every plane is block-constant with DC
-    # quant 8, so huffman decode -> dequantize -> IDCT -> upsample ->
-    # YCbCr->RGB lands on EXACT integers: gray rows decode to
-    # (s + 17*block) % 160 + 48 directly, subsampled rows to
+    # The fixture mixes coding class and chroma sampling by doc_id % 4
+    # (0 -> baseline 4:4:4 gray, 1 -> baseline 4:2:0, 2 -> baseline
+    # 4:2:2, 3 -> PROGRESSIVE SOF2 4:2:0); every plane is block-constant
+    # with DC quant 8 and progressive is a lossless reordering of the
+    # same coefficients, so huffman decode -> (scan accumulation) ->
+    # dequantize -> IDCT -> upsample -> YCbCr->RGB lands on EXACT
+    # integers in every mode: gray rows decode to
+    # (s + 17*block) % 160 + 48 directly, color rows to
     # round-half-even(y + 1.402*(cr - 128)) with y the same block ramp
-    # and cr constant per chroma macroblock (16x16 for 4:2:0, 16x8 for
-    # 4:2:2; round_even == numpy rint, and the narrow chroma range keeps
-    # every channel clip-free).  pos_checksum pins the decoded pixel
-    # ORDER — a transposed, block-shuffled, or MCU-misinterleaved decode
-    # hash-fails, which is exactly what a wrong A.2.3 raster would do.
+    # and cr constant per chroma macroblock (16x16 for 4:2:0 and
+    # progressive, 16x8 for 4:2:2; round_even == numpy rint, and the
+    # narrow chroma range keeps every channel clip-free).  pos_checksum
+    # pins the decoded pixel ORDER — a transposed, block-shuffled, or
+    # MCU-misinterleaved decode hash-fails, as would a progressive scan
+    # accumulated into the wrong band or block raster.
     oracle=f"""
         WITH m AS (
             SELECT doc_id,
@@ -521,16 +525,16 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, w, h, s, s2, s3, g,
                    g // w AS py, g % w AS px_,
                    (g // w // 8) * ((w + 7) // 8) + (g % w) // 8 AS blk,
-                   CASE doc_id % 3
-                       WHEN 1 THEN (g // w // 16) * ((w + 15) // 16)
-                                   + (g % w) // 16
+                   CASE doc_id % 4
                        WHEN 2 THEN (g // w // 8) * ((w + 15) // 16)
                                    + (g % w) // 16
+                       ELSE (g // w // 16) * ((w + 15) // 16)
+                            + (g % w) // 16
                    END AS mb
             FROM (SELECT *, unnest(range(w * h)) AS g FROM m)),
         px AS (
             SELECT doc_id, w, h, g,
-                   CASE WHEN doc_id % 3 = 0
+                   CASE WHEN doc_id % 4 = 0
                         THEN (s + {M.JPEG_PX_BLOCK_STEP} * blk) % 160 + 48
                         ELSE CAST(round_even(
                                  ((s + {M.JPEG_PX_BLOCK_STEP} * blk)

@@ -12,13 +12,15 @@ public-spec work (ITU-T T.81 Annex C/F) implemented Spark-first: the
 decoder runs inside Arrow ``mapInPandas`` batches, one independent row at
 a time — embarrassingly parallel, no shuffle, 100 TB-safe.
 
-Supported class (and honestly scoped): baseline sequential DCT (SOF0),
-8-bit samples, 1 or 3 components, interleaved single-scan streams with
-ANY divisible sampling factors — 4:4:4, 4:2:2 (2x1) and 4:2:0 (2x2)
-included — via generic T.81 A.2.3 MCU interleaving and
-sample-replication chroma upsampling, optional restart intervals.
-Progressive (SOF2), non-interleaved multi-scan, and non-divisible
-sampling-factor streams raise — parse errors, not silent wrong pixels.
+Supported class (and honestly scoped): baseline sequential DCT (SOF0)
+AND progressive DCT (SOF2, T.81 Annex G: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB runs),
+8-bit samples, 1 or 3 components, ANY divisible sampling factors —
+4:4:4, 4:2:2 (2x1) and 4:2:0 (2x2) included — via generic T.81 A.2.3
+MCU interleaving and sample-replication chroma upsampling, optional
+restart intervals.  Lossless/hierarchical SOFs, baseline multi-scan,
+and non-divisible sampling factors raise — parse errors, not silent
+wrong pixels.
 
 The encoder exists to SYNTHESIZE deterministic fixtures (and to
 property-test the decoder bit-level round trip); it is a real forward
@@ -85,6 +87,19 @@ def flat_ac_table() -> tuple[list[int], list[int]]:
             vals.append((run << 4) | size)
     bits = [0] * 16
     bits[7] = len(vals)  # all codes length 8
+    return bits, vals
+
+
+def prog_ac_table() -> tuple[list[int], list[int]]:
+    """(bits, huffval) for a PROGRESSIVE AC table: the baseline symbols
+    plus the EOBRUN symbols (cat << 4 | 0 for cat 1..14, T.81 G.1.2.2),
+    all 8-bit codes (176 symbols — Kraft-satisfying, no all-ones code).
+    Kept separate from :func:`flat_ac_table` so baseline fixture bytes
+    stay stable."""
+    bits, vals = flat_ac_table()
+    vals = vals + [cat << 4 for cat in range(1, 15)]
+    bits = [0] * 16
+    bits[7] = len(vals)
     return bits, vals
 
 
@@ -324,8 +339,484 @@ def decode_scan(
 
 
 # --------------------------------------------------------------------------
+# Progressive (SOF2) scan-level codec — T.81 Annex G: spectral selection
+# + successive approximation.  Coefficients live in per-component block
+# grids; DC scans are interleaved over the MCU raster, AC scans are
+# non-interleaved over the component's OWN (un-padded) block raster, one
+# band per scan.  EOB runs amortize trailing zeros across blocks;
+# refinement scans append correction bits for already-nonzero history.
+# --------------------------------------------------------------------------
+
+def _ac_point_transform(v: int, al: int) -> int:
+    """AC successive-approximation point transform: magnitude shift,
+    sign preserved (T.81 G.1.2.2 — truncation toward zero, unlike the
+    DC arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _EobState:
+    """Accumulated EOB run + buffered correction bits (refinement)."""
+
+    def __init__(self) -> None:
+        self.run = 0
+        self.pending: list[int] = []
+
+
+def _flush_eobrun(w: _BitWriter, ac_table: dict, st: _EobState) -> None:
+    if st.run > 0:
+        cat = st.run.bit_length() - 1
+        code, length = ac_table[cat << 4]
+        w.write(code, length)
+        if cat:
+            w.write(st.run - (1 << cat), cat)
+        st.run = 0
+    for b in st.pending:
+        w.write(b, 1)
+    st.pending = []
+
+
+def encode_dc_first_scan(
+    comp_blocks: list[list[np.ndarray]],
+    dc_tables: list[dict[int, tuple[int, int]]],
+    al: int,
+    blocks_per_mcu: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """Interleaved DC scan (Ss=Se=0, Ah=0): baseline DC diff coding of
+    the point-transformed (arithmetic >> Al) DC coefficients."""
+    bpm = blocks_per_mcu
+    n_mcu = len(comp_blocks[0]) // bpm[0]
+    w = _BitWriter()
+    pred = [0] * len(comp_blocks)
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            w.write_marker(0xD0 + (rst % 8))
+            rst += 1
+            pred = [0] * len(comp_blocks)
+        for c, blocks in enumerate(comp_blocks):
+            for bi in range(bpm[c]):
+                v = int(np.asarray(blocks[m * bpm[c] + bi]).reshape(64)[0]) >> al
+                diff = v - pred[c]
+                pred[c] = v
+                t = _category(diff)
+                code, length = dc_tables[c][t]
+                w.write(code, length)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w.pad_to_byte()
+    return bytes(w.out)
+
+
+def decode_dc_first_scan(
+    data: bytes,
+    pos: int,
+    coef_grids: list[np.ndarray],
+    dc_decoders: list[_HuffDecoder],
+    al: int,
+    mcu_geom: tuple[int, int],
+    samplings: list[tuple[int, int]],
+    restart_interval: int = 0,
+) -> int:
+    """Decode into (bh, bw, 64) per-component grids; returns end pos."""
+    mh, mv = mcu_geom
+    r = _BitReader(data, pos)
+    pred = [0] * len(coef_grids)
+    rst = 0
+    for m in range(mh * mv):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst += 1
+            pred = [0] * len(coef_grids)
+        my, mx = divmod(m, mh)
+        for c, grid in enumerate(coef_grids):
+            sh, sv = samplings[c]
+            for bi in range(sh * sv):
+                by, bx = divmod(bi, sh)
+                t = dc_decoders[c].decode(r)
+                bits = 0
+                for _ in range(t):
+                    bits = (bits << 1) | r.read_bit()
+                pred[c] += _extend(bits, t)
+                grid[my * sv + by, mx * sh + bx, 0] = pred[c] << al
+    return r.pos
+
+
+def encode_dc_refine_scan(
+    comp_blocks: list[list[np.ndarray]],
+    al: int,
+    blocks_per_mcu: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """DC refinement (Ah=Al+1): one raw bit (bit Al of the DC) per block,
+    no entropy coding (T.81 G.1.2.1)."""
+    bpm = blocks_per_mcu
+    n_mcu = len(comp_blocks[0]) // bpm[0]
+    w = _BitWriter()
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            w.write_marker(0xD0 + (rst % 8))
+            rst += 1
+        for c, blocks in enumerate(comp_blocks):
+            for bi in range(bpm[c]):
+                v = int(np.asarray(blocks[m * bpm[c] + bi]).reshape(64)[0])
+                w.write((v >> al) & 1, 1)
+    w.pad_to_byte()
+    return bytes(w.out)
+
+
+def decode_dc_refine_scan(
+    data: bytes,
+    pos: int,
+    coef_grids: list[np.ndarray],
+    al: int,
+    mcu_geom: tuple[int, int],
+    samplings: list[tuple[int, int]],
+    restart_interval: int = 0,
+) -> int:
+    mh, mv = mcu_geom
+    r = _BitReader(data, pos)
+    rst = 0
+    for m in range(mh * mv):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst += 1
+        my, mx = divmod(m, mh)
+        for c, grid in enumerate(coef_grids):
+            sh, sv = samplings[c]
+            for bi in range(sh * sv):
+                by, bx = divmod(bi, sh)
+                if r.read_bit():
+                    cur = int(grid[my * sv + by, mx * sh + bx, 0])
+                    grid[my * sv + by, mx * sh + bx, 0] = cur | (1 << al)
+    return r.pos
+
+
+def encode_ac_first_scan(
+    blocks: list[np.ndarray],
+    ac_table: dict[int, tuple[int, int]],
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """Non-interleaved AC scan, first pass for this band (Ah=0): run/size
+    coding of point-transformed coefficients with EOB-run amortization
+    (T.81 G.1.2.2).  ``blocks`` iterate the component's own block raster;
+    each holds 64 NATURAL-order coefficients."""
+    w = _BitWriter()
+    st = _EobState()
+    rst = 0
+    for bidx, nat in enumerate(blocks):
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            _flush_eobrun(w, ac_table, st)
+            w.write_marker(0xD0 + (rst % 8))
+            rst += 1
+        flat = np.asarray(nat).reshape(64)
+        vals = [
+            _ac_point_transform(int(flat[ZIGZAG[k]]), al) for k in range(ss, se + 1)
+        ]
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            st.run += 1
+            if st.run == 0x7FFF:
+                _flush_eobrun(w, ac_table, st)
+            continue
+        _flush_eobrun(w, ac_table, st)
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_table[0xF0]
+                w.write(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_table[(run << 4) | size]
+            w.write(code, length)
+            w.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last < se - ss:
+            st.run += 1
+            if st.run == 0x7FFF:
+                _flush_eobrun(w, ac_table, st)
+    _flush_eobrun(w, ac_table, st)
+    w.pad_to_byte()
+    return bytes(w.out)
+
+
+def decode_ac_first_scan(
+    data: bytes,
+    pos: int,
+    grid: np.ndarray,
+    n_blocks_h: int,
+    n_blocks_w: int,
+    ac_decoder: _HuffDecoder,
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int = 0,
+) -> int:
+    """Decode a first-pass AC band into ``grid[(by, bx, zigzag_k)]`` over
+    the component's un-padded block raster."""
+    r = _BitReader(data, pos)
+    eobrun = 0
+    rst = 0
+    n = n_blocks_h * n_blocks_w
+    for bidx in range(n):
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst += 1
+            eobrun = 0
+        by, bx = divmod(bidx, n_blocks_w)
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = ac_decoder.decode(r)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    bits = 0
+                    for _ in range(run):
+                        bits = (bits << 1) | r.read_bit()
+                    eobrun += bits
+                break
+            k += run
+            if k > se:
+                raise ValueError("AC run past end of band")
+            bits = 0
+            for _ in range(size):
+                bits = (bits << 1) | r.read_bit()
+            grid[by, bx, ZIGZAG[k]] = _extend(bits, size) << al
+            k += 1
+    return r.pos
+
+
+def encode_ac_refine_scan(
+    blocks: list[np.ndarray],
+    ac_table: dict[int, tuple[int, int]],
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """Non-interleaved AC refinement (Ah=Al+1, T.81 G.1.2.3): newly
+    significant coefficients code as (zero-history-run, 1)+sign, history
+    coefficients append one correction bit each, EOB runs buffer
+    correction bits until flushed."""
+    w = _BitWriter()
+    st = _EobState()
+    rst = 0
+    for bidx, nat in enumerate(blocks):
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            _flush_eobrun(w, ac_table, st)
+            w.write_marker(0xD0 + (rst % 8))
+            rst += 1
+        flat = np.asarray(nat).reshape(64)
+        absvals = [abs(int(flat[ZIGZAG[k]])) >> al for k in range(ss, se + 1)]
+        signs = [int(flat[ZIGZAG[k]]) < 0 for k in range(ss, se + 1)]
+        last = -1  # last NEWLY-significant position (t == 1) in the band
+        for i, t in enumerate(absvals):
+            if t == 1:
+                last = i
+        run = 0  # zero-HISTORY run since the last emitted symbol
+        block_bits: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(absvals):
+            if t == 0:
+                run += 1
+                continue
+            # at ANY nonzero position: overlong zero-history runs emit
+            # ZRLs first (each flushing the bits buffered so far) — but
+            # only within the newly-significant span; trailing runs ride
+            # the EOB instead
+            while run > 15 and i <= last:
+                _flush_eobrun(w, ac_table, st)
+                code, length = ac_table[0xF0]
+                w.write(code, length)
+                run -= 16
+                for b in block_bits:
+                    w.write(b, 1)
+                block_bits = []
+            if t > 1:  # history coefficient: one correction bit
+                block_bits.append(t & 1)
+                continue
+            # newly significant: (zero-history-run, 1) + sign + buffered bits
+            _flush_eobrun(w, ac_table, st)
+            code, length = ac_table[(run << 4) | 1]
+            w.write(code, length)
+            w.write(0 if signs[i] else 1, 1)
+            for b in block_bits:
+                w.write(b, 1)
+            block_bits = []
+            run = 0
+        if run > 0 or block_bits:  # band tail rides the EOB run
+            st.run += 1
+            st.pending.extend(block_bits)
+            if st.run == 0x7FFF:
+                _flush_eobrun(w, ac_table, st)
+    _flush_eobrun(w, ac_table, st)
+    w.pad_to_byte()
+    return bytes(w.out)
+
+
+def decode_ac_refine_scan(
+    data: bytes,
+    pos: int,
+    grid: np.ndarray,
+    n_blocks_h: int,
+    n_blocks_w: int,
+    ac_decoder: _HuffDecoder,
+    ss: int,
+    se: int,
+    al: int,
+    restart_interval: int = 0,
+) -> int:
+    r = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    rst = 0
+    n = n_blocks_h * n_blocks_w
+
+    def correct(by: int, bx: int, k: int) -> None:
+        cur = int(grid[by, bx, ZIGZAG[k]])
+        if r.read_bit() and not (cur & p1):
+            grid[by, bx, ZIGZAG[k]] = cur + (p1 if cur >= 0 else m1)
+
+    for bidx in range(n):
+        if restart_interval and bidx and bidx % restart_interval == 0:
+            r.align_and_expect_rst(rst)
+            rst += 1
+            eobrun = 0
+        by, bx = divmod(bidx, n_blocks_w)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = ac_decoder.decode(r)
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size == 0:
+                    if run < 15:
+                        eobrun = 1 << run
+                        if run:
+                            bits = 0
+                            for _ in range(run):
+                                bits = (bits << 1) | r.read_bit()
+                            eobrun += bits
+                        break
+                    # ZRL: pass 16 zero-history positions
+                elif size == 1:
+                    newval = p1 if r.read_bit() else m1
+                else:
+                    raise ValueError("refinement symbol must have size 0 or 1")
+                # advance over `run` zero-history coefficients, correcting
+                # any nonzero-history ones passed on the way
+                while k <= se:
+                    if int(grid[by, bx, ZIGZAG[k]]) != 0:
+                        correct(by, bx, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    grid[by, bx, ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if int(grid[by, bx, ZIGZAG[k]]) != 0:
+                    correct(by, bx, k)
+                k += 1
+            eobrun -= 1
+    return r.pos
+
+
+# --------------------------------------------------------------------------
 # Full-file codec.
 # --------------------------------------------------------------------------
+
+def _prepare_planes(
+    pixels: np.ndarray, color_space: str
+) -> list[np.ndarray]:
+    if pixels.ndim == 2:
+        return [pixels.astype(np.float64)]
+    if color_space == "ycbcr":
+        ycc = pixels.astype(np.float64)
+        return [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    rgb = pixels.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y, cb, cr]
+
+
+def _resolve_sampling(
+    sampling: list[tuple[int, int]] | None, n_comp: int
+) -> tuple[list[tuple[int, int]], int, int]:
+    sampling = sampling or [(1, 1)] * n_comp
+    if len(sampling) != n_comp:
+        raise ValueError("one (h, v) sampling factor pair per component")
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    for sh, sv in sampling:
+        if hmax % sh or vmax % sv:
+            raise ValueError("sampling factors must divide the max factor")
+    return sampling, hmax, vmax
+
+
+def _quantized_mcu_blocks(
+    planes: list[np.ndarray],
+    qtables: list[np.ndarray],
+    sampling: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+) -> tuple[list[list[np.ndarray]], int, int]:
+    """Downsample + DCT + quantize each component; blocks returned in
+    T.81 A.2.3 MCU interleave order.  Returns (comp_blocks, mh, mv)."""
+    h, w = planes[0].shape
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mh, mv = (w + mcu_w - 1) // mcu_w, (h + mcu_h - 1) // mcu_h
+    comp_blocks: list[list[np.ndarray]] = []
+    for c, plane in enumerate(planes):
+        sh, sv = sampling[c]
+        fy, fx = vmax // sv, hmax // sh
+        q = qtables[min(c, len(qtables) - 1)].reshape(8, 8).astype(np.float64)
+        padded = np.pad(
+            plane, ((0, mv * mcu_h - h), (0, mh * mcu_w - w)), mode="edge"
+        )
+        if fy > 1 or fx > 1:  # box-average chroma downsample
+            padded = padded.reshape(
+                padded.shape[0] // fy, fy, padded.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        blocks = []
+        # MCU raster, then the component's v x h blocks row-major.
+        for my in range(mv):
+            for mx in range(mh):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _T @ blk @ _T.T
+                        ratio = coef / q
+                        blocks.append(
+                            (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5))
+                            .astype(np.int32)
+                        )
+        comp_blocks.append(blocks)
+    return comp_blocks, mh, mv
+
 
 def encode_baseline_jpeg(
     pixels: np.ndarray,
@@ -346,59 +837,13 @@ def encode_baseline_jpeg(
     arithmetic), zigzag, and a canonical-Huffman scan with byte stuffing
     in T.81 A.2.3 MCU interleave order.
     """
-    if pixels.ndim == 2:
-        planes = [pixels.astype(np.float64)]
-    elif color_space == "ycbcr":
-        ycc = pixels.astype(np.float64)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    else:
-        rgb = pixels.astype(np.float64)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
+    planes = _prepare_planes(pixels, color_space)
     n_comp = len(planes)
     h, w = planes[0].shape
-    sampling = sampling or [(1, 1)] * n_comp
-    if len(sampling) != n_comp:
-        raise ValueError("one (h, v) sampling factor pair per component")
-    hmax = max(sh for sh, _ in sampling)
-    vmax = max(sv for _, sv in sampling)
-    for sh, sv in sampling:
-        if hmax % sh or vmax % sv:
-            raise ValueError("sampling factors must divide the max factor")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mh, mv = (w + mcu_w - 1) // mcu_w, (h + mcu_h - 1) // mcu_h
-
-    comp_blocks: list[list[np.ndarray]] = []
-    for c, plane in enumerate(planes):
-        sh, sv = sampling[c]
-        fy, fx = vmax // sv, hmax // sh
-        q = qtables[min(c, len(qtables) - 1)].reshape(8, 8).astype(np.float64)
-        padded = np.pad(
-            plane, ((0, mv * mcu_h - h), (0, mh * mcu_w - w)), mode="edge"
-        )
-        if fy > 1 or fx > 1:  # box-average chroma downsample
-            padded = padded.reshape(
-                padded.shape[0] // fy, fy, padded.shape[1] // fx, fx
-            ).mean(axis=(1, 3))
-        blocks = []
-        # T.81 A.2.3: MCU raster, then the component's v x h blocks
-        # row-major within each MCU.
-        for my in range(mv):
-            for mx in range(mh):
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
-                        blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = _T @ blk @ _T.T
-                        ratio = coef / q
-                        blocks.append(
-                            (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5))
-                            .astype(np.int32)
-                        )
-        comp_blocks.append(blocks)
+    sampling, hmax, vmax = _resolve_sampling(sampling, n_comp)
+    comp_blocks, mh, mv = _quantized_mcu_blocks(
+        planes, qtables, sampling, hmax, vmax
+    )
 
     dc_bits, dc_vals = flat_dc_table()
     ac_bits, ac_vals = flat_ac_table()
@@ -439,6 +884,129 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
+def _mcu_to_grid(
+    blocks: list[np.ndarray], mh: int, mv: int, sh: int, sv: int
+) -> np.ndarray:
+    """MCU-ordered block list -> (bh_pad, bw_pad, 64) natural-order grid."""
+    grid = np.zeros((mv * sv, mh * sh, 64), dtype=np.int32)
+    for m, nat in enumerate(blocks):
+        mcu, bi = divmod(m, sh * sv)
+        my, mx = divmod(mcu, mh)
+        by, bx = divmod(bi, sh)
+        grid[my * sv + by, mx * sh + bx] = np.asarray(nat).reshape(64)
+    return grid
+
+
+def _comp_block_dims(
+    h: int, w: int, sh: int, sv: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Un-padded block-grid dims of a component (T.81 A.1.1/A.2.4 —
+    non-interleaved scans cover ceil(comp_dim/8) blocks, NOT the
+    MCU-padded grid)."""
+    comp_h = (h * sv + vmax - 1) // vmax
+    comp_w = (w * sh + hmax - 1) // hmax
+    return (comp_h + 7) // 8, (comp_w + 7) // 8
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray,
+    qtables: list[np.ndarray],
+    restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
+    color_space: str = "rgb",
+    dc_al: int = 1,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    ac_al: int = 1,
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JFIF stream — T.81 Annex G.
+
+    Scan script: interleaved DC first at Al=``dc_al``, per-component AC
+    first scans per spectral ``bands`` at Al=``ac_al``, then DC and AC
+    refinement passes down to full precision.  Decoding the complete
+    stream recovers EXACTLY the coefficients a baseline encode of the
+    same input would carry (progressive is a reordering, not a different
+    quantization), which is what the round-trip tests pin."""
+    planes = _prepare_planes(pixels, color_space)
+    n_comp = len(planes)
+    h, w = planes[0].shape
+    sampling, hmax, vmax = _resolve_sampling(sampling, n_comp)
+    comp_blocks, mh, mv = _quantized_mcu_blocks(
+        planes, qtables, sampling, hmax, vmax
+    )
+    bpm = [sh * sv for sh, sv in sampling]
+    grids = [
+        _mcu_to_grid(comp_blocks[c], mh, mv, *sampling[c])
+        for c in range(n_comp)
+    ]
+    raster_blocks = []
+    for c in range(n_comp):
+        cbh, cbw = _comp_block_dims(h, w, *sampling[c], hmax, vmax)
+        raster_blocks.append(
+            [grids[c][by, bx] for by in range(cbh) for bx in range(cbw)]
+        )
+
+    dc_bits, dc_vals = flat_dc_table()
+    ac_bits, ac_vals = prog_ac_table()
+    dc_enc = _canonical_codes(dc_bits, dc_vals)
+    ac_enc = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    for t in range(min(n_comp, 2)):
+        q = qtables[min(t, len(qtables) - 1)].reshape(64)
+        zz = bytes(int(q[ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t]) + zz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    for c in range(n_comp):
+        sh, sv = sampling[c]
+        out += bytes((c + 1, (sh << 4) | sv, min(c, 1)))
+    for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        for t in range(min(n_comp, 2)):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([(cls << 4) | t]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(scomps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        )
+        for c in scomps:
+            t = min(c, 1)
+            seg += bytes((c + 1, (t << 4) | t))
+        seg += bytes((ss, se, (ah << 4) | al))
+        return bytes(seg)
+
+    all_comps = list(range(n_comp))
+    # 1. interleaved DC first
+    out += sos(all_comps, 0, 0, 0, dc_al)
+    out += encode_dc_first_scan(
+        comp_blocks, [dc_enc] * n_comp, dc_al, bpm, restart_interval
+    )
+    # 2. AC first scans: per component, per spectral band
+    for c in all_comps:
+        for ss, se in bands:
+            out += sos([c], ss, se, 0, ac_al)
+            out += encode_ac_first_scan(
+                raster_blocks[c], ac_enc, ss, se, ac_al, restart_interval
+            )
+    # 3. DC refinements down to full precision
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(all_comps, 0, 0, al + 1, al)
+        out += encode_dc_refine_scan(comp_blocks, al, bpm, restart_interval)
+    # 4. AC refinements down to full precision
+    for al in range(ac_al - 1, -1, -1):
+        for c in all_comps:
+            for ss, se in bands:
+                out += sos([c], ss, se, al + 1, al)
+                out += encode_ac_refine_scan(
+                    raster_blocks[c], ac_enc, ss, se, al, restart_interval
+                )
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JFIF stream to uint8 pixels — (h, w) for
     grayscale, (h, w, 3) RGB for 3-component YCbCr.
@@ -454,9 +1022,12 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_raw: dict[int, tuple[list[int], list[int]]] = {}
     ac_raw: dict[int, tuple[list[int], list[int]]] = {}
-    frame = None  # (h, w, [(comp_id, qtable_id)])
+    frame = None  # (h, w, comps, hmax, vmax)
     restart_interval = 0
     result_planes: list[np.ndarray] | None = None
+    progressive = False
+    coef_grids: list[np.ndarray] | None = None
+    scan_seen = False
 
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -497,11 +1068,12 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) is supported, got SOF 0x{marker:02x}"
+                "only baseline (SOF0) and progressive (SOF2) are supported, "
+                f"got SOF 0x{marker:02x}"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, n_comp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -525,11 +1097,80 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                     "single-component frames must use 1x1 sampling"
                 )
             frame = (h, w, comps, hmax, vmax)
+            progressive = marker == 0xC2
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             h, w, comps, hmax, vmax = frame
             ns = body[0]
+            if progressive:
+                mcu_w, mcu_h = 8 * hmax, 8 * vmax
+                mh = (w + mcu_w - 1) // mcu_w
+                mv = (h + mcu_h - 1) // mcu_h
+                if coef_grids is None:
+                    coef_grids = [
+                        np.zeros((mv * sv, mh * sh, 64), dtype=np.int32)
+                        for _, _, sh, sv in comps
+                    ]
+                scomps = [
+                    (body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)
+                ]
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                samplings = [(sh, sv) for _, _, sh, sv in comps]
+                start = pos + 2 + seg_len
+                if ss_ == 0:  # DC scan
+                    if se_ != 0:
+                        raise ValueError("DC scan must have Se=0")
+                    if ns != len(comps):
+                        raise NotImplementedError(
+                            "partial-component DC scans not supported"
+                        )
+                    if ah == 0:
+                        dc_dec = [
+                            _HuffDecoder(*dc_raw[tids >> 4])
+                            for _, tids in scomps
+                        ]
+                        end = decode_dc_first_scan(
+                            payload, start, coef_grids, dc_dec, al,
+                            (mh, mv), samplings, restart_interval,
+                        )
+                    else:
+                        if ah != al + 1:
+                            raise ValueError("refinement needs Ah = Al + 1")
+                        end = decode_dc_refine_scan(
+                            payload, start, coef_grids, al,
+                            (mh, mv), samplings, restart_interval,
+                        )
+                else:  # AC scan — non-interleaved by spec
+                    if ns != 1:
+                        raise ValueError("AC scans must be single-component")
+                    cid0, tids = scomps[0]
+                    c = next(
+                        i for i, (cid, _, _, _) in enumerate(comps)
+                        if cid == cid0
+                    )
+                    sh, sv = samplings[c]
+                    cbh, cbw = (
+                        ((h * sv + vmax - 1) // vmax + 7) // 8,
+                        ((w * sh + hmax - 1) // hmax + 7) // 8,
+                    )
+                    acd = _HuffDecoder(*ac_raw[tids & 0x0F])
+                    if ah == 0:
+                        end = decode_ac_first_scan(
+                            payload, start, coef_grids[c], cbh, cbw, acd,
+                            ss_, se_, al, restart_interval,
+                        )
+                    else:
+                        if ah != al + 1:
+                            raise ValueError("refinement needs Ah = Al + 1")
+                        end = decode_ac_refine_scan(
+                            payload, start, coef_grids[c], cbh, cbw, acd,
+                            ss_, se_, al, restart_interval,
+                        )
+                scan_seen = True
+                pos = end
+                continue
             if ns != len(comps):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) streams not supported"
@@ -581,6 +1222,22 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
             pos = end
             continue
         pos += 2 + seg_len
+
+    if result_planes is None and progressive and scan_seen:
+        h, w, comps, hmax, vmax = frame
+        planes = []
+        for c, (cid, tq, sh, sv) in enumerate(comps):
+            q = qtables[tq].astype(np.float64).reshape(8, 8)
+            grid = coef_grids[c]
+            bh, bw = grid.shape[:2]
+            coefs = grid.reshape(bh, bw, 8, 8).astype(np.float64) * q
+            spatial = _T.T @ coefs @ _T + 128.0
+            plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            fy, fx = vmax // sv, hmax // sh
+            if fy > 1 or fx > 1:
+                plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+            planes.append(plane[:h, :w])
+        result_planes = planes
 
     if result_planes is None:
         raise ValueError("no scan data found")

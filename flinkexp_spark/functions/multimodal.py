@@ -455,22 +455,26 @@ def _ship_jpeg_by_value() -> None:
 def with_jpeg_pixel_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Attach a baseline JPEG with REAL entropy-coded pixel data —
-    MIXED chroma sampling across the corpus (r08 VERDICT #4).
+    """Attach a real JPEG payload — MIXED chroma sampling AND coding
+    class across the corpus (r08 VERDICT #4 + progressive).
 
-    ``doc_id % 3`` picks the stream class: 0 -> 4:4:4 gray RGB (the
-    original r07 fixture, unchanged bytes), 1 -> 4:2:0 (2x2 luma), 2 ->
-    4:2:2 (2x1 luma).  Subsampled rows are synthesized in YCbCr: Y is the
-    same 8x8-block-constant ramp, Cb/Cr are constant per chroma
-    MACROBLOCK (16x16 for 4:2:0, 16x8 for 4:2:2) in a narrow range so no
-    RGB channel clips — box-average downsampling and replication
-    upsampling of a constant are identities, so the decoded planes are
-    EXACT integers and the oracle can recompute every pixel
-    arithmetically (R = round-half-even(y + 1.402*(cr-128))).  The
-    encoder runs the full forward path (DCT, quantize, zigzag,
-    canonical Huffman, T.81 A.2.3 MCU interleave, byte stuffing)."""
+    ``doc_id % 4`` picks the stream class: 0 -> baseline 4:4:4 gray RGB
+    (the original r07 fixture, unchanged bytes), 1 -> baseline 4:2:0
+    (2x2 luma), 2 -> baseline 4:2:2 (2x1 luma), 3 -> PROGRESSIVE (SOF2)
+    4:2:0 with DC+AC successive approximation and split spectral bands.
+    Subsampled rows are synthesized in YCbCr: Y is the same
+    8x8-block-constant ramp, Cb/Cr are constant per chroma MACROBLOCK
+    (16x16 for 4:2:0, 16x8 for 4:2:2) in a narrow range so no RGB
+    channel clips — box-average downsampling and replication upsampling
+    of a constant are identities, and progressive is a lossless
+    reordering of the same coefficients, so the decoded planes are EXACT
+    integers in every mode and the oracle recomputes every pixel
+    arithmetically (R = round-half-even(y + 1.402*(cr-128)))."""
     _ship_jpeg_by_value()
-    from flinkexp_spark.functions.jpeg import encode_baseline_jpeg
+    from flinkexp_spark.functions.jpeg import (
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
 
     max_dim, step, dcq = JPEG_PX_MAX_DIM, JPEG_PX_BLOCK_STEP, JPEG_PX_DC_QUANT
 
@@ -492,20 +496,24 @@ def with_jpeg_pixel_payload(
             gray = ((s + step * block) % 160 + 48).astype(np.uint8)
             q = np.full(64, 16, dtype=np.int64)
             q[0] = dcq
-            mode = doc_id % 3
+            mode = doc_id % 4
             if mode == 0:  # 4:4:4, gray RGB — byte-identical to the r07 fixture
                 rgb = np.stack([gray, gray, gray], axis=-1)
                 return encode_baseline_jpeg(rgb, [q, q])
             mbw = (w + 15) // 16
-            if mode == 1:  # 4:2:0 — chroma macroblocks 16x16
-                sampling = [(2, 2), (1, 1), (1, 1)]
-                mb = (ys // 16) * mbw + xs // 16
-            else:  # 4:2:2 — chroma macroblocks 16 wide x 8 tall
+            if mode == 2:  # 4:2:2 — chroma macroblocks 16 wide x 8 tall
                 sampling = [(2, 1), (1, 1), (1, 1)]
                 mb = (ys // 8) * mbw + xs // 16
+            else:  # 4:2:0 (baseline mode 1 / progressive mode 3) — 16x16
+                sampling = [(2, 2), (1, 1), (1, 1)]
+                mb = (ys // 16) * mbw + xs // 16
             cb = ((s2 + 11 * mb) % 40 + 108).astype(np.float64)
             cr = ((s3 + 23 * mb) % 40 + 108).astype(np.float64)
             ycc = np.stack([gray.astype(np.float64), cb, cr], axis=-1)
+            if mode == 3:  # progressive scan script, same coefficients
+                return encode_progressive_jpeg(
+                    ycc, [q, q], sampling=sampling, color_space="ycbcr"
+                )
             return encode_baseline_jpeg(
                 ycc, [q, q], sampling=sampling, color_space="ycbcr"
             )

@@ -139,9 +139,15 @@ def test_progressive_and_unsupported_sampling_raise() -> None:
     q = np.ones(64, dtype=np.int64)
     payload = bytearray(encode_baseline_jpeg(np.zeros((8, 8), dtype=np.uint8), [q]))
     sof = payload.find(b"\xff\xc0")
-    progressive = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_baseline_jpeg(progressive)
+    lossless = bytes(payload[:sof]) + b"\xff\xc3" + bytes(payload[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_baseline_jpeg(lossless)
+    # a baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan, which
+    # is not a legal progressive scan script — a precise parse error, not
+    # silent wrong pixels
+    relabeled = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_baseline_jpeg(relabeled)
     # gray (single-component) frames must stay 1x1 — a declared 2x2 there
     # has no interleave meaning
     subsampled = bytearray(payload)
@@ -289,3 +295,124 @@ def test_subsampled_fuzz_roundtrip_random_images():
         # unit quant: DCT+round-trip error per sample is < 2; color
         # round-trips through uint8 add ~1 more
         assert np.abs(y_rec - ycc[..., 0]).max() < 4.0, f"trial {trial}"
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 Annex G
+# --------------------------------------------------------------------------
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """Progressive is a REORDERING of the same quantized coefficients —
+    decoding the complete scan script must land on exactly the pixels the
+    baseline stream yields, for every sampling, grayscale, odd dims, and
+    restart intervals."""
+    from flinkexp_spark.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(12)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    for trial in range(8):
+        h, w = int(rng.integers(1, 45)), int(rng.integers(1, 45))
+        samp = [None, [(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]][trial % 3]
+        if trial % 4 == 3:
+            px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+            samp = None
+        else:
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        ri = int(rng.integers(0, 3))
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(px, [q, q], sampling=samp, restart_interval=ri)
+        )
+        prog = decode_baseline_jpeg(
+            encode_progressive_jpeg(px, [q, q], sampling=samp, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), f"trial {trial}"
+
+
+def test_progressive_multi_stage_successive_approximation():
+    """Deeper scan scripts (2-bit successive approximation, three
+    spectral bands) must still converge to the baseline pixels."""
+    from flinkexp_spark.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(24, 31, 3)).astype(np.uint8)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    base = decode_baseline_jpeg(encode_baseline_jpeg(px, [q, q]))
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(
+            px, [q, q], dc_al=2, ac_al=2, bands=((1, 2), (3, 20), (21, 63))
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_image_exercises_eob_runs():
+    """A large flat image makes nearly every AC block all-zero — the
+    EOBRUN path must amortize across blocks and still decode exactly
+    (also pins the 0x7FFF flush never corrupts)."""
+    from flinkexp_spark.functions.jpeg import encode_progressive_jpeg
+
+    px = np.full((128, 128, 3), 130, dtype=np.uint8)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    base = decode_baseline_jpeg(encode_baseline_jpeg(px, [q, q]))
+    enc = encode_progressive_jpeg(px, [q, q])
+    prog = decode_baseline_jpeg(enc)
+    assert np.array_equal(base, prog)
+    # EOB runs must beat per-block EOBs: the whole 16x16-block AC band
+    # collapses into a handful of EOBRUN symbols
+    assert len(enc) < len(encode_baseline_jpeg(px, [q, q])) + 200
+
+
+def test_progressive_truncated_after_first_scans_still_renders():
+    """The point of progressive: a prefix of the scan script is a valid
+    (coarser) image.  Truncating before the refinement scans must decode
+    without error to the right dimensions, with pixels near the final
+    image (DC is at half precision, AC at half precision)."""
+    from flinkexp_spark.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(14)
+    px = rng.integers(60, 196, size=(19, 23, 3)).astype(np.uint8)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    enc = encode_progressive_jpeg(px, [q, q], dc_al=1, ac_al=1)
+    # cut at the first DC-refinement SOS (scan 4: after DC-first + 2x AC-first
+    # per component... find the 4th SOS onwards) and append EOI
+    sos_offsets = []
+    i = 2
+    while True:
+        j = enc.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        sos_offsets.append(j)
+        i = j + 2
+    assert len(sos_offsets) >= 8  # 1 DC + 6 AC-first + refinements
+    cut = enc[: sos_offsets[7]] + b"\xff\xd9"
+    full = decode_baseline_jpeg(enc)
+    coarse = decode_baseline_jpeg(cut)
+    assert coarse.shape == full.shape
+    # half-precision coefficients: per-coefficient error <= q * 2^Al, and
+    # several AC basis terms can stack at one pixel — structural bound,
+    # plus the preview must track the final image on average
+    diff = np.abs(coarse.astype(int) - full.astype(int))
+    assert diff.max() <= 150
+    assert diff.mean() <= 20
+
+
+def test_progressive_fixture_class_is_exact():
+    """The oracle fixture class (block-constant Y, macroblock-constant
+    chroma) decodes EXACTLY under the progressive scan script too."""
+    from flinkexp_spark.functions.jpeg import encode_progressive_jpeg
+
+    ycc = _macroblock_constant_ycc(37, 53, seed=77)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    px = decode_baseline_jpeg(
+        encode_progressive_jpeg(
+            ycc, [q, q], sampling=[(2, 2), (1, 1), (1, 1)], color_space="ycbcr"
+        )
+    )
+    y, cr = ycc[..., 0], ycc[..., 2]
+    exp_r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+    assert np.array_equal(px[..., 0].astype(np.float64), exp_r)
