@@ -440,6 +440,8 @@ def _r08_window() -> tuple[str, ...]:
 # --------------------------------------------------------------------------
 _R09_NEW: tuple[str, ...] = (
     "multimodal_decode_adpcm_pcm",  # IMA-ADPCM decode, recursive-CTE oracle
+    "multimodal_decode_png_pixels",  # from-spec PNG codec, exact oracle
+    "multimodal_decode_gif_pixels",  # from-spec GIF/LZW codec, exact oracle
 )
 
 _R09_REVERIFY: tuple[str, ...] = (

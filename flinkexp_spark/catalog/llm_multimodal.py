@@ -711,3 +711,130 @@ def q_multimodal_decode_adpcm_pcm(spark: SparkSession, sf_dir: str) -> DataFrame
     Per-row independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.adpcm_pcm_stats(M.with_adpcm_payload(docs))
+
+
+@register(
+    "multimodal_decode_png_pixels",
+    # Oracle recomputes the synthesized pixels arithmetically: sample
+    # (x, y, c) is (s + 31x + 17y + 97c) % 256 — or the palette double
+    # closed form for variant 2 — so after the REAL decode (chunk walk
+    # with per-chunk CRC-32, DEFLATE inflate, Sub/Up/Average/Paeth
+    # unfiltering, Adam7 pass scatter, PLTE expansion) the stats must
+    # land exactly: PNG is lossless, no epsilon anywhere.  pos_checksum
+    # is weighted by row-major (y*W + x)*C + c + 1, which pins scanline
+    # order, channel order AND the interlace reorder (variant 3 is
+    # Adam7: a pass scattered to the wrong lattice hash-fails).
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   len % {M.PNG_DIM_MOD} + {M.PNG_DIM_MIN} AS w,
+                   (len * 3 + doc_id) % {M.PNG_DIM_MOD}
+                       + {M.PNG_DIM_MIN} AS h,
+                   doc_id % 4 AS var,
+                   CASE doc_id % 4 WHEN 0 THEN 1 WHEN 3 THEN 4
+                        ELSE 3 END AS ch
+            FROM m),
+        py AS (SELECT *, unnest(range(h)) AS y FROM d),
+        pyx AS (SELECT *, unnest(range(w)) AS x FROM py),
+        px AS (
+            SELECT doc_id, w, h, ch,
+                   CASE WHEN var = 2
+                        THEN (s * 3
+                              + 37 * ((s + 7 * x + 13 * y)
+                                      % {M.PNG_PAL_SIZE})
+                              + 11 * c) % 256
+                        ELSE (s + 31 * x + 17 * y + 97 * c) % 256
+                   END AS v,
+                   (y * w + x) * ch + c + 1 AS pos
+            FROM (SELECT *, unnest(range(ch)) AS c FROM pyx))
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS n_channels,
+               CAST(SUM(v) AS BIGINT) AS pix_sum,
+               CAST(MIN(v) AS BIGINT) AS pix_min,
+               CAST(MAX(v) AS BIGINT) AS pix_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM px GROUP BY doc_id, w, h, ch
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: LOSSLESS image decode — PNG to pixels, the second-most-common
+    image format in crawled corpora (functions/png.py, from-spec: chunk
+    framing with CRC-32 verification, DEFLATE via stdlib zlib, all five
+    scanline filters, Adam7 interlace, palette expansion).  doc_id % 4
+    cycles grey / RGB / 16-entry palette / RGBA+Adam7, the filter seed
+    rotates so every unfilter path runs, and every 5th doc splits IDAT
+    across chunks — one 100-doc fixture exercises the whole decoder.
+    Unlike JPEG (functions/jpeg.py) the decode is bit-exact, so the
+    oracle needs no quantization mirroring: closed-form pixel synthesis
+    on one side, full codec round-trip on the other.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.png_image_stats(M.with_png_payload(docs))
+
+
+@register(
+    "multimodal_decode_gif_pixels",
+    # Oracle recomputes the synthesized pixels arithmetically: RGB
+    # sample (x, y, c) = (s*5 + 41*((s + 11x + 23y) % P) + 13c) % 256
+    # with P = 16 + (doc_id % 3)*8 — so after the REAL decode
+    # (container walk, extension skip, LZW table rebuilt from the
+    # stream, 4-pass deinterlace, color-table expansion) the stats land
+    # exactly; GIF is lossless.  palette_slots pins the power-of-two
+    # color-table padding (P=24 stores 32 slots — reading the 8 pad
+    # entries as pixels would hash-fail), and pos_checksum pins row,
+    # channel and interlace order.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   len % {M.GIF_DIM_MOD} + {M.GIF_DIM_MIN} AS w,
+                   (len * 5 + doc_id) % {M.GIF_DIM_MOD}
+                       + {M.GIF_DIM_MIN} AS h,
+                   {M.GIF_PAL_BASE} + (doc_id % 3) * {M.GIF_PAL_STEP} AS p
+            FROM m),
+        py AS (SELECT *, unnest(range(h)) AS y FROM d),
+        pyx AS (SELECT *, unnest(range(w)) AS x FROM py),
+        px AS (
+            SELECT doc_id, w, h, p,
+                   (s * 5 + 41 * ((s + 11 * x + 23 * y) % p) + 13 * c)
+                       % 256 AS v,
+                   (y * w + x) * 3 + c + 1 AS pos
+            FROM (SELECT *, unnest(range(3)) AS c FROM pyx))
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(CASE WHEN p = 16 THEN 16 ELSE 32 END
+                    AS BIGINT) AS palette_slots,
+               CAST(SUM(v) AS BIGINT) AS pix_sum,
+               CAST(MIN(v) AS BIGINT) AS pix_min,
+               CAST(MAX(v) AS BIGINT) AS pix_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM px GROUP BY doc_id, w, h, p
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: LZW image decode — GIF to RGB pixels (functions/gif.py,
+    from-spec: variable-width LZW with the code table rebuilt from the
+    stream itself, sub-block framing, extension skipping, 4-pass
+    interlace, global AND local color tables).  Completes the lossless
+    image pair with PNG: between them the corpus-facing decoder family
+    covers DEFLATE-filtered truecolor and LZW-paletted streams — the
+    two compression families virtually all crawled lossless images use.
+    doc_id cycles interlace x table-locality and a third of docs use a
+    24-color table whose pad slots must not leak into pixels.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.gif_image_stats(M.with_gif_payload(docs))

@@ -1485,3 +1485,290 @@ def adpcm_pcm_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "sample_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG fixtures (functions/png.py — from-spec lossless image codec)
+# ---------------------------------------------------------------------------
+
+PNG_DIM_MOD = 24  # width  = strlen % 24 + 9  (9..32)
+PNG_DIM_MIN = 9  # height = (strlen*3 + doc_id) % 24 + 9
+PNG_PAL_SIZE = 16  # palette variant: 16 entries
+
+
+def _ship_png_by_value() -> None:
+    """Register functions/png.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import png  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.png"]
+    )
+
+
+def with_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL PNG payload written by the from-spec encoder in
+    functions/png.py.  Pixels derive arithmetically from the row so the
+    decoded stats are reproducible in the SQL oracle; ``doc_id % 4``
+    cycles the decoder's four structural paths:
+
+    * 0 — greyscale (color type 0), null interlace
+    * 1 — truecolor RGB (color type 2), null interlace
+    * 2 — 16-entry palette (color type 3): index (s + 7x + 13y) % 16,
+      palette entry (i, c) = (s*3 + 37i + 11c) % 256
+    * 3 — RGBA (color type 6) with ADAM7 interlace — the position-
+      weighted checksum downstream pins the deinterlace reorder exactly
+
+    Non-palette sample (x, y, c) = (s + 31x + 17y + 97c) % 256.  The
+    filter seed rotates per row so all five scanline filters appear, and
+    every 5th doc splits its IDAT stream across multiple chunks."""
+    _ship_png_by_value()
+    from flinkexp_spark.functions.png import encode_png
+
+    dmod, dmin, psize = PNG_DIM_MOD, PNG_DIM_MIN, PNG_PAL_SIZE
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            w = len(raw) % dmod + dmin
+            h = (len(raw) * 3 + doc_id) % dmod + dmin
+            var = doc_id % 4
+            y, x = np.indices((h, w), dtype=np.int64)
+            split = 64 if doc_id % 5 == 0 else 0
+            if var == 2:
+                idx = ((s + 7 * x + 13 * y) % psize).astype(np.uint8)
+                i = np.arange(psize, dtype=np.int64)
+                pal = (
+                    (s * 3 + 37 * i[:, None] + 11 * np.arange(3)) % 256
+                ).astype(np.uint8)
+                return encode_png(
+                    idx, 3, palette=pal, filter_seed=s + doc_id,
+                    idat_split=split,
+                )
+            ct, ch, inter = {0: (0, 1, 0), 1: (2, 3, 0), 3: (6, 4, 1)}[var]
+            c = np.arange(ch, dtype=np.int64)
+            v = (
+                (s + 31 * x[:, :, None] + 17 * y[:, :, None] + 97 * c) % 256
+            ).astype(np.uint8)
+            src = v[:, :, 0] if ch == 1 else v
+            return encode_png(
+                src, ct, interlace=inter, filter_seed=s + doc_id,
+                idat_split=split,
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def png_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL lossless-image decode: PNG -> pixels inside one Arrow
+    mapInPandas pass (chunk walk with per-chunk CRC-32 verification,
+    DEFLATE inflate, scanline unfiltering incl. Paeth, Adam7 pass
+    scatter, palette expansion), then exact-integer pixel stats.
+    ``pos_checksum`` is weighted by row-major (y*W + x)*C + c + 1, so
+    scanline order, channel order AND the Adam7 deinterlace are pinned —
+    a pass scattered to the wrong lattice hash-fails.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    _ship_png_by_value()
+    from flinkexp_spark.functions.png import decode_png
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            img, meta = decode_png(bytes(payload))
+            flat = img.reshape(-1).astype(np.int64)  # row-major
+            pos = np.arange(1, len(flat) + 1, dtype=np.int64)
+            return (
+                meta["width"],
+                meta["height"],
+                img.shape[2],
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((pos * flat).sum()),
+            )
+
+        cols = [
+            "width",
+            "height",
+            "n_channels",
+            "pix_sum",
+            "pix_min",
+            "pix_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, width long, height long, n_channels long, "
+            "pix_sum long, pix_min long, pix_max long, pos_checksum long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF fixtures (functions/gif.py — from-spec LZW image codec)
+# ---------------------------------------------------------------------------
+
+GIF_DIM_MOD = 24  # width  = strlen % 24 + 9
+GIF_DIM_MIN = 9  # height = (strlen*5 + doc_id) % 24 + 9
+GIF_PAL_BASE = 16  # palette size = 16 + (doc_id % 3) * 8 -> 16/24/32
+GIF_PAL_STEP = 8  # (24 forces non-power-of-two color-table padding)
+
+
+def _ship_gif_by_value() -> None:
+    """Register functions/gif.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import gif  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.gif"]
+    )
+
+
+def with_gif_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL GIF payload written by the from-spec encoder in
+    functions/gif.py (real variable-width LZW, sub-block framing, a
+    Graphic Control Extension the decoder must skip).  Pixel index
+    (x, y) = (s + 11x + 23y) % P with palette entry
+    (i, c) = (s*5 + 41i + 13c) % 256; P = 16 + (doc_id % 3) * 8, so a
+    third of the corpus uses a 24-color table whose power-of-two padding
+    the decoder must NOT misread as image data.  doc_id bit 0 toggles
+    4-pass interlacing, bit 1 toggles local-vs-global color table."""
+    _ship_gif_by_value()
+    from flinkexp_spark.functions.gif import encode_gif
+
+    dmod, dmin = GIF_DIM_MOD, GIF_DIM_MIN
+    pbase, pstep = GIF_PAL_BASE, GIF_PAL_STEP
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            w = len(raw) % dmod + dmin
+            h = (len(raw) * 5 + doc_id) % dmod + dmin
+            psize = pbase + (doc_id % 3) * pstep
+            y, x = np.indices((h, w), dtype=np.int64)
+            idx = ((s + 11 * x + 23 * y) % psize).astype(np.uint8)
+            i = np.arange(psize, dtype=np.int64)
+            pal = (
+                (s * 5 + 41 * i[:, None] + 13 * np.arange(3)) % 256
+            ).astype(np.uint8)
+            return encode_gif(
+                idx,
+                pal,
+                interlace=bool(doc_id % 2),
+                local_palette=bool((doc_id // 2) % 2),
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def gif_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL LZW-image decode: GIF -> RGB pixels inside one Arrow
+    mapInPandas pass (container walk with extension skipping, LZW code
+    table rebuilt from the stream, 4-pass deinterlace, color-table
+    expansion), then exact-integer pixel stats.  ``pos_checksum`` is
+    weighted by row-major (y*W + x)*3 + c + 1, pinning row order,
+    channel order and the interlace inversion.  ``palette_slots`` is the
+    decoder-visible (power-of-two padded) color-table size, pinning the
+    size-field arithmetic.  Per-row independent: no shuffle."""
+    _ship_gif_by_value()
+    from flinkexp_spark.functions.gif import decode_gif
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            img, meta = decode_gif(bytes(payload))
+            flat = img.reshape(-1).astype(np.int64)  # row-major RGB
+            pos = np.arange(1, len(flat) + 1, dtype=np.int64)
+            return (
+                meta["width"],
+                meta["height"],
+                meta["palette_size"],
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((pos * flat).sum()),
+            )
+
+        cols = [
+            "width",
+            "height",
+            "palette_slots",
+            "pix_sum",
+            "pix_min",
+            "pix_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, width long, height long, palette_slots long, "
+            "pix_sum long, pix_min long, pix_max long, pos_checksum long"
+        ),
+    )
