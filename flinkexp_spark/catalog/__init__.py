@@ -60,6 +60,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     data_profiling,  # correlation matrix + Benford audit (new r5)
     geo,  # grid-blocked spatial joins / kNN / density (new r6)
     experiments,  # CUPED, Kaplan-Meier, item lift, seasonality (new r6)
+    sketches,  # KMV/theta set-algebra sketches (new r9)
 )
 
 # --------------------------------------------------------------------------
@@ -442,6 +443,7 @@ _R09_NEW: tuple[str, ...] = (
     "multimodal_decode_adpcm_pcm",  # IMA-ADPCM decode, recursive-CTE oracle
     "multimodal_decode_png_pixels",  # from-spec PNG codec, exact oracle
     "multimodal_decode_gif_pixels",  # from-spec GIF/LZW codec, exact oracle
+    "sketch_theta_kmv_setops",  # KMV/theta sketch set algebra, replayed oracle
 )
 
 _R09_REVERIFY: tuple[str, ...] = (
