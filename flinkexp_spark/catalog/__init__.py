@@ -444,6 +444,7 @@ _R09_NEW: tuple[str, ...] = (
     "multimodal_decode_png_pixels",  # from-spec PNG codec, exact oracle
     "multimodal_decode_gif_pixels",  # from-spec GIF/LZW codec, exact oracle
     "sketch_theta_kmv_setops",  # KMV/theta sketch set algebra, replayed oracle
+    "multimodal_decode_mjpeg_frames",  # MJPG AVI demux + per-frame decode
 )
 
 _R09_REVERIFY: tuple[str, ...] = (

@@ -838,3 +838,63 @@ def q_multimodal_decode_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFram
     independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.gif_image_stats(M.with_gif_payload(docs))
+
+
+@register(
+    "multimodal_decode_mjpeg_frames",
+    # Oracle recomputes every pixel of every frame arithmetically:
+    # frame f's gray plane is the block-constant ramp
+    # (s + 97f + 17*block) % 160 + 48 with DC quant 8, so the LOSSY
+    # JPEG round-trip is exact (same argument as the still-image
+    # fixture: block-constant planes survive DCT/quant/IDCT bit-for-
+    # bit).  pos_checksum is weighted by the GLOBAL position
+    # f*W*H + g + 1, pinning frame order on top of pixel order — a
+    # demux that swaps or drops frames hash-fails.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) % {M.JPEG_PX_MAX_DIM} + 1 AS w,
+                   doc_id % {M.JPEG_PX_MAX_DIM} + 1 AS h,
+                   doc_id % {M.MJPEG_MAX_FRAMES}
+                       + {M.MJPEG_MIN_FRAMES} AS nf,
+                   {M.MJPEG_FPS_BASE}
+                       + (doc_id % 3) * {M.MJPEG_FPS_STEP} AS fps,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        fr AS (SELECT *, unnest(range(nf)) AS f FROM m),
+        px AS (
+            SELECT doc_id, nf, w, h, fps,
+                   (s + {M.MJPEG_FRAME_SEED} * f
+                    + {M.JPEG_PX_BLOCK_STEP}
+                      * ((g // w // 8) * ((w + 7) // 8) + (g % w) // 8))
+                       % 160 + 48 AS v,
+                   f * w * h + g + 1 AS pos
+            FROM (SELECT *, unnest(range(w * h)) AS g FROM fr))
+        SELECT doc_id,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(fps AS BIGINT) AS fps,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM px GROUP BY doc_id, nf, w, h, fps
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL video decode — MJPG AVI to per-frame pixels.  The
+    payload is a standard AVI written by functions/avi.py (RIFF lists,
+    avih/strh/strf headers, word-aligned 00dc chunks, idx1 index) whose
+    frames are complete baseline JFIF streams from the from-spec JPEG
+    encoder; the decoder demuxes with full cross-checking (header
+    geometry, frame counts avih==movi==idx1, every idx1 offset against
+    the real chunk position, SOI/EOI magic) and entropy-decodes every
+    frame inside one Arrow mapInPandas pass.  Motion-JPEG is the video
+    format whose decode is honestly achievable offline — inter-frame
+    codecs (h264) stay a documented boundary (multimodal.py:1203), same
+    argument as MP3/Vorbis vs FLAC.  Per-row independent work: no
+    shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.mjpeg_frame_stats(M.with_mjpeg_payload(docs))

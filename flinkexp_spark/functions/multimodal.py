@@ -1228,14 +1228,21 @@ def decode_audio(
 
 
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB: sample every-Nth frame from COMPRESSED video (mp4/h264).
+    """STUB: sample every-Nth frame from INTER-PREDICTED video (mp4/h264).
 
-    Uncompressed Y4M streams are handled for real by
-    :func:`sample_y4m_frames`; compressed containers need ffmpeg/pyav —
-    wire the demuxer into the same 1->N mapInPandas closure."""
+    Two video paths decode for real: uncompressed Y4M
+    (:func:`sample_y4m_frames`) and compressed Motion-JPEG AVI
+    (:func:`mjpeg_frame_stats` — RIFF demux in functions/avi.py + the
+    from-spec JPEG entropy decoder per frame).  The remaining boundary
+    is inter-frame prediction (h264/h265/VP9): their normative tables
+    (CABAC contexts, default scan matrices) are spec DATA, not derivable
+    offline — same argument as MP3/Vorbis vs FLAC (functions/flac.py:9).
+    Wire ffmpeg/pyav into the same 1->N mapInPandas closure if the
+    sandbox ever gains them."""
     raise NotImplementedError(
-        "compressed video demux requires ffmpeg/pyav; emit one row per frame "
-        "from a mapInPandas closure exactly like sample_y4m_frames()"
+        "inter-predicted video (h264/h265/VP9) requires ffmpeg/pyav or the "
+        "specs' normative tables; MJPEG AVIs decode for real via "
+        "mjpeg_frame_stats(), Y4M via sample_y4m_frames()"
     )
 
 
@@ -1770,5 +1777,159 @@ def gif_image_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=(
             f"{id_col} long, width long, height long, palette_slots long, "
             "pix_sum long, pix_min long, pix_max long, pos_checksum long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG/AVI fixtures (functions/avi.py + functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+MJPEG_MAX_FRAMES = 4  # n_frames = doc_id % 4 + 2 (2..5)
+MJPEG_MIN_FRAMES = 2
+MJPEG_FPS_BASE = 10  # fps = 10 + (doc_id % 3) * 5
+MJPEG_FPS_STEP = 5
+MJPEG_FRAME_SEED = 97  # frame f gray ramp seed offset: s + 97*f
+
+
+def _ship_avi_by_value() -> None:
+    """Register functions/avi.py AND functions/jpeg.py for BY-VALUE
+    pickling (executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import avi, jpeg  # noqa: F401
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.avi"]
+    )
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.jpeg"]
+    )
+
+
+def with_mjpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL video payload: an MJPG AVI (functions/avi.py) whose
+    frames are complete baseline JFIF streams from the from-spec JPEG
+    encoder.  Frame f's gray plane is the block-constant ramp
+    ``(s + 97*f + 17*block) % 160 + 48`` — same DC-quant-8 trick as the
+    still-image fixture, so the LOSSY encode+decode round-trip lands on
+    exact integers and the oracle recomputes every pixel of every frame
+    arithmetically."""
+    _ship_avi_by_value()
+    from flinkexp_spark.functions.avi import build_mjpeg_avi
+    from flinkexp_spark.functions.jpeg import encode_baseline_jpeg
+
+    max_dim, step, dcq = JPEG_PX_MAX_DIM, JPEG_PX_BLOCK_STEP, JPEG_PX_DC_QUANT
+    nf_mod, nf_min = MJPEG_MAX_FRAMES, MJPEG_MIN_FRAMES
+    fps_base, fps_step, fseed = MJPEG_FPS_BASE, MJPEG_FPS_STEP, MJPEG_FRAME_SEED
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            w = len(raw) % max_dim + 1
+            h = doc_id % max_dim + 1
+            s = hashlib.md5(raw).digest()[0]
+            nf = doc_id % nf_mod + nf_min
+            bw = (w + 7) // 8
+            ys, xs = np.mgrid[0:h, 0:w]
+            block = (ys // 8) * bw + xs // 8
+            q = np.full(64, 16, dtype=np.int64)
+            q[0] = dcq
+            frames = []
+            for f in range(nf):
+                gray = ((s + fseed * f + step * block) % 160 + 48).astype(
+                    np.uint8
+                )
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                frames.append(encode_baseline_jpeg(rgb, [q, q]))
+            return build_mjpeg_avi(
+                frames, w, h, fps_base + (doc_id % 3) * fps_step
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def mjpeg_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video decode: AVI RIFF demux (header/index cross-checks) +
+    per-frame baseline-JPEG entropy decode inside one Arrow mapInPandas
+    pass, then exact-integer pixel stats over ALL frames.
+    ``pos_checksum`` is weighted by the GLOBAL position
+    f*W*H + y*W + x + 1, so frame ORDER is pinned on top of scanline
+    order — frames demuxed out of index order hash-fail.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    _ship_avi_by_value()
+    from flinkexp_spark.functions.avi import demux_mjpeg_avi
+    from flinkexp_spark.functions.jpeg import decode_baseline_jpeg
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            frames, meta = demux_mjpeg_avi(bytes(payload))
+            grays = []
+            for fr in frames:
+                px = decode_baseline_jpeg(fr)
+                gray = px[..., 0] if px.ndim == 3 else px
+                if gray.shape != (meta["height"], meta["width"]):
+                    raise ValueError("frame geometry disagrees with header")
+                grays.append(gray.astype(np.int64).reshape(-1))
+            flat = np.concatenate(grays)
+            pos = np.arange(1, flat.size + 1, dtype=np.int64)
+            return (
+                meta["n_frames"],
+                meta["width"],
+                meta["height"],
+                meta["fps"],
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((pos * flat).sum()),
+            )
+
+        cols = [
+            "n_frames",
+            "width",
+            "height",
+            "fps",
+            "px_sum",
+            "px_min",
+            "px_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_frames long, width long, height long, "
+            "fps long, px_sum long, px_min long, px_max long, "
+            "pos_checksum long"
         ),
     )
