@@ -507,9 +507,105 @@ _R09_REVERIFY: tuple[str, ...] = (
 
 
 def _r09_window() -> tuple[str, ...]:
-    """First-50 plan: new queries first, padded with re-verify slots."""
+    """First-50 plan: new queries first, padded with re-verify slots.
+
+    NOTE (r09 post-mortem / ADVICE): this plan over-subscribed — the
+    truncation at 50 silently dropped ``text_token_stats`` (the last
+    r01-only staleness entry) and the six r02 pads listed after it.
+    Those names lead the r10 pool below; _r10_window() now refuses to
+    truncate silently."""
     pad = [n for n in _R09_REVERIFY if n not in _R09_NEW]
     return (_R09_NEW + tuple(pad))[:50]
+
+
+# --------------------------------------------------------------------------
+# ROUND-10 WINDOW: staleness rotation, continued.  After r09 the ledger
+# union is 311/311 green but 47 queries' newest official row still dates
+# from r01-r02 (1 r01 + 46 r02 — see COVERAGE.md rotation ledger).  r10
+# re-proves that whole block behind this round's new entries.  Unlike
+# r09, over-subscription now FAILS LOUDLY: any name squeezed out of the
+# 50 slots must be listed in _R10_CARRY_TO_R11 explicitly.
+# NEW QUERIES added this round must be appended to _R10_NEW (the
+# registry-window test derives the current round from these attrs).
+# --------------------------------------------------------------------------
+_R10_NEW: tuple[str, ...] = ()
+
+_R10_REVERIFY: tuple[str, ...] = (
+    # dropped from the r09 window by the silent truncation — first in line
+    "text_token_stats",  # the last r01-only row
+    # the full r02 block, oldest official rows in the ledger
+    "agg_ohlc_bars",
+    "func_array",
+    "func_casts",
+    "func_conditional",
+    "func_datetime",
+    "func_hash",
+    "func_hash_props",
+    "func_json",
+    "func_map",
+    "func_math",
+    "func_string",
+    "intersect_except",
+    "limit_topk",
+    "order_by_ranked",
+    "sessionize_batch",
+    "sql_tpch_q10",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q17",
+    "sql_tpch_q4",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "stream_wordcount_adapter",
+    "subquery_exists",
+    "subquery_in_agg",
+    "subquery_scalar_correlated",
+    "udf_grouped_agg_median",
+    "udf_grouped_map_zscore",
+    "udf_scalar_net_cents",
+    "udf_table_function_tokens",
+    "union_all",
+    "union_distinct",
+    "window_analytic",
+    "window_cumulate",
+    "window_ewma_per_user",
+    "window_period_over_period",
+    "window_range_frame",
+    "window_ranking",
+    "window_running_agg",
+    "window_topk_per_group",
+    "wordcount_batch",
+    "wordcount_datastream_api",
+    "wordcount_topk",
+    "wordcount_union",
+    # oldest r03 rows pad the remaining slots
+    "changelog_compact",
+    "chunk_documents",
+    "dedup_jaccard_prefix",
+)
+
+# Names consciously pushed past slot 50 by this round's new queries; they
+# head the r11 pool.  _r10_window() asserts the overflow equals this list.
+_R10_CARRY_TO_R11: tuple[str, ...] = ()
+
+
+def _r10_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots.
+
+    Over-subscription must be acknowledged in _R10_CARRY_TO_R11 — a pool
+    name silently falling off the end (the r09 bug) raises instead."""
+    pad = [n for n in _R10_REVERIFY if n not in _R10_NEW]
+    plan = _R10_NEW + tuple(pad)
+    window, overflow = plan[:50], plan[50:]
+    if set(overflow) != set(_R10_CARRY_TO_R11):
+        raise RuntimeError(
+            "r10 window over-subscribed: names dropped from the 50 slots "
+            f"({sorted(overflow)}) do not match _R10_CARRY_TO_R11 "
+            f"({sorted(_R10_CARRY_TO_R11)}) — update the carry list"
+        )
+    return window
 
 
 def _apply_rotation() -> None:
@@ -520,7 +616,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r09_window()
+    priority = _r10_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

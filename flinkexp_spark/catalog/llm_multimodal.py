@@ -559,8 +559,9 @@ def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: baseline-JPEG ENTROPY decode to pixels — the compressed-media
     step that was the repo's last image stub through round 6; since r09
-    the corpus MIXES chroma samplings (doc_id % 3: 4:4:4 gray, 4:2:0,
-    4:2:2 — most real camera JPEGs are 4:2:0).  The payload is a real
+    the corpus MIXES samplings and scan modes (doc_id % 4: 4:4:4 gray,
+    4:2:0, 4:2:2, progressive SOF2 4:2:0 — most real camera JPEGs are
+    4:2:0).  The payload is a real
     JFIF stream written by the full forward path (chroma box-average
     downsample, DCT, quantize, canonical Huffman, T.81 A.2.3 MCU
     interleave, byte stuffing); the decoder (functions/jpeg.py) is

@@ -92,6 +92,8 @@ def _iter_chunks(data: bytes):
         yield ctype, payload
         pos = end + 4
         if ctype == b"IEND":
+            if pos != len(data):
+                raise PngError("trailing bytes after IEND")
             return
     raise PngError("missing IEND chunk")
 
