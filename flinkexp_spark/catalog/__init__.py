@@ -528,7 +528,9 @@ def _r09_window() -> tuple[str, ...]:
 # NEW QUERIES added this round must be appended to _R10_NEW (the
 # registry-window test derives the current round from these attrs).
 # --------------------------------------------------------------------------
-_R10_NEW: tuple[str, ...] = ()
+_R10_NEW: tuple[str, ...] = (
+    "multimodal_decode_g711_pcm",  # G.711 A-law/µ-law, SQL-replayed oracle
+)
 
 _R10_REVERIFY: tuple[str, ...] = (
     # dropped from the r09 window by the silent truncation — first in line
@@ -588,7 +590,9 @@ _R10_REVERIFY: tuple[str, ...] = (
 
 # Names consciously pushed past slot 50 by this round's new queries; they
 # head the r11 pool.  _r10_window() asserts the overflow equals this list.
-_R10_CARRY_TO_R11: tuple[str, ...] = ()
+_R10_CARRY_TO_R11: tuple[str, ...] = (
+    "dedup_jaccard_prefix",  # displaced by multimodal_decode_g711_pcm
+)
 
 
 def _r10_window() -> tuple[str, ...]:

@@ -899,3 +899,81 @@ def q_multimodal_decode_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFr
     shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.mjpeg_frame_stats(M.with_mjpeg_payload(docs))
+
+
+@register(
+    "multimodal_decode_g711_pcm",
+    # The oracle REPLAYS THE ENTIRE DECODER inside DuckDB: G.711's
+    # expansion is a per-byte closed form (sign|exp|mantissa after the
+    # law's bit transform — µ-law ones'-complement, A-law XOR 0x55), so
+    # plain SQL re-executes the segment formula over the same closed-form
+    # code stream the fixture packs into the WAV payload — an
+    # independent-engine re-execution of the companding math, not a
+    # re-statement of the synthesis (the synthesized artifact is the
+    # BITSTREAM; the samples only exist by decoding).  pos_checksum pins
+    # byte order and every per-code expansion.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_ulaw,
+                   strlen(text) % {M.G711_N_MOD} + {M.G711_N_MIN} AS n,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s,
+                   CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) AS s2
+            FROM documents WHERE doc_id < 100),
+        codes AS (
+            SELECT doc_id, is_ulaw, n, i,
+                   (s * 131 + s2 + 77 * i) % 256 AS b
+            FROM (SELECT *, unnest(range(n)) AS i FROM m)),
+        fields AS (
+            SELECT doc_id, is_ulaw, n, i,
+                   CASE WHEN is_ulaw = 0 THEN xor(b, 85)
+                        ELSE 255 - b END AS t
+            FROM codes),
+        pcm AS (
+            SELECT doc_id, is_ulaw, n, i,
+                   CASE
+                     WHEN is_ulaw = 1 THEN
+                       -- µ-law: mag = man<<(e+3) + 132*(2^e - 1);
+                       -- sign bit of the complemented byte set => negative
+                       (CASE WHEN t >= 128 THEN -1 ELSE 1 END)
+                       * ((t % 16) * (1 << ((t // 16) % 8 + 3))
+                          + 132 * ((1 << ((t // 16) % 8)) - 1))
+                     ELSE
+                       -- A-law: seg-0 mag = man*16+8, else
+                       -- (man*16+264)<<(e-1); set sign bit => positive
+                       (CASE WHEN t >= 128 THEN 1 ELSE -1 END)
+                       * (CASE WHEN (t // 16) % 8 = 0 THEN (t % 16) * 16 + 8
+                               ELSE ((t % 16) * 16 + 264)
+                                    * (1 << ((t // 16) % 8 - 1)) END)
+                   END AS v
+            FROM fields)
+        SELECT doc_id,
+               CAST(CASE WHEN is_ulaw = 1 THEN 7 ELSE 6 END
+                    AS BIGINT) AS format_tag,
+               CAST({M.G711_RATE} AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sample_sum,
+               CAST(MIN(v) AS BIGINT) AS sample_min,
+               CAST(MAX(v) AS BIGINT) AS sample_max,
+               CAST(SUM((i + 1) * v) AS BIGINT) AS pos_checksum
+        FROM pcm GROUP BY doc_id, is_ulaw, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_g711_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: telephony compressed-audio decode — G.711 A-law/µ-law (WAV
+    0x0006/0x0007) to PCM, the companding standard whose 256-entry
+    expansion tables are DERIVED from the published segment formula
+    rather than transcribed (functions/g711.py module doc — same
+    no-literal-tables bar as IMA-ADPCM, r09 verdict task #6).  Even
+    doc_ids decode µ-law, odd A-law, so both laws' bit transforms
+    (ones'-complement vs XOR 0x55) and both sign conventions are live in
+    one query.  The payload is a real WAV container (RIFF chunks,
+    fmt/fact/data) and the decoder expands every byte through the
+    vectorized formula tables inside one Arrow mapInPandas pass.  The
+    DuckDB oracle re-executes the expansion formula per byte in plain
+    SQL — independent-engine replay of the companding math.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.g711_pcm_stats(M.with_g711_payload(docs))

@@ -1933,3 +1933,131 @@ def mjpeg_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 fixtures (functions/g711.py — telephony companding, WAV 0x0006/0x0007)
+# ---------------------------------------------------------------------------
+# The fixture synthesizes the CODE-BYTE STREAM arithmetically
+# (b_i = (s*131 + s2 + 77*i) % 256 — gcd(77,256)=1, so every code byte
+# including the segment extremes appears) and the decode is a per-byte
+# closed form (see functions/g711.py module doc), so the DuckDB oracle
+# replays the ENTIRE expansion in plain SQL: an independent-engine check
+# of the decoder, not of the synthesis.
+
+G711_N_MOD = 200  # n_samples = strlen(text) % 200 + 64
+G711_N_MIN = 64
+G711_RATE = 8000  # G.711's native telephony rate, both laws
+
+
+def _ship_g711_by_value() -> None:
+    """Register functions/g711.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import g711  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.g711"]
+    )
+
+
+def with_g711_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a mono G.711 WAV payload: even doc_ids carry µ-law (0x0007),
+    odd carry A-law (0x0006); the code bytes follow the closed form the
+    SQL oracle mirrors before replaying the expansion formula."""
+    _ship_g711_by_value()
+    from flinkexp_spark.functions.g711 import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+        build_g711_wav,
+    )
+
+    n_mod, n_min, rate = G711_N_MOD, G711_N_MIN, G711_RATE
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import pandas as pd
+
+        def wav(doc_id: int, text: str) -> bytes:
+            d = hashlib.md5(text.encode("utf-8")).digest()
+            s, s2 = d[0], d[1]
+            n = len(text) % n_mod + n_min
+            codes = bytes((s * 131 + s2 + 77 * i) % 256 for i in range(n))
+            tag = WAVE_FORMAT_MULAW if doc_id % 2 == 0 else WAVE_FORMAT_ALAW
+            return build_g711_wav(codes, rate, tag)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        wav(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def g711_pcm_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-audio decode: G.711 WAV -> PCM inside one Arrow
+    mapInPandas pass (RIFF chunk walk, fmt/fact validation, vectorized
+    segment-formula expansion), then exact-integer waveform stats.
+    ``format_tag`` exposes which law decoded the row; ``pos_checksum``
+    pins sample order.  Per-row independent work: no shuffle, linear in
+    the corpus."""
+    _ship_g711_by_value()
+    from flinkexp_spark.functions.g711 import decode_g711_wav
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            pcm, rate, tag = decode_g711_wav(bytes(payload))
+            pcm = pcm.astype(np.int64)
+            pos = np.arange(1, len(pcm) + 1, dtype=np.int64)
+            return (
+                tag,
+                rate,
+                1,
+                len(pcm),
+                int(pcm.sum()),
+                int(pcm.min()),
+                int(pcm.max()),
+                int((pos * pcm).sum()),
+            )
+
+        cols = [
+            "format_tag",
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            "sample_sum",
+            "sample_min",
+            "sample_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, format_tag long, sample_rate long, "
+            "n_channels long, n_samples long, sample_sum long, "
+            "sample_min long, sample_max long, pos_checksum long"
+        ),
+    )
