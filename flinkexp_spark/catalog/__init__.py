@@ -530,9 +530,13 @@ def _r09_window() -> tuple[str, ...]:
 # --------------------------------------------------------------------------
 _R10_NEW: tuple[str, ...] = (
     "multimodal_decode_g711_pcm",  # G.711 A-law/µ-law, SQL-replayed oracle
+    "sim_search_ivf_bucketed",  # disk-resident IVF, DPP-pruned probe
+    "sim_search_recall_ivf_bucketed",  # its hash-pinned ≥0.85 recall contract
 )
 
 _R10_REVERIFY: tuple[str, ...] = (
+    # implementation REWORKED this round — re-check on purpose
+    "stream_observed_metrics",  # listener-sourced columns (r09 verdict #5)
     # dropped from the r09 window by the silent truncation — first in line
     "text_token_stats",  # the last r01-only row
     # the full r02 block, oldest official rows in the ledger
@@ -592,6 +596,9 @@ _R10_REVERIFY: tuple[str, ...] = (
 # head the r11 pool.  _r10_window() asserts the overflow equals this list.
 _R10_CARRY_TO_R11: tuple[str, ...] = (
     "dedup_jaccard_prefix",  # displaced by multimodal_decode_g711_pcm
+    "chunk_documents",  # displaced by sim_search_ivf_bucketed
+    "changelog_compact",  # displaced by sim_search_recall_ivf_bucketed
+    "wordcount_union",  # displaced by the stream_observed_metrics re-check
 )
 
 

@@ -398,7 +398,7 @@ def _lloyd_ctes() -> tuple[list[str], str]:
     return ctes, f"cent{IVF_ITERS}"
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_oracle_sql(nprobe: int = IVF_NPROBE) -> str:
     ctes, final = _lloyd_ctes()
     cos_final = V.cosine_sql("e.embedding", "c.centv")
     return f"""
@@ -413,7 +413,7 @@ def _ivf_oracle_sql() -> str:
         cells AS (SELECT vec_id AS match_id, embedding AS cv, cent_id AS cell
                   FROM aff WHERE crnk <= {IVF_REPL}),
         probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
-                   FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {IVF_NPROBE}),
+                   FROM aff WHERE vec_id < {N_QUERIES} AND crnk <= {nprobe}),
         -- DISTINCT: with replication a (query, match) pair can meet in up to
         -- REPL*NPROBE shared cells; score is pair-deterministic so dedup is
         -- exact
@@ -1798,6 +1798,162 @@ def q_sim_search_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compounded approximation cost, hash-pinned like its parents."""
     brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
     got = q_sim_search_ivfpq_adc(spark, sf_dir).select("query_id", "match_id")
+    hits = brute.join(got, ["query_id", "match_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "truth_pairs",
+            "hits",
+            F.floor(F.col("hits") * 1000 / F.col("truth_pairs"))
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )
+
+
+# --- disk-resident IVF: per-cell parquet buckets, DPP-pruned probe ----------
+# The in-memory IVF variants above rebuild (or re-scan) the whole candidate
+# table per search; at 100 TB the index must live ON DISK with the probe
+# reading ONLY the probed cells' files.  The Spark-native layout is a
+# parquet dataset partitioned by cell id: the probe side joins on the
+# partition column under a broadcast, so Catalyst injects a dynamicpruning
+# subquery into the scan's PartitionFilters — the runtime analog of static
+# partition pruning, proportional to nprobe/K of the corpus regardless of
+# corpus size (tests/test_plans.py pins the pruned plan shape).  Recall is
+# hash-pinned like every other ANN knob here; nprobe=3 (vs the flat IVF's 2)
+# buys the ≥0.85 floor the r09 verdict asks for (#4).
+IVFB_NPROBE = 3
+
+_IVFB_PATH_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_bucketed_index_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> str:
+    """Write (once per session per sf_dir) the IVF index as a parquet
+    dataset partitioned by ``cell`` and return its path.
+
+    Deterministic and idempotent: the cell assignment is the same
+    fixed-point Lloyd quantizer every IVF query shares (one centroid
+    cache), and the writer overwrites, so a stale on-disk index from an
+    older session can never leak into this one's results."""
+    import pathlib
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _IVFB_PATH_CACHE if k[0] != app_id]:
+        del _IVFB_PATH_CACHE[stale]
+    tag = pathlib.Path(sf_dir).name or "default"
+    key = (app_id, tag)
+    if key in _IVFB_PATH_CACHE:
+        return _IVFB_PATH_CACHE[key]
+    repo_root = pathlib.Path(__file__).resolve().parents[2]
+    path = str(repo_root / "spark-warehouse" / "ivf_bucketed" / tag)
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    index = (
+        _ivf_assign_df(emb, cent)
+        .filter(F.col("crnk") <= IVF_REPL)
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("cv"),
+            F.col("cent_id").cast("int").alias("cell"),
+        )
+    )
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _IVFB_PATH_CACHE[key] = path
+    return path
+
+
+@register(
+    "sim_search_ivf_bucketed",
+    # Same quantizer/replication as sim_search_ivf, nprobe=3: the oracle is
+    # the flat-IVF oracle at the wider probe depth.  The DISK layout is a
+    # physical property (partition pruning) the plan tests pin; the VALUES
+    # must be byte-identical to the logical IVF search at nprobe=3.
+    oracle=_ivf_oracle_sql(nprobe=IVFB_NPROBE),
+    tags=("X3",),
+)
+def q_sim_search_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: DISK-RESIDENT IVF — the index is a parquet dataset
+    partitioned by cell id; each search reads only its probed cells' files.
+
+    Write path (once per session): assign every vector to its IVF_REPL
+    nearest Lloyd cells and write partitioned by cell.  Probe path: assign
+    the query set to its IVFB_NPROBE nearest cells, broadcast it, and join
+    on the PARTITION COLUMN — dynamic partition pruning turns that into a
+    runtime PartitionFilters subquery on the scan, so the index I/O is
+    nprobe/K of the corpus whatever the corpus size (the 100 TB contract;
+    plan shape pinned in tests/test_plans.py).  Candidate scoring, dedup
+    and top-k ranking are identical to sim_search_ivf."""
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    path = _ivf_bucketed_index_path(spark, emb, sf_dir)
+    index = spark.read.parquet(path)
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
+    probes = (
+        _ivf_assign_df(emb.filter(F.col("vec_id") < N_QUERIES), cent)
+        .filter(F.col("crnk") <= IVFB_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cent_id").cast("int").alias("cell"),
+        )
+    )
+    pairs = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                V.cosine(F.col("qv"), F.col("cv")), V.COS_DECIMALS
+            ).alias("score"),
+        )
+        # with REPL x NPROBE multi-assignment a pair can meet in several
+        # shared cells; score is pair-deterministic so dedup is exact
+        .distinct()
+    )
+    return _topk(pairs)
+
+
+def _recall_ivfb_oracle_sql() -> str:
+    """Nested-constituent recall contract, same shape as _recall_oracle_sql."""
+    from flinkexp_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_search_topk"].oracle
+    ivfb = REGISTRY["sim_search_ivf_bucketed"].oracle
+    return f"""
+        WITH brute AS ({brute}),
+        ivfb AS ({ivfb}),
+        h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM brute b JOIN ivfb i
+                ON b.query_id = i.query_id AND b.match_id = i.match_id),
+        t AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS truth_pairs
+              FROM brute)
+        SELECT n_queries, CAST({TOP_K} AS BIGINT) AS k, truth_pairs, hits,
+               CAST(FLOOR(hits * 1000.0 / truth_pairs) AS BIGINT)
+                 AS recall_x1000
+        FROM t CROSS JOIN h
+    """
+
+
+@register(
+    "sim_search_recall_ivf_bucketed",
+    oracle=_recall_ivfb_oracle_sql(),
+    tags=("X3", "A2"),
+)
+def q_sim_search_recall_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the disk-resident bucketed IVF vs brute force, as one
+    plan — hash-pinned like its parents; the ≥0.85 floor is asserted in
+    tests/test_llm_ops.py (measured 0.85+ at both fixture scales with
+    nprobe=3)."""
+    brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
+    got = q_sim_search_ivf_bucketed(spark, sf_dir).select("query_id", "match_id")
     hits = brute.join(got, ["query_id", "match_id"], "left_semi")
     return (
         brute.agg(

@@ -222,25 +222,55 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_observed_metrics",
+    # The listener-sourced numbers are all pure event-time functions of the
+    # fixture, so SQL re-derives every column: watermark_ms is the
+    # ms-truncated max event time minus the 10-minute delay (Spark tracks
+    # event-time watermarks at ms precision); emitted/retained windows
+    # split the distinct 1-hour tumble buckets at that watermark (append
+    # mode emits and evicts a window once its end crosses the watermark,
+    # flushed by the final no-data batch availableNow runs after the last
+    # file); n_batches pins the replay's 3-file slicing.
     oracle="""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-                   AS cents_sum
-        FROM events
+        WITH b AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS cents_sum,
+                   CAST(epoch_ms(MAX(ts)) - 600000 AS BIGINT) AS watermark_ms
+            FROM events),
+        w AS (
+            SELECT CAST(epoch_ms(time_bucket(INTERVAL '1 hour', ts))
+                        + 3600000 AS BIGINT) AS wend_ms
+            FROM events GROUP BY 1)
+        SELECT n_rows,
+               cents_sum,
+               CAST(3 AS BIGINT) AS n_batches,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+                 WHERE wend_ms <= watermark_ms) AS emitted_windows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+                 WHERE wend_ms > watermark_ms) AS state_rows_final,
+               watermark_ms
+        FROM b
     """,
     tags=("T9", "A2"),
 )
 def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming observability: ``df.observe()`` attaches named aggregate
-    metrics that ride each micro-batch's execution (no second pass, no
-    extra job) and surface in the query progress — the mechanism behind
-    live row-count/quality dashboards and the late-data router
-    (streaming/late_data.py).
+    """Streaming observability, two instruments riding one replay (r09
+    verdict #5): ``df.observe()`` attaches named aggregate metrics that
+    ride each micro-batch's execution (no second pass), and a
+    StreamingQueryListener (streaming/replay.py ReplayMetricsListener)
+    captures the engine's own per-batch progress — input rows, sink rows,
+    state-store size, watermark progression.
 
-    The checked contract: summing the OBSERVED per-batch metrics across a
-    3-batch replay equals the batch aggregate over the whole feed — the
-    observation path neither drops nor double-counts rows, regardless of
-    how the trigger slices batches.
+    The checked contract: (1) summing the OBSERVED per-batch metrics
+    across the 3-batch replay equals the batch aggregate over the whole
+    feed — the observation path neither drops nor double-counts rows;
+    (2) the LISTENER-sourced numbers land exactly where event-time math
+    says they must — the final watermark is max(ts)-10min at ms
+    precision, the emitted-row total equals the tumbling windows whose
+    end crossed that watermark, and the final state-store row count is
+    the windows still open.  Wall-clock rates (processedRowsPerSecond)
+    are collected by the same listener but asserted only in pytest
+    (tests/test_streaming.py) — hashing them would pin noise.
     """
     import os
     import shutil
@@ -251,6 +281,7 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch,
         _stream_partitions,
         _time_split,
+        capture_stream_metrics,
     )
 
     events = datasets.load(spark, sf_dir, "events").select(
@@ -280,10 +311,16 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "batch_cents"
             ),
         )
+        # the stateful leg the listener watches: watermarked tumbling count
+        agg = (
+            observed.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
         name = f"obs_{uuid.uuid4().hex[:8]}"
-        with _stream_partitions(spark):
+        with _stream_partitions(spark), capture_stream_metrics(spark) as mx:
             q = (
-                observed.writeStream.format("memory")
+                agg.writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
                 .trigger(availableNow=True)
@@ -291,6 +328,7 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 q.awaitTermination()
+                last_batch = q.lastProgress["batchId"]
                 totals = [0, 0]
                 for prog in q.recentProgress:
                     m = prog["observedMetrics"].get("feed_metrics")
@@ -299,10 +337,31 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # the observed metric arrives as None, not 0.
                         totals[0] += m["batch_rows"] or 0
                         totals[1] += m["batch_cents"] or 0
+                # listener events are delivered async: wait for the final
+                # batch's progress before reading the accumulators
+                mx.await_batch(last_batch)
             finally:
                 spark.catalog.dropTempView(name)
+        # cross-instrument guard: the listener's input-row total must agree
+        # with the observe() path before either is reported
+        if mx.input_rows_total != totals[0]:
+            raise AssertionError(
+                f"listener saw {mx.input_rows_total} input rows, "
+                f"observe() saw {totals[0]}"
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    row = (
+        totals[0],
+        totals[1],
+        mx.nonempty_batches,
+        mx.sink_rows_total,
+        mx.final_state_rows,
+        mx.final_watermark_ms,
+    )
     return datasets.local_df(
-        spark, [tuple(totals)], "n_rows long, cents_sum long"
+        spark,
+        [row],
+        "n_rows long, cents_sum long, n_batches long, "
+        "emitted_windows long, state_rows_final long, watermark_ms long",
     )

@@ -380,3 +380,135 @@ def replay_update_mode(
         order_col=order_col,
     )
     return batches
+
+
+class ReplayMetricsListener:
+    """StreamingQueryListener that accumulates per-micro-batch progress —
+    the observability rig the r09 verdict asks for (#5): rows per batch,
+    state-store size, watermark progression, processing rate.
+
+    Listener events arrive ASYNCHRONOUSLY after each batch commits, so
+    consumers must call :meth:`await_batch` with the query's final
+    ``lastProgress['batchId']`` before reading — otherwise the tail of the
+    replay races the listener bus.  The deterministic aggregates exposed
+    here (input-row total, non-empty batch count, final state rows, final
+    watermark, emitted-row total) are exactly the ones a SQL oracle can
+    re-derive from the fixture; wall-clock-dependent rates
+    (processedRowsPerSecond, durationMs) are collected too but asserted
+    only for presence/positivity in tests — hashing them would pin noise.
+    """
+
+    def __init__(self) -> None:
+        self.progresses: list[dict] = []
+
+    # StreamingQueryListener interface (duck-typed: PySpark only requires
+    # the four callbacks; subclassing pulls heavy JVM wiring we don't need
+    # at construction time, so this registers via spark.streams.addListener
+    # which accepts any object with these methods wrapped by the base
+    # class — see capture_stream_metrics below).
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API names)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        import json as _json
+
+        self.progresses.append(_json.loads(event.progress.json))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- consumption helpers -------------------------------------------------
+    def await_batch(self, batch_id: int, timeout_s: float = 30.0) -> None:
+        """Block until the progress for ``batch_id`` has been delivered."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            if any(p["batchId"] >= batch_id for p in self.progresses):
+                return
+            _time.sleep(0.05)
+        raise TimeoutError(
+            f"listener never saw batch {batch_id}; got "
+            f"{sorted(p['batchId'] for p in self.progresses)}"
+        )
+
+    @property
+    def input_rows_total(self) -> int:
+        return sum(int(p.get("numInputRows") or 0) for p in self.progresses)
+
+    @property
+    def nonempty_batches(self) -> int:
+        return sum(1 for p in self.progresses if (p.get("numInputRows") or 0) > 0)
+
+    @property
+    def sink_rows_total(self) -> int:
+        return sum(
+            int((p.get("sink") or {}).get("numOutputRows") or 0)
+            for p in self.progresses
+        )
+
+    def _final(self) -> dict:
+        return max(self.progresses, key=lambda p: p["batchId"])
+
+    @property
+    def final_state_rows(self) -> int:
+        ops = self._final().get("stateOperators") or []
+        return sum(int(o.get("numRowsTotal") or 0) for o in ops)
+
+    @property
+    def final_watermark_ms(self) -> int:
+        """Final event-time watermark as epoch milliseconds (UTC)."""
+        import datetime as _dt
+
+        wm = (self._final().get("eventTime") or {}).get("watermark")
+        if not wm:
+            return 0
+        ts = _dt.datetime.fromisoformat(wm.replace("Z", "+00:00"))
+        return int(ts.timestamp() * 1000)
+
+    @property
+    def rates(self) -> list[float]:
+        """processedRowsPerSecond per batch — wall-clock-bound, test-only."""
+        return [
+            float(p.get("processedRowsPerSecond") or 0.0)
+            for p in self.progresses
+        ]
+
+
+@contextlib.contextmanager
+def capture_stream_metrics(spark: SparkSession):
+    """Attach a :class:`ReplayMetricsListener` for the duration of a replay.
+
+    Usage::
+
+        with capture_stream_metrics(spark) as metrics:
+            q = df.writeStream...start(); q.awaitTermination()
+            metrics.await_batch(q.lastProgress["batchId"])
+        metrics.input_rows_total, metrics.final_watermark_ms, ...
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    collector = ReplayMetricsListener()
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            collector.onQueryStarted(event)
+
+        def onQueryProgress(self, event):  # noqa: N802
+            collector.onQueryProgress(event)
+
+        def onQueryIdle(self, event):  # noqa: N802
+            collector.onQueryIdle(event)
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            collector.onQueryTerminated(event)
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        yield collector
+    finally:
+        spark.streams.removeListener(listener)

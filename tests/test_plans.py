@@ -804,3 +804,24 @@ def test_geo_salted_join_stays_smj_on_cell_and_salt(spark, sf_dir):
     assert smj, f"salted geo join lost its SMJ:\n{plan}"
     keyed = [ln for ln in smj if "__salt" in ln and "cell_lat" in ln]
     assert keyed, f"SMJ no longer keyed on (cell, __salt):\n{smj}"
+
+
+def test_ivf_bucketed_probe_prunes_partitions(spark, sf_dir):
+    """Disk-resident IVF (r09 verdict #4): the probe must read ONLY its
+    probed cells' files.  Three pins: (1) the index scan carries a
+    dynamicpruning subquery in PartitionFilters (runtime partition
+    pruning on the cell column), (2) the probe side reaches the index
+    through a broadcast join, and (3) the index is never reshuffled on
+    the join key — an `Exchange hashpartitioning(cell...)` would mean the
+    full corpus moves for every search, the exact anti-pattern the
+    on-disk layout exists to avoid."""
+    df = queries()["sim_search_ivf_bucketed"](spark, sf_dir)
+    plan = plan_of(df, "formatted")
+    scan = next(
+        (c for c in plan.split("\n\n")
+         if "ivf_bucketed" in c and "PartitionFilters" in c),
+        "",
+    )
+    assert "dynamicpruningexpression" in scan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(cell" not in plan, plan

@@ -466,3 +466,80 @@ def test_update_sequence_emits_exactly_the_changed_keys(spark):
             f"batch {batch_no}: emitted {got}, the changed-key set is "
             f"{expected_changed}"
         )
+
+
+def test_listener_rig_captures_rates_and_watermark(spark, sf_dir):
+    """The ReplayMetricsListener's wall-clock numbers can't be hash-checked
+    (they'd pin noise) — assert them here instead: progress arrives for
+    every batch, each non-empty batch reports a positive processing rate,
+    and the deterministic accumulators agree with a plain batch count."""
+    import os
+    import shutil
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from flinkexp_spark import datasets
+    from flinkexp_spark.streaming.replay import (
+        _scratch,
+        _stream_partitions,
+        capture_stream_metrics,
+    )
+
+    events = datasets.load(spark, sf_dir, "events").select("event_id", "ts")
+    n_expected = events.count()
+    work = _scratch("listener_probe")
+    try:
+        src = os.path.join(work, "input")
+        events.repartition(2).write.parquet(src)
+        reader = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        name = f"probe_{uuid.uuid4().hex[:8]}"
+        with _stream_partitions(spark), capture_stream_metrics(spark) as mx:
+            q = (
+                reader.groupBy().count()
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            try:
+                q.awaitTermination()
+                mx.await_batch(q.lastProgress["batchId"])
+            finally:
+                spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert mx.input_rows_total == n_expected
+    assert mx.nonempty_batches >= 2  # two input files -> >= two data batches
+    nonzero_rates = [r for r in mx.rates if r > 0]
+    assert len(nonzero_rates) >= mx.nonempty_batches, mx.rates
+
+
+def test_observed_metrics_query_agrees_with_batch_truth(spark, sf_dir):
+    """End-to-end determinism of the listener-sourced columns: the query's
+    watermark/window math must equal the batch computation over the same
+    events table (the same contract the DuckDB oracle hashes)."""
+    import pyspark.sql.functions as F
+
+    from flinkexp_spark import datasets
+    from flinkexp_spark.registry import queries
+
+    row = queries()["stream_observed_metrics"](spark, sf_dir).collect()[0]
+    events = datasets.load(spark, sf_dir, "events")
+    truth = events.agg(
+        F.count("*").alias("n_rows"),
+        (F.floor(F.max("ts").cast("double") * 1000) - 600000).alias("wm"),
+    ).collect()[0]
+    assert row.n_rows == truth.n_rows
+    assert row.watermark_ms == truth.wm
+    wins = (
+        events.select(
+            (F.floor(F.col("ts").cast("double") / 3600) * 3600000 + 3600000)
+            .cast("long").alias("wend_ms")
+        )
+        .distinct()
+    )
+    emitted = wins.filter(F.col("wend_ms") <= row.watermark_ms).count()
+    open_w = wins.filter(F.col("wend_ms") > row.watermark_ms).count()
+    assert row.emitted_windows == emitted
+    assert row.state_rows_final == open_w
