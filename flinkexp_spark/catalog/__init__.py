@@ -532,6 +532,7 @@ _R10_NEW: tuple[str, ...] = (
     "multimodal_decode_g711_pcm",  # G.711 A-law/µ-law, SQL-replayed oracle
     "sim_search_ivf_bucketed",  # disk-resident IVF, DPP-pruned probe
     "sim_search_recall_ivf_bucketed",  # its hash-pinned ≥0.85 recall contract
+    "multimodal_decode_apng_frames",  # APNG compositing decode, event oracle
 )
 
 _R10_REVERIFY: tuple[str, ...] = (
@@ -599,6 +600,7 @@ _R10_CARRY_TO_R11: tuple[str, ...] = (
     "chunk_documents",  # displaced by sim_search_ivf_bucketed
     "changelog_compact",  # displaced by sim_search_recall_ivf_bucketed
     "wordcount_union",  # displaced by the stream_observed_metrics re-check
+    "wordcount_topk",  # displaced by multimodal_decode_apng_frames
 )
 
 

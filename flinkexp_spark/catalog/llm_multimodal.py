@@ -977,3 +977,88 @@ def q_multimodal_decode_g711_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.g711_pcm_stats(M.with_g711_payload(docs))
+
+
+@register(
+    "multimodal_decode_apng_frames",
+    # The oracle REPLAYS THE COMPOSITING ENGINE as event algebra: a pixel
+    # of rendered frame f shows the LATEST effective event at or before f —
+    # a WRITE by frame g (visible later only if dispose(g)=NONE; OVER
+    # writes with alpha 0 never happen) or a CLEAR between g and g+1 when
+    # dispose(g)=BACKGROUND; dispose(g)=PREVIOUS simply ends g's write at
+    # g.  Write wins a g-tie (it happens before the clear), encoded as
+    # g_write > g_clear on the frame indices.  With binary fixture alphas
+    # the recurrence is exact integer math — an independent-engine
+    # re-execution of the renderer, not a re-statement of the synthesis
+    # (the synthesized artifact is the CHUNK STREAM; the canvases only
+    # exist by decoding and compositing).  pos_checksum pins frame,
+    # scanline, channel order and the full dispose/blend history.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   doc_id % 3 + 2 AS n,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s,
+                   CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) AS s2
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s, s2, n,
+                   len % {M.APNG_DIM_MOD} + {M.APNG_DIM_MIN} AS w,
+                   (len * 3 + doc_id) % {M.APNG_DIM_MOD}
+                       + {M.APNG_DIM_MIN} AS h
+            FROM m),
+        pf AS (SELECT *, unnest(range(n)) AS f FROM d),
+        py AS (SELECT *, unnest(range(h)) AS y FROM pf),
+        pyx AS (SELECT *, unnest(range(w)) AS x FROM py),
+        ev AS (
+            SELECT doc_id, n, w, h, f, x, y, s,
+                   MAX(CASE WHEN covers AND eff AND (g = f OR (s2 + g) % 3 = 0)
+                            THEN g END) AS gw,
+                   MAX(CASE WHEN covers AND (s2 + g) % 3 = 1 AND g < f
+                            THEN g END) AS gc
+            FROM (
+                SELECT pyx.*, gg.g,
+                       CASE WHEN gg.g = 0 THEN TRUE
+                            ELSE x >= gg.g % 2 AND x < gg.g % 2 + w - 2
+                             AND y >= (gg.g + 1) % 2
+                             AND y < (gg.g + 1) % 2 + h - 2 END AS covers,
+                       (gg.g = 0 OR (s + gg.g) % 2 = 0
+                        OR (x + y + gg.g) % 3 <> 0) AS eff
+                FROM pyx, (SELECT unnest(range(5)) AS g) gg
+                WHERE gg.g <= f)
+            GROUP BY ALL),
+        px AS (
+            SELECT doc_id, n, w, h, f, x, y, cc.c,
+                   CASE WHEN gw IS NOT NULL AND (gc IS NULL OR gw > gc)
+                        THEN CASE WHEN cc.c = 3 THEN 255
+                                  ELSE (s + 31 * x + 17 * y + 97 * cc.c
+                                        + 57 * gw) % 256 END
+                        ELSE 0 END AS v,
+                   ((f * h + y) * w + x) * 4 + cc.c + 1 AS pos
+            FROM ev, (SELECT unnest(range(4)) AS c) cc)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM px GROUP BY doc_id, n, w, h
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL animation decode — APNG to composited canvases, the second
+    video-ish codec after Motion-JPEG (r09 verdict #8 stretch).  Unlike
+    MJPEG's independent frames, APNG rendering is STATEFUL: each output
+    canvas depends on every prior frame's write and dispose
+    (NONE/BACKGROUND/PREVIOUS) plus the blend op (SOURCE replaces, OVER
+    alpha-composites; the fixture's binary alphas keep OVER exact-integer).
+    The payload is a spec-correct APNG (acTL/fcTL/fdAT with shared
+    sequence numbering, per-frame DEFLATE streams through the PNG filter
+    engine, per-chunk CRCs) built and decoded by functions/apng.py; the
+    DuckDB oracle replays the compositing algebra as a latest-event
+    argmax.  Per-row independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.apng_frame_stats(M.with_apng_payload(docs))

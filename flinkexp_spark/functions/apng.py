@@ -1,0 +1,230 @@
+"""APNG (Animated PNG) codec — builds on the from-spec PNG machinery.
+
+Extends functions/png.py (RFC 2083 / PNG third edition, which folded the
+APNG extension in) with the ANIMATION layer: acTL/fcTL/fdAT chunks,
+per-frame sequence-number validation, per-frame DEFLATE streams decoded
+through the same scanline unfilter engine, and — the genuinely new part —
+a full COMPOSITING state machine: each frame renders onto the canvas
+under its blend op (SOURCE replaces the region, OVER alpha-composites)
+and is then disposed (NONE keeps the canvas, BACKGROUND clears the
+frame's region to transparent black, PREVIOUS reverts the region to its
+pre-frame state).  This is the second real video-ish codec after
+Motion-JPEG (functions/avi.py) and exercises INTER-FRAME state MJPEG
+doesn't have: a frame's rendered output depends on every prior frame's
+write/dispose history.
+
+The official query's DuckDB oracle replays the compositing algebra as a
+"latest effective event wins" argmax per (frame, pixel): a write event at
+frame g survives to frame f if g's dispose op keeps it, a BACKGROUND
+dispose emits a clear event between g and g+1, and OVER writes with
+alpha 0 are no-ops.  With binary fixture alphas the whole recurrence is
+exact integer math — an independent-engine re-execution of the renderer.
+
+All normative data derives from the public PNG/APNG spec; no tables are
+transcribed (the only constants are chunk names and the 3x2 op enums).
+Spark-first: decode runs inside Arrow ``mapInPandas`` batches, one
+independent row per document — no shuffle, 100 TB-safe.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from flinkexp_spark.functions.png import (
+    PNG_SIGNATURE,
+    PngError,
+    _chunk,
+    _decode_subimage,
+    _filter_image,
+    _iter_chunks,
+)
+
+DISPOSE_NONE = 0
+DISPOSE_BACKGROUND = 1
+DISPOSE_PREVIOUS = 2
+BLEND_SOURCE = 0
+BLEND_OVER = 1
+
+
+class ApngError(PngError):
+    """Animation-layer violations (sequence, geometry, control chunks)."""
+
+
+def _fctl(
+    seq: int, w: int, h: int, x: int, y: int, dispose: int, blend: int
+) -> bytes:
+    return _chunk(
+        b"fcTL",
+        struct.pack(">IIIIIHHBB", seq, w, h, x, y, 1, 10, dispose, blend),
+    )
+
+
+def build_apng(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[tuple[int, int, np.ndarray, int, int]],
+    filter_seed: int = 0,
+) -> bytes:
+    """Assemble an APNG from (x, y, rgba(h,w,4), dispose_op, blend_op)
+    frames.
+
+    Frame 0 is also the default image, so per spec it must cover the full
+    canvas at offset (0,0) with blend SOURCE; its pixel stream rides IDAT,
+    later frames ride fdAT with running sequence numbers shared with the
+    fcTL chunks."""
+    if not frames:
+        raise ApngError("an APNG needs at least one frame")
+    x0, y0, pix0, _, blend0 = frames[0]
+    if (x0, y0) != (0, 0) or pix0.shape[:2] != (canvas_h, canvas_w):
+        raise ApngError("frame 0 must cover the full canvas at (0,0)")
+    if blend0 != BLEND_SOURCE:
+        raise ApngError("frame 0 must blend SOURCE (it has no backdrop)")
+    out = bytearray(PNG_SIGNATURE)
+    out += _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", canvas_w, canvas_h, 8, 6, 0, 0, 0)
+    )
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, (x, y, pix, dispose, blend) in enumerate(frames):
+        pix = np.asarray(pix, dtype=np.uint8)
+        if pix.ndim != 3 or pix.shape[2] != 4:
+            raise ApngError(f"frame {i}: expected (h, w, 4) RGBA")
+        h, w = pix.shape[:2]
+        if x < 0 or y < 0 or x + w > canvas_w or y + h > canvas_h:
+            raise ApngError(f"frame {i}: region outside the canvas")
+        if dispose not in (0, 1, 2) or blend not in (0, 1):
+            raise ApngError(f"frame {i}: bad dispose/blend op")
+        out += _fctl(seq, w, h, x, y, dispose, blend)
+        seq += 1
+        comp = zlib.compress(
+            _filter_image(pix.reshape(h, w * 4), 4, filter_seed + i), 6
+        )
+        if i == 0:
+            out += _chunk(b"IDAT", comp)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _blend_over(dst: np.ndarray, src: np.ndarray) -> None:
+    """APNG OVER composition, in place on ``dst`` (both (h, w, 4) uint8).
+
+    Spec formula with the standard no-op shortcut for fully-transparent
+    source pixels (they leave the destination untouched, RGB included)."""
+    sa = src[:, :, 3].astype(np.float64) / 255.0
+    da = dst[:, :, 3].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    safe = np.where(oa == 0.0, 1.0, oa)
+    rgb = (
+        src[:, :, :3].astype(np.float64) * sa[:, :, None]
+        + dst[:, :, :3].astype(np.float64) * (da * (1.0 - sa))[:, :, None]
+    ) / safe[:, :, None]
+    rgb = np.where(oa[:, :, None] == 0.0, 0.0, rgb)
+    out = np.concatenate(
+        [np.rint(rgb), np.rint(oa * 255.0)[:, :, None]], axis=2
+    ).astype(np.uint8)
+    keep = src[:, :, 3] == 0  # transparent source: leave dst alone
+    dst[~keep] = out[~keep]
+
+
+def decode_apng(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an APNG to (canvases (F, H, W, 4) uint8, meta).
+
+    ``canvases[f]`` is the fully-composited canvas as frame f is shown.
+    Validation: IHDR must be 8-bit RGBA non-interlaced, acTL must precede
+    IDAT, fcTL/fdAT sequence numbers must run 0..N-1 contiguously, every
+    frame region must sit inside the canvas, the frame count must equal
+    acTL's, and each frame's inflated stream must match its geometry
+    exactly.  Per spec, dispose PREVIOUS on frame 0 degrades to
+    BACKGROUND."""
+    if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise PngError("bad PNG signature")
+    ihdr = None
+    actl = None
+    fctls: list[tuple] = []  # (w, h, x, y, dispose, blend)
+    streams: list[bytearray] = []
+    seqs: list[int] = []
+    saw_idat = False
+    for ctype, payload in _iter_chunks(data):
+        if ihdr is None:
+            if ctype != b"IHDR":
+                raise PngError("first chunk is not IHDR")
+            cw, ch_, depth, ctyp, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctyp, comp, filt, inter) != (8, 6, 0, 0, 0):
+                raise ApngError(
+                    "APNG decoder handles 8-bit RGBA non-interlaced only "
+                    f"(got depth={depth} color={ctyp} interlace={inter})"
+                )
+            ihdr = (cw, ch_)
+        elif ctype == b"acTL":
+            if saw_idat:
+                raise ApngError("acTL after IDAT: not an animation")
+            n_frames, _plays = struct.unpack(">II", payload)
+            if n_frames == 0:
+                raise ApngError("acTL declares zero frames")
+            actl = n_frames
+        elif ctype == b"fcTL":
+            seq, w, h, x, y, _dn, _dd, dispose, blend = struct.unpack(
+                ">IIIIIHHBB", payload
+            )
+            seqs.append(seq)
+            if dispose > 2 or blend > 1:
+                raise ApngError(f"fcTL {seq}: bad dispose/blend op")
+            if x + w > ihdr[0] or y + h > ihdr[1] or w == 0 or h == 0:
+                raise ApngError(f"fcTL {seq}: region outside the canvas")
+            fctls.append((w, h, x, y, dispose, blend))
+            streams.append(bytearray())
+        elif ctype == b"IDAT":
+            saw_idat = True
+            if actl is None:
+                raise ApngError("IDAT before acTL: not an animation")
+            if len(fctls) != 1:
+                raise ApngError("IDAT must belong to the first fcTL frame")
+            streams[0] += payload
+        elif ctype == b"fdAT":
+            (seq,) = struct.unpack(">I", payload[:4])
+            seqs.append(seq)
+            if not streams:
+                raise ApngError("fdAT before any fcTL")
+            streams[-1] += payload[4:]
+    if ihdr is None or actl is None:
+        raise ApngError("missing IHDR or acTL")
+    if len(fctls) != actl:
+        raise ApngError(
+            f"acTL declares {actl} frames, found {len(fctls)} fcTL chunks"
+        )
+    if seqs != list(range(len(seqs))):
+        raise ApngError(f"sequence numbers not contiguous from 0: {seqs}")
+    cw, ch_ = ihdr
+    canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
+    outputs = []
+    for i, ((w, h, x, y, dispose, blend), comp) in enumerate(
+        zip(fctls, streams)
+    ):
+        raw = zlib.decompress(bytes(comp))
+        flat, used = _decode_subimage(memoryview(raw), w, h, 4)
+        if used != len(raw):
+            raise ApngError(f"frame {i}: trailing bytes in pixel stream")
+        pix = flat.reshape(h, w, 4)
+        if i == 0 and dispose == DISPOSE_PREVIOUS:
+            dispose = DISPOSE_BACKGROUND  # spec: degrade on frame 0
+        region = canvas[y : y + h, x : x + w]
+        saved = region.copy() if dispose == DISPOSE_PREVIOUS else None
+        if blend == BLEND_SOURCE or i == 0:
+            region[:] = pix
+        else:
+            _blend_over(region, pix)
+        outputs.append(canvas.copy())
+        if dispose == DISPOSE_BACKGROUND:
+            region[:] = 0
+        elif dispose == DISPOSE_PREVIOUS:
+            region[:] = saved
+    meta = {"width": cw, "height": ch_, "n_frames": actl}
+    return np.stack(outputs), meta

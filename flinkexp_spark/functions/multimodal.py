@@ -2061,3 +2061,150 @@ def g711_pcm_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "sample_min long, sample_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# APNG fixtures (functions/apng.py — animated PNG with real compositing)
+# ---------------------------------------------------------------------------
+# The fixture derives every frame arithmetically: canvas W/H from the row,
+# frame g >= 1 covers (g%2, (g+1)%2, W-2, H-2), RGB value at CANVAS coords
+# (X, Y) is (s + 31X + 17Y + 97c + 57g) % 256, blend is SOURCE when g == 0
+# or (s+g) % 2 == 0 else OVER with BINARY alpha ((X+Y+g) % 3 != 0 -> 255),
+# dispose cycles (s2+g) % 3 through NONE/BACKGROUND/PREVIOUS.  Because
+# alphas are binary, the whole compositing recurrence is exact integer
+# math and the DuckDB oracle replays it as a latest-effective-event argmax
+# (see the register comment in catalog/llm_multimodal.py).
+
+APNG_DIM_MOD = 12  # width  = strlen % 12 + 8  (8..19)
+APNG_DIM_MIN = 8  # height = (strlen*3 + doc_id) % 12 + 8
+
+
+def _ship_apng_by_value() -> None:
+    """Register functions/apng.py AND functions/png.py for BY-VALUE
+    pickling (apng imports png's chunk/filter machinery)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import apng, png  # noqa: F401 — force import
+
+    for mod in ("flinkexp_spark.functions.png", "flinkexp_spark.functions.apng"):
+        cloudpickle.register_pickle_by_value(sys.modules[mod])
+
+
+def with_apng_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach an APNG payload whose frames follow the closed forms above."""
+    _ship_apng_by_value()
+    from flinkexp_spark.functions.apng import (
+        BLEND_OVER,
+        BLEND_SOURCE,
+        build_apng,
+    )
+
+    dim_mod, dim_min = APNG_DIM_MOD, APNG_DIM_MIN
+
+    def encode(batches):
+        # closure: pickled by value (see streaming/stateful.py module doc)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def apng(doc_id: int, text: str) -> bytes:
+            dg = hashlib.md5(text.encode("utf-8")).digest()
+            s, s2 = dg[0], dg[1]
+            W = len(text) % dim_mod + dim_min
+            H = (len(text) * 3 + doc_id) % dim_mod + dim_min
+            n = doc_id % 3 + 2
+            frs = []
+            for g in range(n):
+                if g == 0:
+                    x, y, w, h = 0, 0, W, H
+                else:
+                    x, y, w, h = g % 2, (g + 1) % 2, W - 2, H - 2
+                X, Y = np.meshgrid(np.arange(x, x + w), np.arange(y, y + h))
+                pix = np.zeros((h, w, 4), np.uint8)
+                for c in range(3):
+                    pix[..., c] = (s + 31 * X + 17 * Y + 97 * c + 57 * g) % 256
+                blend = (
+                    BLEND_SOURCE
+                    if (g == 0 or (s + g) % 2 == 0)
+                    else BLEND_OVER
+                )
+                if blend == BLEND_SOURCE:
+                    pix[..., 3] = 255
+                else:
+                    pix[..., 3] = np.where((X + Y + g) % 3 != 0, 255, 0)
+                frs.append((x, y, pix, (s2 + g) % 3, blend))
+            return build_apng(W, H, frs, filter_seed=s % 5)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        apng(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def apng_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL animation decode: APNG -> composited canvases inside one Arrow
+    mapInPandas pass (chunk walk with CRC + sequence-number validation,
+    per-frame DEFLATE + unfilter, SOURCE/OVER blending, NONE/BACKGROUND/
+    PREVIOUS disposal), then exact-integer stats over every rendered
+    canvas INCLUDING the alpha channel.  ``pos_checksum`` is weighted by
+    ((f*H + y)*W + x)*4 + c + 1, pinning frame order, scanline order,
+    channel order AND the compositing history (a wrong dispose op moves
+    bytes at exact positions).  Per-row independent work: no shuffle,
+    linear in the corpus."""
+    _ship_apng_by_value()
+    from flinkexp_spark.functions.apng import decode_apng
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            canv, meta = decode_apng(bytes(payload))
+            flat = canv.astype(np.int64).ravel()
+            pos = np.arange(1, flat.size + 1, dtype=np.int64)
+            return (
+                meta["n_frames"],
+                meta["width"],
+                meta["height"],
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((pos * flat).sum()),
+            )
+
+        cols = [
+            "n_frames",
+            "width",
+            "height",
+            "px_sum",
+            "px_min",
+            "px_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_frames long, width long, height long, "
+            "px_sum long, px_min long, px_max long, pos_checksum long"
+        ),
+    )

@@ -44,6 +44,12 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument("--tz", default=None, help="DuckDB connection TimeZone")
     ap.add_argument(
+        "--driver-mem",
+        default=None,
+        help="spark.driver.memory for the plain session (the 1g default "
+        "OOMs at sf1 — the r10 sweep used 32g)",
+    )
+    ap.add_argument(
         "--artifact",
         default=None,
         help="write a CORRECTNESS_FULL.json-style artifact (driver row "
@@ -58,13 +64,15 @@ def main() -> int:
 
     import __spark_entry__ as e
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     n_entry = len(e.entry(spark).collect())
     print(f"entry(): {n_entry} rows")
 
