@@ -134,6 +134,10 @@ HEADLINE = [
     # round-8/9 codec additions: FLAC lossless + IMA-ADPCM lossy decode
     "multimodal_decode_flac_pcm",
     "multimodal_decode_adpcm_pcm",
+    # round-10 additions: G.711 + APNG codecs, disk-resident IVF probe
+    "multimodal_decode_g711_pcm",
+    "multimodal_decode_apng_frames",
+    "sim_search_ivf_bucketed",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

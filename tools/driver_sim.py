@@ -50,6 +50,15 @@ def main() -> int:
         "OOMs at sf1 — the r10 sweep used 32g)",
     )
     ap.add_argument(
+        "--timeout",
+        type=float,
+        default=0,
+        help="per-query watchdog seconds (0 = off): on expiry Spark jobs "
+        "are cancelled and the DuckDB query interrupted, the query is "
+        "recorded as err='timeout' and the sweep continues — the loud "
+        "exclusion mechanism for deliberately-quadratic oracles at sf1",
+    )
+    ap.add_argument(
         "--artifact",
         default=None,
         help="write a CORRECTNESS_FULL.json-style artifact (driver row "
@@ -90,6 +99,39 @@ def main() -> int:
     t0, n_ok = time.time(), 0
     failures: list[str] = []
     records: dict[str, dict] = {}
+
+    import threading
+
+    class _Watchdog:
+        """Cancel Spark jobs + interrupt DuckDB if a query overruns."""
+
+        def __init__(self, seconds: float):
+            self.seconds = seconds
+            self.fired = False
+            self._timer = None
+
+        def _fire(self):
+            self.fired = True
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+            try:
+                con.interrupt()
+            except Exception:
+                pass
+
+        def __enter__(self):
+            if self.seconds:
+                self._timer = threading.Timer(self.seconds, self._fire)
+                self._timer.daemon = True
+                self._timer.start()
+            return self
+
+        def __exit__(self, *exc):
+            if self._timer:
+                self._timer.cancel()
+
     for i, name in enumerate(names, 1):
         rec = {
             "oracle": True,
@@ -100,7 +142,9 @@ def main() -> int:
             "oracle_rows": None,
             "err": None,
         }
+        q_t0 = time.time()
         try:
+          with _Watchdog(args.timeout) as wd:
             s = canon(qs[name](spark, args.sf_dir).toPandas())
             rec["spark_rows"] = len(s)
             if name not in osql:
@@ -130,8 +174,13 @@ def main() -> int:
             ok = rec["hash_match"]
         except Exception as ex:  # noqa: BLE001
             ok = False
-            rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
-            failures.append(f"{name}: ERR {type(ex).__name__}: {ex}")
+            if args.timeout and wd.fired:
+                rec["err"] = f"timeout: cancelled after {args.timeout:.0f}s"
+                failures.append(f"{name}: TIMEOUT {args.timeout:.0f}s")
+            else:
+                rec["err"] = f"{type(ex).__name__}: {ex}"[:500]
+                failures.append(f"{name}: ERR {type(ex).__name__}: {ex}")
+        rec["secs"] = round(time.time() - q_t0, 2)
         records[name] = rec
         if ok:
             n_ok += 1
