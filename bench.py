@@ -143,64 +143,83 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    # Host-load guard WITH TEETH (r09 VERDICT #1a; r08 VERDICT #3 history):
-    # the warn-only guard let a dirty artifact freeze twice running (r08:
-    # 17 noisy medians; r09: load1 6.1, 18 noisy medians, two phantom
-    # regressions the judge had to re-measure).  Now: above the threshold
-    # we first WAIT for the host to quiet down (the usual cause is our own
-    # just-finished pytest/driver Spark JVMs), and if it never does we
-    # REFUSE — the JSON line carries {"refused": true} and no timings, so
-    # a dirty run can never masquerade as a round-over-round signal.
-    # SPARK_GRAFT_BENCH_FORCE=1 overrides for emergencies (the artifact
-    # still records load1 so the override is visible);
-    # SPARK_GRAFT_BENCH_MAX_LOAD=0 disables the guard entirely.
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2"))
-    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "900"))
-    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
-    load1 = round(os.getloadavg()[0], 2)
-    if max_load and load1 > max_load and not forced:
-        deadline = time.monotonic() + wait_s
-        print(
-            f"# bench: 1-min load average {load1} > {max_load}; waiting "
-            f"up to {wait_s:.0f}s for the host to quiet down...",
-            file=sys.stderr,
-        )
-        while time.monotonic() < deadline:
-            time.sleep(15)
-            load1 = round(os.getloadavg()[0], 2)
-            if load1 <= max_load:
-                break
-        if load1 > max_load:
-            print(
-                f"# bench: REFUSING to bench at load1 {load1} > {max_load} "
-                "after the wait — medians from this host state are not a "
-                "round-over-round signal.  Re-run on a quiet host, or set "
-                "SPARK_GRAFT_BENCH_FORCE=1 to override (the artifact will "
-                "record the load).",
-                file=sys.stderr,
-            )
-            print(
-                json.dumps(
-                    {
-                        "metric": "headline_suite_wall_seconds",
-                        "value": None,
-                        "unit": "sec",
-                        "refused": True,
-                        "load1": load1,
-                        "max_load": max_load,
-                    },
-                    separators=(",", ":"),
-                ),
-                flush=True,
-            )
-            sys.exit(3)
-    elif max_load and load1 > max_load and forced:
+def load_gate(
+    getloadavg=os.getloadavg,
+    sleep=time.sleep,
+    monotonic=time.monotonic,
+    env=os.environ,
+) -> tuple[str, float]:
+    """Host-load guard WITH TEETH (r09 VERDICT #1a; r08 VERDICT #3 history).
+
+    The warn-only guard let a dirty artifact freeze twice running (r08: 17
+    noisy medians; r09: load1 6.1, 18 noisy medians, two phantom
+    regressions the judge had to re-measure).  Now: above the threshold we
+    first WAIT for the host to quiet down (the usual cause is our own
+    just-finished pytest/driver Spark JVMs), and if it never does we
+    REFUSE — the JSON line carries {"refused": true} and no timings, so a
+    dirty run can never masquerade as a round-over-round signal.
+    SPARK_GRAFT_BENCH_FORCE=1 overrides for emergencies (the artifact
+    still records load1 so the override is visible);
+    SPARK_GRAFT_BENCH_MAX_LOAD=0 disables the guard entirely.
+
+    Returns (verdict, load1) with verdict in {"ok", "forced", "refused"};
+    the clock/env injections exist for the unit tests (tests/test_api.py).
+    """
+    max_load = float(env.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2"))
+    wait_s = float(env.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "900"))
+    forced = env.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
+    load1 = round(getloadavg()[0], 2)
+    if not max_load or load1 <= max_load:
+        return "ok", load1
+    if forced:
         print(
             f"# bench: WARNING — forced run at load1 {load1} > {max_load}; "
             "medians are NOT trustworthy for round-over-round comparison.",
             file=sys.stderr,
         )
+        return "forced", load1
+    deadline = monotonic() + wait_s
+    print(
+        f"# bench: 1-min load average {load1} > {max_load}; waiting "
+        f"up to {wait_s:.0f}s for the host to quiet down...",
+        file=sys.stderr,
+    )
+    while monotonic() < deadline:
+        sleep(15)
+        load1 = round(getloadavg()[0], 2)
+        if load1 <= max_load:
+            return "ok", load1
+    print(
+        f"# bench: REFUSING to bench at load1 {load1} > {max_load} "
+        "after the wait — medians from this host state are not a "
+        "round-over-round signal.  Re-run on a quiet host, or set "
+        "SPARK_GRAFT_BENCH_FORCE=1 to override (the artifact will "
+        "record the load).",
+        file=sys.stderr,
+    )
+    return "refused", load1
+
+
+def main() -> None:
+    verdict, load1 = load_gate()
+    if verdict == "refused":
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_suite_wall_seconds",
+                    "value": None,
+                    "unit": "sec",
+                    "refused": True,
+                    "load1": load1,
+                    "max_load": float(
+                        os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2")
+                    ),
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+        sys.exit(3)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # infer sf from the dir name, e.g. ".../sf0.1" -> 0.1

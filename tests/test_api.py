@@ -140,3 +140,50 @@ def test_python_source_arrow_mode_matches_tuple_mode(spark):
         )
 
     assert load("true") == load("false")
+
+
+def test_bench_load_gate_verdicts():
+    """The bench artifact gate (r09 verdict #1a): quiet host passes, noisy
+    host waits then refuses, FORCE overrides with the load recorded, and
+    MAX_LOAD=0 disables — all with injected clocks so no sleeping."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod",
+        _os.path.join(_os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def gate(loads, env, t0=0.0):
+        loads = iter(loads)
+        clock = {"t": t0}
+
+        def monotonic():
+            return clock["t"]
+
+        def sleep(s):
+            clock["t"] += s
+
+        return bench.load_gate(
+            getloadavg=lambda: (next(loads), 0, 0),
+            sleep=sleep,
+            monotonic=monotonic,
+            env=env,
+        )
+
+    # quiet host: straight through
+    assert gate([1.0], {}) == ("ok", 1.0)
+    # noisy then quiet: waits, returns ok with the settled load
+    assert gate([9.0, 7.0, 1.5], {"SPARK_GRAFT_BENCH_LOAD_WAIT": "60"}) == (
+        "ok",
+        1.5,
+    )
+    # never quiet: refuses after the wait budget
+    v, l1 = gate([9.0] * 100, {"SPARK_GRAFT_BENCH_LOAD_WAIT": "60"})
+    assert v == "refused" and l1 == 9.0
+    # forced: runs anyway, visibly
+    assert gate([9.0], {"SPARK_GRAFT_BENCH_FORCE": "1"}) == ("forced", 9.0)
+    # guard disabled
+    assert gate([9.0], {"SPARK_GRAFT_BENCH_MAX_LOAD": "0"}) == ("ok", 9.0)

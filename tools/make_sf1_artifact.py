@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Post-process the raw sf1 full-registry sweep into CORRECTNESS_SF1.json.
+
+The r09 verdict (#3) asks for the sf1 oracle signal FROZEN with a loud,
+per-query exclusion list instead of silent caps.  This tool enforces the
+documentation discipline mechanically:
+
+* every green row passes through (hash-verified at sf1, or rows-only for
+  the queries that never had a SQL oracle — same weaker flag the driver
+  records),
+* every excluded query (watchdog timeout or a known sf-variant contract)
+  MUST have a curated justification in EXCLUSION_REASONS below — an
+  unexplained timeout/mismatch fails this tool, so nothing can fall out
+  of the artifact silently,
+* the summary block records counts so a consumer needn't diff registries.
+
+Usage: python tools/make_sf1_artifact.py RAW_JSON [--out CORRECTNESS_SF1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Curated per-query exclusion justifications.  A query may appear here only
+# with a reason a reviewer can check; the tool cross-checks that every
+# non-green row is listed and that every listed row is actually non-green
+# (a stale entry for a now-green query also fails).
+EXCLUSION_REASONS: dict[str, str] = {}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("raw")
+    ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_SF1.json"))
+    ap.add_argument(
+        "--sf-dir", default="/tmp/sf1", help="recorded provenance only"
+    )
+    args = ap.parse_args()
+
+    with open(args.raw) as f:
+        raw: dict[str, dict] = json.load(f)
+
+    results: dict[str, dict] = {}
+    excluded: dict[str, dict] = {}
+    problems: list[str] = []
+    for name, rec in raw.items():
+        green = (
+            rec.get("hash_match") is True
+            or (rec.get("oracle") is False and rec.get("rows_match") is True)
+        )
+        if green:
+            results[name] = rec
+            if name in EXCLUSION_REASONS:
+                problems.append(
+                    f"{name}: listed in EXCLUSION_REASONS but GREEN at sf1 — "
+                    "remove the stale exclusion"
+                )
+        elif name in EXCLUSION_REASONS:
+            excluded[name] = {**rec, "why_excluded": EXCLUSION_REASONS[name]}
+        else:
+            problems.append(
+                f"{name}: NOT green at sf1 and NOT justified "
+                f"(err={rec.get('err')!r} rows={rec.get('spark_rows')}/"
+                f"{rec.get('oracle_rows')}) — triage it: fix the query or "
+                "add a reviewed reason to EXCLUSION_REASONS"
+            )
+    if problems:
+        print("REFUSING to write the artifact:", file=sys.stderr)
+        for p in problems:
+            print("  " + p, file=sys.stderr)
+        return 1
+
+    oracle_green = sum(1 for r in results.values() if r.get("hash_match"))
+    payload = {
+        "sf_dir": args.sf_dir,
+        "fixture": "tools/gen_sf1.py — key-shift 10x replication of sf0.1 "
+        "(per-key fanout/selectivity preserved; doc text gets per-copy "
+        "suffix markers)",
+        "sweep": "tools/driver_sim.py --sf-dir /tmp/sf1 --driver-mem 32g "
+        "--timeout 600 --artifact",
+        "summary": {
+            "registry": len(raw),
+            "green": len(results),
+            "oracle_hash_green": oracle_green,
+            "rows_only_green": len(results) - oracle_green,
+            "excluded": len(excluded),
+        },
+        "results": results,
+        "exclusions": excluded,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(
+        f"wrote {args.out}: {len(results)} green "
+        f"({oracle_green} hash-verified), {len(excluded)} excluded"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
