@@ -358,15 +358,23 @@ def _ivf_centroids_df(
     return cent
 
 
-def _lloyd_ctes() -> tuple[list[str], str]:
+def _lloyd_ctes(k_sql: str | None = None) -> tuple[list[str], str]:
     """Unrolled Lloyd CTE chain mirroring :func:`_ivf_centroids_df` exactly.
 
     Returns (cte_list, final_centroid_cte_name); shared by every oracle that
     needs the deterministic cell assignment (sim_search_ivf, dedup_semantic).
+
+    ``k_sql``: SQL expression for the seed-cell count (default: the literal
+    IVF_K).  The chain is K-agnostic beyond this one seed filter — every
+    later CTE just groups by cent_id — so an oracle whose Spark twin scales
+    K with corpus size (dedup_semantic) passes the mirror expression of
+    :func:`scaled_ivf_k` and stays valid at ANY fixture scale, not only the
+    ones where the formula collapses to IVF_K.
     """
+    k_expr = k_sql if k_sql is not None else str(IVF_K)
     ctes = [
         f"cent0 AS (SELECT vec_id AS cent_id, embedding AS centv\n"
-        f"           FROM embeddings WHERE vec_id < {IVF_K})"
+        f"           FROM embeddings WHERE vec_id < ({k_expr}))"
     ]
     for t in range(IVF_ITERS):
         cos = V.cosine_sql("e.embedding", "c.centv")
@@ -573,7 +581,14 @@ SEMDEDUP_COS = 0.35  # within-cell cosine above this => duplicate
 
 
 def _semdedup_oracle_sql() -> str:
-    ctes, final = _lloyd_ctes()
+    # Mirror scaled_ivf_k(COUNT(*)) so the oracle tracks the Spark side's
+    # data-scaled K at every fixture scale (sf1 sweep: K=80 at 20k vectors;
+    # the literal-K chain diverged there by construction).
+    k_sql = (
+        f"greatest({IVF_K}, "
+        f"(SELECT COUNT(*) FROM embeddings) // {IVF_TARGET_CELL})"
+    )
+    ctes, final = _lloyd_ctes(k_sql)
     cos_final = V.cosine_sql("e.embedding", "c.centv")
     cos_pair = V.cosine_sql("a.cv", "b.cv")
     return f"""
@@ -615,12 +630,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = datasets.load(spark, sf_dir, "embeddings")
     # K scales with the corpus (cell width ~IVF_TARGET_CELL): fixed K made
     # pair work quadratic under growth — sf1 stress exponent 1.35, now the
-    # assignment pays N*K dots and the pair join stays linear.  At every
-    # shipped oracle/bench fixture the formula yields exactly IVF_K, so
-    # the unrolled DuckDB oracle (which embeds the literal) still agrees —
-    # a precondition enforced loudly by tests/test_llm_ops.py::
-    # test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale
-    # (ADVICE r07: a grown fixture must fail pytest, not the hash gate).
+    # assignment pays N*K dots and the pair join stays linear.  The DuckDB
+    # oracle mirrors the same formula via a COUNT(*) scalar subquery in its
+    # seed CTE (r10), so it tracks this K at every fixture scale — verified
+    # green at sf1 (K=80) in CORRECTNESS_SF1.json.  The fixed-K oracles
+    # (sim_search_ivf family) still embed the literal; their fixture-scale
+    # precondition stays trip-wired by tests/test_llm_ops.py::
+    # test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale.
     cent = _ivf_centroids_df(
         spark, emb, cache_key=sf_dir, k=scaled_ivf_k(emb.count())
     )

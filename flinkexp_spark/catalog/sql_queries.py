@@ -100,24 +100,45 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract: Spark executes the text, DuckDB checks it.
 # ---------------------------------------------------------------------------
 
+# All money/rate columns in the fixture are intended 2-decimal values
+# (max |x*100 - round(x*100)| < 1e-9 over the corpus), so casting each BASE
+# column to DECIMAL(_,2) is unambiguous in both engines, and every product
+# stays in exact decimal arithmetic.  Two scale-stability rules learned at
+# sf1 (both green at sf0.01, both drift at 6M rows):
+#  * multiply in the DECIMAL domain, never CAST a DOUBLE product to a
+#    decimal — the product's fp error (~1e-6 at 1e5 magnitude) reaches the
+#    6th decimal, so the engines can round the same row to adjacent
+#    DECIMAL(18,6) ulps;
+#  * reduce sums to scale 2 BEFORE the final DOUBLE cast — DuckDB converts
+#    decimal->double as (double)unscaled / 10^scale, which double-rounds
+#    once unscaled exceeds 2^53 (sum_charge at scale 6 is ~5e16 at sf1),
+#    while Spark's BigDecimal cast is correctly rounded; at scale 2 the
+#    unscaled value stays exact past sf1000.  Reduce via ROUND(x, 2) and
+#    THEN cast — a bare scale-reducing CAST rounds HALF_UP in Spark but
+#    truncates in DuckDB, whereas ROUND is half-away-from-zero in both and
+#    leaves the cast with nothing to drop.
 Q1_PRICING_SUMMARY = """
+    WITH d AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity      AS DECIMAL(18,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(l_discount      AS DECIMAL(8,2))  AS disc,
+               CAST(l_tax           AS DECIMAL(8,2))  AS tax
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_disc,
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(ROUND(SUM(price * (1 - disc)), 2) AS DECIMAL(38,2))
+               AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(ROUND(SUM(price * (1 - disc) * (1 + tax)), 2)
+               AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
+           CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(price) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(disc) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    FROM d
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
 """

@@ -421,7 +421,7 @@ CLF_BIAS = 0.05
               FROM t WHERE len(toks) > 0)
         SELECT doc_id, source,
                round(list_reduce(ws, (acc, x) -> acc + x) / len(ws)
-                     + {CLF_BIAS}, 4) AS clf_score,
+                     + {CLF_BIAS}, 4) + 0.0 AS clf_score,
                (list_reduce(ws, (acc, x) -> acc + x) / len(ws)
                      + {CLF_BIAS}) > 0 AS keep
         FROM w
@@ -436,6 +436,11 @@ def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     array lambda; the per-doc mean is a LEFT FOLD (F.aggregate), mirrored
     by DuckDB's list_reduce so the IEEE summation order — and therefore
     the hash — is bit-identical.  One scan, no shuffle, no UDF.
+
+    Both sides add ``+ 0.0`` after the round: a doc whose score rounds to
+    zero from below yields -0.0 in DuckDB but +0.0 in Spark (BigDecimal has
+    no signed zero); IEEE -0.0 + 0.0 = +0.0 normalizes both (seen at sf1,
+    where the suffix-marker tokens push some means into (-5e-5, 0)).
     """
     docs = datasets.load(spark, sf_dir, "documents")
     warr = F.array(*[F.lit(w) for w in CLF_WEIGHTS])
@@ -452,7 +457,7 @@ def q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.round(score, 4).alias("clf_score"),
+            (F.round(score, 4) + F.lit(0.0)).alias("clf_score"),
             (score > 0).alias("keep"),
         )
     )

@@ -528,12 +528,14 @@ def test_ivfpq_recall_beats_floor(spark, sf_dir):
 
 
 def test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale():
-    """ADVICE r07 trip-wire: q_dedup_semantic scales K with corpus size,
-    but its registered DuckDB oracle embeds the literal IVF_K Lloyd chain.
-    The two agree only while every oracle/bench fixture stays under
-    (IVF_K+1)*IVF_TARGET_CELL vectors.  Enforce that precondition loudly
-    here — a silently grown embeddings fixture must fail THIS test, not
-    hash-mismatch (or vacuously pass) in the driver gate."""
+    """ADVICE r07 trip-wire, narrowed in r10: dedup_semantic's oracle now
+    mirrors scaled_ivf_k via a COUNT(*) scalar subquery (green at sf1 with
+    K=80), but the FIXED-K oracles (sim_search_ivf / ivf2 / ivfpq) still
+    embed the literal IVF_K Lloyd chain while their Spark twins use the
+    fixed-K quantizer.  Those stay valid only while every oracle/bench
+    fixture holds scaled_ivf_k(n) == IVF_K; enforce that precondition
+    loudly here — a silently grown embeddings fixture must fail THIS test,
+    not hash-mismatch (or vacuously pass) in the driver gate."""
     import pyarrow.parquet as pq
 
     from flinkexp_spark.catalog.llm_similarity import IVF_K, scaled_ivf_k
