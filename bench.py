@@ -134,10 +134,12 @@ HEADLINE = [
     # round-8/9 codec additions: FLAC lossless + IMA-ADPCM lossy decode
     "multimodal_decode_flac_pcm",
     "multimodal_decode_adpcm_pcm",
-    # round-10 additions: G.711 + APNG codecs, disk-resident IVF probe
+    # round-10 additions: G.711 + APNG codecs, disk-resident IVF probe,
+    # kNN-graph beam search (relational NSW)
     "multimodal_decode_g711_pcm",
     "multimodal_decode_apng_frames",
     "sim_search_ivf_bucketed",
+    "sim_search_graph_beam",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]
