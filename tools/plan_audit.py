@@ -106,11 +106,12 @@ AUDIT = [
     "graph_clustering_coefficient",
     "dedup_containment",
     "join_fuzzy_blocked",
-    # round-10 additions: disk-resident IVF + new codecs
+    # round-10 additions: disk-resident IVF + new codecs + graph ANN
     "sim_search_ivf_bucketed",
     "sim_search_recall_ivf_bucketed",
     "multimodal_decode_g711_pcm",
     "multimodal_decode_apng_frames",
+    "sim_search_graph_beam",
     # round-7 additions
     "multimodal_decode_jpeg_pixels",
     "geo_neighbor_pairs_salted",
