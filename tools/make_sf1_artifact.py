@@ -30,7 +30,51 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # with a reason a reviewer can check; the tool cross-checks that every
 # non-green row is listed and that every listed row is actually non-green
 # (a stale entry for a now-green query also fails).
-EXCLUSION_REASONS: dict[str, str] = {}
+EXCLUSION_REASONS: dict[str, str] = {
+    "dedup_jaccard_prefix": (
+        "oracle timeout (600s watchdog): the registered oracle is the "
+        "DELIBERATE brute-force all-pairs Jaccard join (retrieval.py:137 — "
+        "'the hash match IS the completeness proof' for the lossless "
+        "prefix filter), O(n^2)=1e10 set intersections at sf1's 100k docs. "
+        "The Spark side (prefix-filtered AllPairs) completed: 250,500 "
+        "pairs.  Losslessness is hash-proven at sf0.001/sf0.01 where the "
+        "quadratic proof is feasible; the algorithm's candidate cost is "
+        "sum of prefix-posting-list squares, independent of the oracle."
+    ),
+    "geo_neighbor_pairs": (
+        "oracle timeout (600s watchdog): oracle is the brute-force a<b "
+        "customer self cross join with haversine (geo.py:383) — ~1.1e10 "
+        "pair evaluations at sf1's 150k customers, by design quadratic as "
+        "the cell-blocking losslessness proof.  Spark's 8-degree "
+        "cell-blocked join completed: 10,241,882 pairs.  Proof holds at "
+        "sf0.001/sf0.01 (274 pairs, non-vacuous per r08)."
+    ),
+    "sim_search_graph_beam": (
+        "oracle timeout (600s watchdog): the oracle unrolls the ENTIRE "
+        "graph-ANN pipeline — kNN-graph build (20M shared-cell pairs at "
+        "sf1, each a 64-dim list-lambda cosine) plus 3 beam-hop CTEs that "
+        "re-reference the materialized graph — into one DuckDB query for "
+        "auditability.  The Spark side completed (200 rows = 20 queries "
+        "x top-10).  The contract is hash-proven at sf0.001/0.01/0.1 and "
+        "the 0.90 recall floor is pinned in tests/test_llm_ops.py."
+    ),
+    "sim_search_recall_graph": (
+        "oracle OOM in DuckDB (~100 GiB budget): nests the full "
+        "sim_search_graph_beam oracle (see its exclusion) AND the "
+        "brute-force oracle as CTEs.  The Spark side completed (1 recall "
+        "row); hash-proven at sf0.001/0.01/0.1 with measured recall "
+        "0.990/0.995/0.955 and the pytest-pinned 0.90 floor."
+    ),
+    "geo_neighbor_pairs_salted": (
+        "verification-harness limit, not an engine one: the driver-sim "
+        "collects BOTH sides into the driver to hash; the result itself "
+        "is ~10.2M wide rows at sf1 (>1.3 GiB serialized, over "
+        "spark.driver.maxResultSize) and the brute-force oracle is the "
+        "same quadratic join excluded for the unsalted twin.  The Spark "
+        "job (salted hot-cell variant) runs at sf1 in the BENCH_SF1 "
+        "suite; hash-proven lossless vs brute force at sf0.001/sf0.01."
+    ),
+}
 
 
 def main() -> int:
@@ -39,6 +83,12 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_SF1.json"))
     ap.add_argument(
         "--sf-dir", default="/tmp/sf1", help="recorded provenance only"
+    )
+    ap.add_argument(
+        "--note",
+        default=None,
+        help="free-form provenance note recorded in the payload (e.g. "
+        "which rows were re-run and merged, and why)",
     )
     args = ap.parse_args()
 
@@ -83,6 +133,7 @@ def main() -> int:
         "suffix markers)",
         "sweep": "tools/driver_sim.py --sf-dir /tmp/sf1 --driver-mem 32g "
         "--timeout 600 --artifact",
+        **({"note": args.note} if args.note else {}),
         "summary": {
             "registry": len(raw),
             "green": len(results),
