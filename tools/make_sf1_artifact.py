@@ -51,12 +51,13 @@ EXCLUSION_REASONS: dict[str, str] = {
     ),
     "sim_search_graph_beam": (
         "oracle timeout (600s watchdog): the oracle unrolls the ENTIRE "
-        "graph-ANN pipeline — kNN-graph build (20M shared-cell pairs at "
-        "sf1, each a 64-dim list-lambda cosine) plus 3 beam-hop CTEs that "
-        "re-reference the materialized graph — into one DuckDB query for "
-        "auditability.  The Spark side completed (200 rows = 20 queries "
-        "x top-10).  The contract is hash-proven at sf0.001/0.01/0.1 and "
-        "the 0.90 recall floor is pinned in tests/test_llm_ops.py."
+        "graph-ANN pipeline — kNN-graph build (10M scored shared-cell "
+        "pairs at sf1 even after the score-once-and-mirror halving, each "
+        "a 64-dim list-lambda cosine) plus 3 beam-hop CTEs re-referencing "
+        "the materialized graph — into one DuckDB query for auditability. "
+        "The Spark side completed (200 rows = 20 queries x top-10).  The "
+        "contract is hash-proven at sf0.001/0.01/0.1 and the 0.90 recall "
+        "floor is pinned in tests/test_llm_ops.py."
     ),
     "sim_search_recall_graph": (
         "oracle OOM in DuckDB (~100 GiB budget): nests the full "
