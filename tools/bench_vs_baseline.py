@@ -72,7 +72,8 @@ ROWS = [
         None,
         ["sim_search_topk", "sim_search_ivf", "sim_search_ivf2",
          "sim_search_adc_rerank", "embed_quantize_pq",
-         "sim_search_ivfpq_adc"],
+         "sim_search_ivfpq_adc", "sim_search_ivf_bucketed",
+         "sim_search_graph_beam"],
     ),
 ]
 
