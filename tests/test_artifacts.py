@@ -1,0 +1,103 @@
+"""Round-close artifact trip-wires.
+
+The r09 verdict's top finding was artifact rot: CORRECTNESS_FULL.json
+frozen two queries short of the registry, COVERAGE.md a round stale.
+These tests give the round-close discipline teeth — the judge's full
+pytest run fails loudly if an artifact lags the registry at HEAD.
+
+They intentionally FAIL mid-round right after a new query registers and
+pass again once the close sequence runs:
+
+    python tools/driver_sim.py --artifact CORRECTNESS_FULL.json   (~8 min)
+    python tools/gen_coverage.py
+    (sf1: tools/driver_sim.py --sf-dir /tmp/sf1 ... then
+     tools/make_sf1_artifact.py — see CORRECTNESS_SF1.json provenance)
+
+That is the intended pressure: a query is not DONE until the artifacts
+that claim completeness include it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry_names() -> list[str]:
+    from flinkexp_spark.registry import REGISTRY, queries
+
+    queries()  # force catalog import + rotation
+    return list(REGISTRY)
+
+
+def test_correctness_full_matches_registry_at_head():
+    """CORRECTNESS_FULL.json must cover the registry exactly and be all
+    green — the r09 lag (309 rows vs 311 queries) can't recur silently."""
+    with open(os.path.join(REPO, "CORRECTNESS_FULL.json")) as f:
+        full = json.load(f)
+    names = _registry_names()
+    missing = sorted(set(names) - set(full))
+    extra = sorted(set(full) - set(names))
+    assert not missing and not extra, (
+        f"CORRECTNESS_FULL.json lags the registry (missing={missing}, "
+        f"stale={extra}) — regenerate it AFTER the round's last "
+        "registration: python tools/driver_sim.py --artifact "
+        "CORRECTNESS_FULL.json"
+    )
+    not_green = [
+        n
+        for n, r in full.items()
+        if not (
+            r.get("hash_match") is True
+            or (r.get("oracle") is False and r.get("rows_match") is True)
+        )
+    ]
+    assert not not_green, f"non-green rows in CORRECTNESS_FULL: {not_green}"
+
+
+def test_coverage_md_count_matches_registry_at_head():
+    """COVERAGE.md's headline count must equal the registry count."""
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        text = f.read()
+    m = re.search(r"by (\d+) registered queries", text)
+    assert m, "COVERAGE.md headline count line not found"
+    n = len(_registry_names())
+    assert int(m.group(1)) == n, (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {n} — "
+        "regenerate: python tools/gen_coverage.py"
+    )
+
+
+def test_sf1_artifact_internally_consistent():
+    """CORRECTNESS_SF1.json: summary arithmetic must match its rows, every
+    exclusion must carry a justification, and results+exclusions must
+    partition the recorded registry (no silent caps)."""
+    path = os.path.join(REPO, "CORRECTNESS_SF1.json")
+    if not os.path.exists(path):
+        pytest.skip("no sf1 artifact frozen yet this round")
+    with open(path) as f:
+        art = json.load(f)
+    s = art["summary"]
+    results, excl = art["results"], art["exclusions"]
+    assert s["green"] == len(results)
+    assert s["excluded"] == len(excl)
+    assert s["registry"] == len(results) + len(excl)
+    assert not set(results) & set(excl)
+    assert s["oracle_hash_green"] == sum(
+        1 for r in results.values() if r.get("hash_match")
+    )
+    for n, r in excl.items():
+        assert r.get("why_excluded", "").strip(), (
+            f"exclusion {n} lacks a justification"
+        )
+    # the frozen registry may only lag HEAD by queries added AFTER the
+    # freeze — a frozen row for a query that no longer exists is a rename
+    # slipping past the artifact
+    names = set(_registry_names())
+    stale = sorted((set(results) | set(excl)) - names)
+    assert not stale, f"sf1 artifact has rows for unknown queries: {stale}"
