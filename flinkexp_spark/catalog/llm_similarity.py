@@ -304,6 +304,52 @@ def scaled_ivf_k(n_vectors: int) -> int:
     return max(IVF_K, n_vectors // IVF_TARGET_CELL)
 
 
+# Above this cell count, scaled-K consumers assign via the TWO-LEVEL
+# descent instead of the flat N*K ranking (r10 verdict #6): with
+# K = n/IVF_TARGET_CELL the flat assignment pass is itself O(n²/250) —
+# fine at sf1 (K=80), the next real superlinearity at 100 TB.  The sqrt-K
+# descent costs N*(G + IREPL*K/G) with G = ceil(sqrt(K)).  The switch sits
+# ABOVE every shipped fixture's K (= IVF_K = 8, trip-wired in
+# tests/test_llm_ops.py) so the small-sf oracles/hashes are untouched, and
+# BELOW sf1's K=80 so the descent is the path the sf1 sweep hash-verifies.
+IVF2_SWITCH_K = 32
+
+# Two-level IVF knobs (the hierarchy section further down documents the
+# design; defined here because the scaled-K oracles built at import time
+# reference them before that section executes).
+IVF2_G = 3       # super-groups over the fine centroids (sim_search_ivf2)
+IVF2_SPROBE = 2  # super-groups a QUERY descends into
+IVF2_IREPL = 2   # super-groups an INDEXED vector descends into (cross-wall
+#                  replication, the SPANN trick one level up: 1 group
+#                  measures recall 0.625/0.71 at sf0.001/sf0.01, 2 groups
+#                  0.72/0.735 for 2x index-assignment work)
+
+
+def ceil_sqrt(k: int) -> int:
+    """Integer ceil(sqrt(k)) — agrees with SQL CEIL(SQRT(k)) for every
+    BIGINT k whose sqrt fits a double's 53-bit mantissa comfortably
+    (IEEE sqrt is correctly rounded; a non-square's sqrt is irrational and
+    sits at least 1/(2m+1) from any integer m, far beyond one ulp)."""
+    import math
+
+    return math.isqrt(k - 1) + 1 if k > 1 else 1
+
+
+def _ivf_assign_scaled_df(emb: DataFrame, cent: DataFrame, k: int) -> DataFrame:
+    """Cell assignment that stays sub-quadratic under corpus-scaled K.
+
+    K <= IVF2_SWITCH_K: the exact flat ranking (_ivf_assign_df, N*K dots).
+    K  > IVF2_SWITCH_K: two-level descent (the sim_search_ivf2 machinery
+    with G = ceil(sqrt(K)) supers and IVF2_IREPL cross-wall groups),
+    N*(G + IREPL*K/G) dots.  The descent is approximate (a group wall can
+    hide the true nearest cell) but fully deterministic, and the scaled-K
+    oracles mirror BOTH branches via _aff_scaled_ctes — so hash
+    verification holds on either side of the switch."""
+    if k <= IVF2_SWITCH_K:
+        return _ivf_assign_df(emb, cent)
+    return _ivf2_assign_df(emb, cent, sprobe=IVF2_IREPL, g=ceil_sqrt(k))
+
+
 def _ivf_centroids_df(
     spark: SparkSession,
     emb: DataFrame,
@@ -418,6 +464,62 @@ def _lloyd_ctes(k_sql: str | None = None) -> tuple[list[str], str]:
             FROM comp{t} GROUP BY cent_id)"""
         )
     return ctes, f"cent{IVF_ITERS}"
+
+
+def _aff_scaled_ctes(k_sql: str) -> list[str]:
+    """CTE chain ending in ``aff`` (vec_id, embedding, cent_id, crnk) that
+    mirrors :func:`_ivf_assign_scaled_df` EXACTLY — including the branch.
+
+    Appended after :func:`_lloyd_ctes(k_sql)`'s chain (references its final
+    centroid CTE).  Both branches are written out and gated on the scalar
+    K (``kk``): at K <= IVF2_SWITCH_K only ``aff_flat`` (the classic
+    N*K ranking) produces rows; above it only the two-level descent does —
+    G = ceil(sqrt(K)) supers, each fine cell in its nearest super's group,
+    each vector descending into its IVF2_IREPL nearest groups.  UNION ALL
+    of two disjoint-by-construction sides keeps the plan set-free."""
+    _, final = _lloyd_ctes()  # name only — the caller emits the chain
+    cos_flat = V.cosine_sql("e.embedding", "c.centv")
+    cos_grp = V.cosine_sql("c.centv", "s.superv")
+    cos_pick = V.cosine_sql("e.embedding", "s.superv")
+    cos_desc = V.cosine_sql("p.embedding", "g2.centv")
+    return [
+        f"kk AS (SELECT ({k_sql}) AS kv)",
+        f"""aff_flat AS (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cos_flat}, {V.COS_DECIMALS}) DESC,
+                                c.cent_id) AS crnk
+            FROM embeddings e CROSS JOIN {final} c
+            WHERE (SELECT kv FROM kk) <= {IVF2_SWITCH_K})""",
+        f"""sup2 AS (
+            SELECT cent_id AS super_id, centv AS superv FROM {final}
+            WHERE cent_id < (SELECT CAST(ceil(sqrt(kv)) AS BIGINT) FROM kk)
+              AND (SELECT kv FROM kk) > {IVF2_SWITCH_K})""",
+        f"""grp2 AS (
+            SELECT cent_id, centv, super_id FROM (
+                SELECT c.cent_id, c.centv, s.super_id,
+                       row_number() OVER (PARTITION BY c.cent_id
+                           ORDER BY round({cos_grp}, {V.COS_DECIMALS}) DESC,
+                                    s.super_id) AS grnk
+                FROM {final} c CROSS JOIN sup2 s) WHERE grnk = 1)""",
+        f"""pick2 AS (
+            SELECT vec_id, embedding, super_id FROM (
+                SELECT e.vec_id, e.embedding, s.super_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({cos_pick}, {V.COS_DECIMALS}) DESC,
+                                    s.super_id) AS srnk
+                FROM embeddings e CROSS JOIN sup2 s)
+            WHERE srnk <= {IVF2_IREPL})""",
+        f"""aff_desc AS (
+            SELECT p.vec_id, p.embedding, g2.cent_id,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY round({cos_desc}, {V.COS_DECIMALS}) DESC,
+                                g2.cent_id) AS crnk
+            FROM pick2 p JOIN grp2 g2 ON p.super_id = g2.super_id)""",
+        """aff AS (SELECT * FROM aff_flat UNION ALL SELECT * FROM aff_desc)""",
+    ]
 
 
 def _ivf_oracle_sql(nprobe: int = IVF_NPROBE) -> str:
@@ -599,17 +701,10 @@ def _semdedup_oracle_sql() -> str:
     # data-scaled K at every fixture scale (sf1 sweep: K=80 at 20k vectors;
     # the literal-K chain diverged there by construction).
     ctes, final = _lloyd_ctes(_scaled_k_sql())
-    cos_final = V.cosine_sql("e.embedding", "c.centv")
+    ctes += _aff_scaled_ctes(_scaled_k_sql())
     cos_pair = V.cosine_sql("a.cv", "b.cv")
     return f"""
         WITH {",".join(ctes)},
-        aff AS (
-            SELECT e.vec_id, e.embedding, c.cent_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY round({cos_final}, {V.COS_DECIMALS}) DESC, c.cent_id
-                   ) AS crnk
-            FROM embeddings e CROSS JOIN {final} c),
         cells AS (SELECT vec_id, embedding AS cv, cent_id AS cell
                   FROM aff WHERE crnk = 1),
         dropped AS (
@@ -647,17 +742,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sim_search_ivf family) still embed the literal; their fixture-scale
     # precondition stays trip-wired by tests/test_llm_ops.py::
     # test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale.
-    cent = _ivf_centroids_df(
-        spark, emb, cache_key=sf_dir, k=scaled_ivf_k(emb.count())
-    )
+    k = scaled_ivf_k(emb.count())
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir, k=k)
     # Per-vector norm computed BEFORE the pair join: each of the
     # sum-of-cell² pairs then pays one dot product instead of three
     # (dot/(na*nb) is float-identical to V.cosine — same fold, same sqrt).
     # No localCheckpoint even though `cells` feeds three consumers: AQE's
     # ReusedExchange already dedupes the N*K assignment subtree (A/B at
     # sf1: checkpointed 24.5/25.2 s vs plain 24.3/21.2 s warm).
+    # Assignment branches on K (r10 verdict #6): flat N*K below
+    # IVF2_SWITCH_K, two-level sqrt-K descent above — the oracle's
+    # _aff_scaled_ctes mirrors the same branch, so the sf1 sweep
+    # hash-verifies the descent path (K=80 > 32 there).
     cells = (
-        _ivf_assign_df(emb, cent)
+        _ivf_assign_scaled_df(emb, cent, k)
         .filter(F.col("crnk") == 1)
         .select(
             "vec_id",
@@ -1002,7 +1100,7 @@ GRAPH_HOPS = 3   # unrolled expansion rounds
 
 def _graph_oracle_sql() -> str:
     ctes, final = _lloyd_ctes(_scaled_k_sql())
-    cos_final = V.cosine_sql("e.embedding", "c.centv")
+    ctes += _aff_scaled_ctes(_scaled_k_sql())
     hop_ctes = []
     for t in range(1, GRAPH_HOPS + 1):
         hop_ctes.append(f"""
@@ -1027,13 +1125,6 @@ def _graph_oracle_sql() -> str:
             SELECT query_id, match_id, score FROM s{t})""")
     return f"""
         WITH {",".join(ctes)},
-        aff AS (
-            SELECT e.vec_id, e.embedding, c.cent_id,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY round({cos_final}, {V.COS_DECIMALS}) DESC,
-                                c.cent_id) AS crnk
-            FROM embeddings e CROSS JOIN {final} c),
         cells AS (SELECT vec_id AS match_id, embedding AS cv, cent_id AS cell
                   FROM aff WHERE crnk <= {IVF_REPL}),
         -- kNN-graph build: pair space restricted to shared cells; a pair
@@ -1097,15 +1188,29 @@ def q_sim_search_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     query and a narrow beam evicts them before they are expanded.
     """
     emb = datasets.load(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids_df(
-        spark, emb, cache_key=sf_dir, k=scaled_ivf_k(emb.count())
-    )
-    ranked = _ivf_assign_df(emb, cent)
-    cells = ranked.filter(F.col("crnk") <= IVF_REPL).select(
-        F.col("vec_id").alias("match_id"),
-        F.col("embedding").alias("cv"),
-        F.col("cent_id").alias("cell"),
-        V.norm(F.col("embedding")).alias("nc"),
+    k = scaled_ivf_k(emb.count())
+    cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir, k=k)
+    # Assignment branches on K like dedup_semantic's (r10 verdict #6):
+    # flat below IVF2_SWITCH_K, sqrt-K two-level descent above, mirrored
+    # branch-for-branch by _aff_scaled_ctes in the oracle.
+    ranked = _ivf_assign_scaled_df(emb, cent, k)
+    # ONE materialized pass over the corpus (round-10 verdict #5): `cells`
+    # keeps crnk so the graph build (crnk <= REPL), the full corpus view
+    # (crnk == 1 is exactly one row per vector), the query set and the
+    # beam seeds ALL derive from this checkpoint — the executed plan used
+    # to scan the embeddings parquet ~50 times because each hop re-derived
+    # corpus/quer/probes from the source.  Values are unchanged: crnk == 1
+    # selects the same (match_id, cv, norm) rows emb.select() produced.
+    cells = (
+        ranked.filter(F.col("crnk") <= IVF_REPL)
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.col("embedding").alias("cv"),
+            F.col("cent_id").alias("cell"),
+            V.norm(F.col("embedding")).alias("nc"),
+            "crnk",
+        )
+        .localCheckpoint()
     )
     # kNN-graph build (shared-cell pair space, like dedup_semantic's):
     a = cells.select(
@@ -1153,28 +1258,24 @@ def q_sim_search_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = knn.union(
         knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()
-    corpus = emb.select(
-        F.col("vec_id").alias("match_id"),
-        F.col("embedding").alias("cv"),
-        V.norm(F.col("embedding")).alias("nc"),
-    )
+    corpus = cells.filter(F.col("crnk") == 1).select("match_id", "cv", "nc")
     quer = F.broadcast(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            V.norm(F.col("embedding")).alias("nq"),
+        corpus.filter(F.col("match_id") < N_QUERIES).select(
+            F.col("match_id").alias("query_id"),
+            F.col("cv").alias("qv"),
+            F.col("nc").alias("nq"),
         )
     )
     # beam seed: the query's single nearest cell (crnk == 1, vs the flat
     # index's nprobe=2) — the graph hops, not extra probes, buy the recall
     probes = F.broadcast(
-        ranked.filter(
-            (F.col("vec_id") < N_QUERIES) & (F.col("crnk") == 1)
+        cells.filter(
+            (F.col("match_id") < N_QUERIES) & (F.col("crnk") == 1)
         ).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("cent_id").alias("cell"),
-            V.norm(F.col("embedding")).alias("nq"),
+            F.col("match_id").alias("query_id"),
+            F.col("cv").alias("qv"),
+            "cell",
+            F.col("nc").alias("nq"),
         )
     )
     visited = (
@@ -1289,19 +1390,20 @@ def q_sim_search_recall_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Assignment becomes APPROXIMATE (a group wall can hide the true nearest
 # fine cell), so like every ANN knob here it ships with a measured,
 # hash-pinned recall contract instead of an exact-assignment claim.
-IVF2_G = 3       # super-groups over the fine centroids
-IVF2_SPROBE = 2  # super-groups a QUERY descends into
-IVF2_IREPL = 2   # super-groups an INDEXED vector descends into (cross-wall
-#                  replication, the SPANN trick one level up: 1 group
-#                  measures recall 0.625/0.71 at sf0.001/sf0.01, 2 groups
-#                  0.72/0.735 for 2x index-assignment work)
+# (IVF2_G / IVF2_SPROBE / IVF2_IREPL are defined next to IVF2_SWITCH_K
+# near the top of the file: the scaled-K oracles reference them at import
+# time, before this section executes.)
 
 
-def _ivf2_assign_df(emb: DataFrame, cent: DataFrame, sprobe: int) -> DataFrame:
+def _ivf2_assign_df(
+    emb: DataFrame, cent: DataFrame, sprobe: int, g: int | None = None
+) -> DataFrame:
     """Two-level descent, ranked like :func:`_ivf_assign_df`: rank the
-    IVF2_G super-seeds per vector, take ``sprobe`` groups, then rank the
-    fine cells of those groups by (rounded cosine DESC, cent_id)."""
-    supers = cent.filter(F.col("cent_id") < IVF2_G).select(
+    ``g`` (default IVF2_G) super-seeds per vector, take ``sprobe`` groups,
+    then rank the fine cells of those groups by (rounded cosine DESC,
+    cent_id).  ``g`` is the scaled-assignment hook (_ivf_assign_scaled_df
+    passes ceil(sqrt(K))); the sim_search_ivf2 family keeps the literal."""
+    supers = cent.filter(F.col("cent_id") < (IVF2_G if g is None else g)).select(
         F.col("cent_id").alias("super_id"), F.col("centv").alias("superv")
     )
     gaff = cent.join(F.broadcast(supers)).select(
@@ -2181,17 +2283,28 @@ def _ivf_bucketed_index_path(
     fixed-point Lloyd quantizer every IVF query shares (one centroid
     cache), and the writer overwrites, so a stale on-disk index from an
     older session can never leak into this one's results."""
+    import hashlib
     import pathlib
 
     app_id = spark.sparkContext.applicationId
     for stale in [k for k in _IVFB_PATH_CACHE if k[0] != app_id]:
         del _IVFB_PATH_CACHE[stale]
-    tag = pathlib.Path(sf_dir).name or "default"
-    key = (app_id, tag)
+    # Key by the FULL sf_dir (matching _CENT_CACHE), not its basename: two
+    # fixture dirs sharing a basename (/a/sf0.1 vs /b/sf0.1) must not reuse
+    # each other's on-disk index (round-11 ADVICE).  The path component is
+    # "<basename>-<dirhash8>" so it stays readable but collision-free, and
+    # the directory is app-id-scoped so concurrent sessions never race on
+    # the same mode=overwrite target.
+    full = str(pathlib.Path(sf_dir).resolve())
+    key = (app_id, full)
     if key in _IVFB_PATH_CACHE:
         return _IVFB_PATH_CACHE[key]
+    tag = "{}-{}".format(
+        pathlib.Path(full).name or "default",
+        hashlib.sha256(full.encode()).hexdigest()[:8],
+    )
     repo_root = pathlib.Path(__file__).resolve().parents[2]
-    path = str(repo_root / "spark-warehouse" / "ivf_bucketed" / tag)
+    path = str(repo_root / "spark-warehouse" / "ivf_bucketed" / app_id / tag)
     cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir)
     index = (
         _ivf_assign_df(emb, cent)

@@ -117,6 +117,12 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    THEN cast — a bare scale-reducing CAST rounds HALF_UP in Spark but
 #    truncates in DuckDB, whereas ROUND is half-away-from-zero in both and
 #    leaves the cast with nothing to drop.
+# DEVIATION FROM CANONICAL TPC-H Q1 (round-11 ADVICE): the scale-2 rounding
+# of sum_disc_price/sum_charge means these artifact values are NOT
+# comparable to published TPC-H reference answers, which carry the full
+# 4/6-decimal products.  This query's contract is cross-engine bit
+# stability on the synthetic fixture, not TPC-H answer-set parity — do not
+# diff its hashes against official TPC-H data.
 Q1_PRICING_SUMMARY = """
     WITH d AS (
         SELECT l_returnflag, l_linestatus,

@@ -326,6 +326,9 @@ def q_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
+            # scope the listener to THIS query: a concurrent stream in the
+            # same session must not pollute the hashed accumulators
+            mx.bind(q)
             try:
                 q.awaitTermination()
                 last_batch = q.lastProgress["batchId"]

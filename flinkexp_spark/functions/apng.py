@@ -150,6 +150,7 @@ def decode_apng(data: bytes) -> tuple[np.ndarray, dict]:
     streams: list[bytearray] = []
     seqs: list[int] = []
     saw_idat = False
+    default_stream = bytearray()
     for ctype, payload in _iter_chunks(data):
         if ihdr is None:
             if ctype != b"IHDR":
@@ -185,9 +186,16 @@ def decode_apng(data: bytes) -> tuple[np.ndarray, dict]:
             saw_idat = True
             if actl is None:
                 raise ApngError("IDAT before acTL: not an animation")
-            if len(fctls) != 1:
+            if not fctls:
+                # Spec-legal layout (round-11 ADVICE): an IDAT with no
+                # preceding fcTL is the static DEFAULT IMAGE, shown by
+                # non-animating viewers but NOT part of the animation;
+                # the first animation frame then arrives via fdAT.
+                default_stream += payload
+            elif len(fctls) != 1:
                 raise ApngError("IDAT must belong to the first fcTL frame")
-            streams[0] += payload
+            else:
+                streams[0] += payload
         elif ctype == b"fdAT":
             (seq,) = struct.unpack(">I", payload[:4])
             seqs.append(seq)
@@ -203,12 +211,27 @@ def decode_apng(data: bytes) -> tuple[np.ndarray, dict]:
     if seqs != list(range(len(seqs))):
         raise ApngError(f"sequence numbers not contiguous from 0: {seqs}")
     cw, ch_ = ihdr
+    if default_stream:
+        # Validate (but do not emit) the static default image: it must be a
+        # well-formed full-canvas subimage even though no frame shows it.
+        try:
+            raw0 = zlib.decompress(bytes(default_stream))
+        except zlib.error as exc:
+            raise ApngError(f"default image: corrupt deflate stream: {exc}")
+        flat0, used0 = _decode_subimage(memoryview(raw0), cw, ch_, 4)
+        if used0 != len(raw0):
+            raise ApngError("default image: trailing bytes in pixel stream")
     canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
     outputs = []
     for i, ((w, h, x, y, dispose, blend), comp) in enumerate(
         zip(fctls, streams)
     ):
-        raw = zlib.decompress(bytes(comp))
+        try:
+            raw = zlib.decompress(bytes(comp))
+        except zlib.error as exc:
+            # a missing/empty/corrupt frame stream must surface as a typed
+            # decode error with the frame index, never a raw zlib.error
+            raise ApngError(f"frame {i}: corrupt deflate stream: {exc}")
         flat, used = _decode_subimage(memoryview(raw), w, h, 4)
         if used != len(raw):
             raise ApngError(f"frame {i}: trailing bytes in pixel stream")

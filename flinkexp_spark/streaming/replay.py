@@ -400,6 +400,16 @@ class ReplayMetricsListener:
 
     def __init__(self) -> None:
         self.progresses: list[dict] = []
+        # Listener callbacks fire for EVERY streaming query on the session;
+        # without scoping, a concurrent stream would pollute the hashed
+        # deterministic accumulators (round-11 ADVICE).  The collector binds
+        # to ONE query id: explicitly via bind(q), else the first query that
+        # starts after attach.  Progress from any other id is dropped.
+        self._target_id: str | None = None
+
+    def bind(self, query) -> None:
+        """Scope the collector to ``query`` (a started StreamingQuery)."""
+        self._target_id = str(query.id)
 
     # StreamingQueryListener interface (duck-typed: PySpark only requires
     # the four callbacks; subclassing pulls heavy JVM wiring we don't need
@@ -407,12 +417,16 @@ class ReplayMetricsListener:
     # which accepts any object with these methods wrapped by the base
     # class — see capture_stream_metrics below).
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API names)
-        pass
+        if self._target_id is None:
+            self._target_id = str(event.id)
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         import json as _json
 
-        self.progresses.append(_json.loads(event.progress.json))
+        p = _json.loads(event.progress.json)
+        if self._target_id is not None and str(p.get("id")) != self._target_id:
+            return
+        self.progresses.append(p)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -59,6 +59,18 @@ def main() -> int:
         "exclusion mechanism for deliberately-quadratic oracles at sf1",
     )
     ap.add_argument(
+        "--engine-hash",
+        default=None,
+        help="comma list of queries verified via ENGINE-SIDE multiset "
+        "hashing (each engine computes an order-insensitive sum of 60-bit "
+        "per-row md5 hashes over a canonical rendering and returns ONE "
+        "row) instead of collecting both result sets to the driver — for "
+        "outputs that exceed spark.driver.maxResultSize at sf1.  The same "
+        "path also engages automatically when a collect trips "
+        "maxResultSize.  Row count and column-name fingerprint are still "
+        "checked; the hash covers every value",
+    )
+    ap.add_argument(
         "--artifact",
         default=None,
         help="write a CORRECTNESS_FULL.json-style artifact (driver row "
@@ -99,36 +111,157 @@ def main() -> int:
     t0, n_ok = time.time(), 0
     failures: list[str] = []
     records: dict[str, dict] = {}
+    eh_names = set(filter(None, (args.engine_hash or "").split(",")))
+
+    from pyspark.sql import functions as F
+
+    def _spark_multiset_hash(df):
+        """(sum-of-row-hashes, count) computed INSIDE Spark — one row back.
+
+        Canonical rendering per column (sorted by name): ints/bools/dates
+        as plain string casts, floats/decimals as round(x*1e6) BIGINTs
+        (all float-producing queries round to <=6 decimals), timestamps at
+        millisecond precision, NULL as a \\x01-sentinel.  Row hash = first
+        15 hex chars of md5 (60 bits) as DECIMAL(38,0); SUM is
+        order-insensitive and multiset-exact (duplicates accumulate,
+        unlike xor).  Mirrored byte-for-byte by _duck_multiset_hash."""
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        exprs = []
+        for c in sorted(df.columns):
+            t, col = types[c], F.col(c)
+            if t in ("tinyint", "smallint", "int", "bigint", "boolean"):
+                r = col.cast("string")
+            elif t == "string":
+                r = col
+            elif t in ("float", "double") or t.startswith("decimal"):
+                r = (
+                    F.round(col.cast("double") * 1000000, 0)
+                    .cast("bigint")
+                    .cast("string")
+                )
+            elif t == "date":
+                r = col.cast("string")
+            elif t == "timestamp":
+                r = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSS")
+            else:
+                raise ValueError(f"engine-hash: unsupported Spark type {t}")
+            exprs.append(F.coalesce(r, F.lit("\x01N")))
+        h = (
+            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *exprs)), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+            .alias("h")
+        )
+        row = df.select(h).agg(
+            F.coalesce(F.sum("h"), F.lit(0)).alias("hs"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return int(row["hs"]), int(row["n"])
+
+    def _duck_multiset_hash(osql_text, o_types):
+        rends = []
+        for c in sorted(o_types):
+            t, q = o_types[c].lower(), f'"{c}"'
+            if t in (
+                "tinyint", "smallint", "integer", "bigint", "hugeint",
+                "boolean", "utinyint", "usmallint", "uinteger", "ubigint",
+            ):
+                r = f"CAST({q} AS VARCHAR)"
+            elif t == "varchar":
+                r = q
+            elif t in ("double", "float", "real") or t.startswith("decimal"):
+                r = (
+                    f"CAST(CAST(ROUND(CAST({q} AS DOUBLE) * 1000000, 0) "
+                    f"AS BIGINT) AS VARCHAR)"
+                )
+            elif t == "date":
+                r = f"CAST({q} AS VARCHAR)"
+            elif t.startswith("timestamp"):
+                r = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%g')"
+            else:
+                raise ValueError(f"engine-hash: unsupported DuckDB type {t}")
+            rends.append(f"coalesce({r}, chr(1)||'N')")
+        row = con.execute(
+            f"""
+            SELECT coalesce(SUM(CAST(CAST(('0x' || substr(md5(rowstr), 1, 15))
+                       AS BIGINT) AS HUGEINT)), 0) AS hs,
+                   COUNT(*) AS n
+            FROM (SELECT concat_ws(chr(31), {', '.join(rends)}) AS rowstr
+                  FROM ({osql_text}))
+            """
+        ).fetchone()
+        return int(row[0]), int(row[1])
+
+    def _engine_compare(rec, df, osql_text):
+        """Fill rec via engine-side hashing: the driver receives ONE row
+        per engine (hash sum + count), never the result set."""
+        rec["engine_hashed"] = True
+        o_desc = con.execute(
+            f"DESCRIBE SELECT * FROM ({osql_text}) LIMIT 0"
+        ).fetchall()
+        o_types = {r[0]: r[1] for r in o_desc}
+        rec["schema_match"] = sorted(df.columns) == sorted(o_types)
+        if not rec["schema_match"]:
+            rec["err"] = (
+                f"schema: spark={sorted(df.columns)} oracle={sorted(o_types)}"
+            )
+            return False
+        s_hash, s_n = _spark_multiset_hash(df)
+        o_hash, o_n = _duck_multiset_hash(osql_text, o_types)
+        rec["spark_rows"], rec["oracle_rows"] = s_n, o_n
+        rec["rows_match"] = s_n == o_n
+        rec["hash_match"] = rec["rows_match"] and s_hash == o_hash
+        return rec["hash_match"]
 
     import threading
 
     class _Watchdog:
-        """Cancel Spark jobs + interrupt DuckDB if a query overruns."""
+        """Cancel the query's own Spark job group + interrupt DuckDB if a
+        query overruns.
 
-        def __init__(self, seconds: float):
+        Round-11 ADVICE hardening: the timer fires asynchronously, so a
+        fire landing exactly as the protected block exits used to cancel
+        the NEXT query's work and misattribute the timeout.  Two fixes:
+        (a) _fire and __exit__ synchronize on a lock with a disarmed flag
+        set before the block returns, so a late fire is a no-op; (b) the
+        cancellation is scoped to this query's job group
+        (setJobGroup/cancelJobGroup), never cancelAllJobs."""
+
+        def __init__(self, seconds: float, group: str):
             self.seconds = seconds
+            self.group = group
             self.fired = False
+            self._armed = False
+            self._lock = threading.Lock()
             self._timer = None
 
         def _fire(self):
-            self.fired = True
-            try:
-                spark.sparkContext.cancelAllJobs()
-            except Exception:
-                pass
-            try:
-                con.interrupt()
-            except Exception:
-                pass
+            with self._lock:
+                if not self._armed:
+                    return
+                self.fired = True
+                try:
+                    spark.sparkContext.cancelJobGroup(self.group)
+                except Exception:
+                    pass
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
 
         def __enter__(self):
             if self.seconds:
+                spark.sparkContext.setJobGroup(
+                    self.group, self.group, interruptOnCancel=True
+                )
+                self._armed = True
                 self._timer = threading.Timer(self.seconds, self._fire)
                 self._timer.daemon = True
                 self._timer.start()
             return self
 
         def __exit__(self, *exc):
+            with self._lock:
+                self._armed = False
             if self._timer:
                 self._timer.cancel()
 
@@ -144,8 +277,40 @@ def main() -> int:
         }
         q_t0 = time.time()
         try:
-          with _Watchdog(args.timeout) as wd:
-            s = canon(qs[name](spark, args.sf_dir).toPandas())
+          with _Watchdog(args.timeout, name) as wd:
+            df = qs[name](spark, args.sf_dir)
+            if name in eh_names and name in osql:
+                ok = _engine_compare(rec, df, osql[name])
+                rec["secs"] = round(time.time() - q_t0, 2)
+                records[name] = rec
+                if ok:
+                    n_ok += 1
+                    print(f"[{i}/{len(names)}] {name}: ok (engine-hash)")
+                else:
+                    failures.append(f"{name}: mismatch (engine-hash)")
+                    print(f"[{i}/{len(names)}] {name}: FAIL (engine-hash)")
+                continue
+            try:
+                s = canon(df.toPandas())
+            except Exception as ex:
+                # a result too big to collect is a harness limit, not an
+                # engine failure — fall back to engine-side hashing
+                if (
+                    "maxResultSize" not in str(ex)
+                    and "serialized results" not in str(ex)
+                ) or name not in osql:
+                    raise
+                print(f"[{i}/{len(names)}] {name}: maxResultSize — "
+                      "retrying via engine-hash")
+                ok = _engine_compare(rec, df, osql[name])
+                rec["secs"] = round(time.time() - q_t0, 2)
+                records[name] = rec
+                if ok:
+                    n_ok += 1
+                else:
+                    failures.append(f"{name}: mismatch (engine-hash)")
+                    print(f"[{i}/{len(names)}] {name}: FAIL (engine-hash)")
+                continue
             rec["spark_rows"] = len(s)
             if name not in osql:
                 # Rows-only query (no DuckDB oracle): the driver records a
