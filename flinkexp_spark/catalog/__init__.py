@@ -625,6 +625,106 @@ def _r10_window() -> tuple[str, ...]:
     return window
 
 
+# --------------------------------------------------------------------------
+# ROUND-11 WINDOW: drain the carry ledger, then the oldest r03 block.
+# After r10 the ledger union is 317/317 green; the staleness frontier is
+# the 7-name _R10_CARRY_TO_R11 list (4 r02-era wordcounts + 3 r03 rows)
+# followed by the r03 block (sources_io, streaming_replay, llm_textprep —
+# 42 names).  4 new + 7 carry + 39 r03 fill the 50 slots; the last 3 r03
+# names overflow into _R11_CARRY_TO_R12 (loud, asserted).
+# NEW QUERIES added this round must be appended to _R11_NEW.
+# --------------------------------------------------------------------------
+_R11_NEW: tuple[str, ...] = (
+    # sampled sf1 audits (r10 verdict #3): losslessness signal at the scale
+    # where the full exhaustive oracles are excluded as quadratic proofs
+    "dedup_jaccard_prefix_sf_audit",
+    "geo_neighbor_pairs_sf_audit",
+    "sim_search_graph_beam_sf_audit",
+    "sim_search_recall_graph_sf_audit",
+)
+
+_R11_REVERIFY: tuple[str, ...] = (
+    # the r10 carry ledger, verbatim (oldest official rows in the registry)
+    "dedup_jaccard_prefix",
+    "chunk_documents",
+    "changelog_compact",
+    "wordcount_union",
+    "wordcount_topk",
+    "wordcount_datastream_api",
+    "wordcount_batch",
+    # the r03 block: every remaining query whose newest official row is r03
+    "index_inverted_build",
+    "layout_zorder_scan",
+    "maintenance_compact",
+    "maintenance_merge_upsert",
+    "rollup_gapfill_hourly",
+    "search_bm25_topk",
+    "sink_kv_upsert",
+    "sink_wide_column",
+    "source_csv_roundtrip",
+    "source_in_memory",
+    "source_jdbc_roundtrip",
+    "source_json_corrupt",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_partitioned_parquet",
+    "source_text_lines",
+    "stream_changelog_upsert",
+    "stream_cumulate_window",
+    "stream_dedup",
+    "stream_ewma_per_user",
+    "stream_histogram_quantile",
+    "stream_interval_join_outer",
+    "stream_late_data",
+    "stream_pipeline_enriched",
+    "stream_session_dynamic_gap",
+    "stream_session_timers",
+    "stream_sliding_window",
+    "stream_stateful_count",
+    "stream_static_join",
+    "stream_temporal_join",
+    "stream_text_source",
+    "stream_tumbling_checkpointed",
+    "stream_tumbling_window",
+    "stream_union_watermark",
+    "stream_watermark_append",
+    "stream_window_distinct_users",
+    "stream_window_join",
+    "stream_window_topn",
+    "text_extract_redact_pii",
+    "text_tfidf_topk",
+    "text_tokens_bpe",
+    "vocab_encode_ids",
+)
+
+# Names consciously pushed past slot 50 by this round's new queries; they
+# head the r12 pool.  _r11_window() asserts the overflow equals this list.
+_R11_CARRY_TO_R12: tuple[str, ...] = (
+    # 4 new queries displaced 4-7=|carry|-pad slack; net overflow is the
+    # REVERIFY tail (49 pads + 4 new = 53 plan names for 50 slots)
+    "text_tfidf_topk",
+    "text_tokens_bpe",
+    "vocab_encode_ids",
+)
+
+
+def _r11_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots.
+
+    Over-subscription must be acknowledged in _R11_CARRY_TO_R12 — a pool
+    name silently falling off the end (the r09 bug) raises instead."""
+    pad = [n for n in _R11_REVERIFY if n not in _R11_NEW]
+    plan = _R11_NEW + tuple(pad)
+    window, overflow = plan[:50], plan[50:]
+    if set(overflow) != set(_R11_CARRY_TO_R12):
+        raise RuntimeError(
+            "r11 window over-subscribed: names dropped from the 50 slots "
+            f"({sorted(overflow)}) do not match _R11_CARRY_TO_R12 "
+            f"({sorted(_R11_CARRY_TO_R12)}) — update the carry list"
+        )
+    return window
+
+
 def _apply_rotation() -> None:
     """Reorder the registry dict: priority lists first, then module order.
 
@@ -633,7 +733,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r10_window()
+    priority = _r11_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

@@ -436,6 +436,72 @@ def q_geo_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sampled sf1 audit for the big-big neighbor join (r10 verdict #3) -------
+# geo_neighbor_pairs' oracle is the DELIBERATE brute-force a<b cross join
+# (~1.1e10 pairs at sf1) and times out there, leaving zero losslessness
+# signal at scale.  This audit restricts BOTH sides to customers on an id
+# stride (~AUDIT_CUST_TARGET sampled): the ENGINE side is the real
+# full-corpus cell-blocked join filtered to sampled-pair endpoints — so it
+# audits the actual sf1 run, not a rerun — while the oracle brute-forces
+# only the sampled customers (180k pairs at sf1, trivially feasible).
+# Sampling must be md5-bucketed, NOT an id stride: the synthetic
+# coordinates are key*prime%modulo, a lattice so id-correlated that EVERY
+# neighbor pair at sf0.01 has opposite-parity keys (measured: an even-even
+# stride keeps 0 of 274 pairs; m=5/7 strides also 0).  Hashing the key
+# first destroys the lattice correlation — md5-bucket m=2 keeps 79 pairs
+# at sf0.01, and the sampled pair space keeps population density
+# (~160 expected pairs at sf1's 10.2M).  Both engines evaluate the same
+# md5-hex arithmetic, so the sample sets are identical by construction.
+AUDIT_CUST_TARGET = 600
+_CUST_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)) AS BIGINT)"
+)
+
+
+@register(
+    "geo_neighbor_pairs_sf_audit",
+    oracle=f"""
+        WITH mm AS (SELECT greatest(1, COUNT(*) // {AUDIT_CUST_TARGET}) AS mv
+                    FROM customer),
+        c AS (SELECT c_custkey,
+                     {_CUST_LAT} AS plat, {_CUST_LON} AS plon
+              FROM customer
+              WHERE {_CUST_BUCKET} % (SELECT mv FROM mm) = 0),
+        pairs AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   a.plat AS lat1, a.plon AS lon1,
+                   b.plat AS lat2, b.plon AS lon2
+            FROM c a JOIN c b ON a.c_custkey < b.c_custkey)
+        SELECT cust_a, cust_b, {_HAVERSINE} AS dist_km
+        FROM pairs WHERE {_HAVERSINE} <= {NEIGHBOR_RADIUS_KM}
+        ORDER BY cust_a, cust_b
+    """,
+    tags=("J7", "J5"),
+)
+def q_geo_neighbor_pairs_sf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-pair losslessness audit of geo_neighbor_pairs (see the
+    section comment): the full cell-blocked join's output restricted to
+    md5-bucket-sampled endpoints must equal brute force over the sampled
+    customers exactly — the sf1-green row recorded where the full
+    quadratic oracle is excluded."""
+    m = max(
+        1,
+        datasets.load(spark, sf_dir, "customer").count() // AUDIT_CUST_TARGET,
+    )
+
+    def bkt(col: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            % m
+        )
+
+    return q_geo_neighbor_pairs(spark, sf_dir).filter(
+        (bkt("cust_a") == 0) & (bkt("cust_b") == 0)
+    )
+
+
 @register(
     "geo_neighbor_pairs_salted",
     oracle=f"""
