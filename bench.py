@@ -142,6 +142,8 @@ HEADLINE = [
     "multimodal_decode_apng_frames",
     "sim_search_ivf_bucketed",
     "sim_search_graph_beam",
+    # round-11 addition: QOI image codec (all six chunk ops oracle-live)
+    "multimodal_decode_qoi_pixels",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

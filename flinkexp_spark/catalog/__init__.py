@@ -641,6 +641,9 @@ _R11_NEW: tuple[str, ...] = (
     "geo_neighbor_pairs_sf_audit",
     "sim_search_graph_beam_sf_audit",
     "sim_search_recall_graph_sf_audit",
+    # QOI image codec (X5): sixth from-spec image/animation format, all
+    # six chunk ops oracle-live (functions/qoi.py)
+    "multimodal_decode_qoi_pixels",
 )
 
 _R11_REVERIFY: tuple[str, ...] = (
@@ -700,8 +703,9 @@ _R11_REVERIFY: tuple[str, ...] = (
 # Names consciously pushed past slot 50 by this round's new queries; they
 # head the r12 pool.  _r11_window() asserts the overflow equals this list.
 _R11_CARRY_TO_R12: tuple[str, ...] = (
-    # 4 new queries displaced 4-7=|carry|-pad slack; net overflow is the
-    # REVERIFY tail (49 pads + 4 new = 53 plan names for 50 slots)
+    # 5 new queries displace the REVERIFY tail (49 pads + 5 new = 54 plan
+    # names for 50 slots)
+    "text_extract_redact_pii",
     "text_tfidf_topk",
     "text_tokens_bpe",
     "vocab_encode_ids",

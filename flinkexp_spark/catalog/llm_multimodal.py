@@ -1062,3 +1062,86 @@ def q_multimodal_decode_apng_frames(spark: SparkSession, sf_dir: str) -> DataFra
     argmax.  Per-row independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.apng_frame_stats(M.with_apng_payload(docs))
+
+
+@register(
+    "multimodal_decode_qoi_pixels",
+    # The oracle RECOMPUTES THE PIXELS as window algebra: the fixture's
+    # pixel chain is palette-jump + closed-form deltas, so value(i, ch) =
+    # palette color at the LAST JUMP <= i plus the prefix sum of deltas
+    # since — a last-jump MAX window for the group id, then a per-group
+    # running SUM, mod 256.  The synthesized artifact is the BITSTREAM
+    # (encode_qoi over those pixels); the pixel values only exist by
+    # decoding the real QOI chunk stream — all SIX ops are live in the
+    # corpus (RUN from repeat modes, DIFF/LUMA from the delta modes, RGB
+    # from first palette visits, INDEX from revisits, RGBA from the
+    # alpha-at-jump docs).  pos_checksum pins pixel AND channel order.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s,
+                   CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) AS s2
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s, s2,
+                   len % {M.QOI_DIM_MOD} + {M.QOI_DIM_MIN} AS w,
+                   (3 * len + doc_id) % {M.QOI_DIM_MOD}
+                       + {M.QOI_DIM_MIN} AS h,
+                   CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS nc
+            FROM m),
+        pi AS (SELECT *, unnest(range(w * h)) AS i FROM d),
+        mo AS (SELECT *, (s + 13 * i + i * i) % 8 AS md FROM pi),
+        g AS (SELECT *, MAX(CASE WHEN md >= 5 OR i = 0 THEN i END)
+                        OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM mo),
+        pc AS (SELECT *, unnest(range(nc)) AS ch FROM g),
+        dl AS (
+            SELECT *,
+                   CASE WHEN md >= 5 OR i = 0 OR ch = 3 THEN 0
+                        WHEN md = 3 THEN
+                          CASE ch WHEN 0 THEN (s + i) % 4 - 2
+                                  WHEN 1 THEN (s2 + i) % 4 - 2
+                                  ELSE i % 4 - 2 END
+                        WHEN md = 4 THEN (s + 7 * i) % 64 - 32
+                             + CASE ch WHEN 0 THEN i % 16 - 8
+                                       WHEN 1 THEN 0
+                                       ELSE (s2 + i) % 16 - 8 END
+                        ELSE 0 END AS delta
+            FROM pc),
+        v AS (
+            SELECT doc_id, w, h, nc, i, ch,
+                   CASE WHEN ch = 3 THEN 200 + 10 * ((s2 + grp) % 4)
+                        ELSE ((5 * s + 47 * ((s2 + grp) % 4) + 31 * ch
+                              + SUM(delta) OVER (PARTITION BY doc_id, ch,
+                                                 grp ORDER BY i))
+                              % 256 + 256) % 256
+                   END AS v
+            FROM dl)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(nc AS BIGINT) AS channels,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM((i * nc + ch + 1) * v) AS BIGINT) AS pos_checksum
+        FROM v GROUP BY doc_id, w, h, nc
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_qoi_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: REAL image decode — QOI (Quite OK Image) to pixels, the
+    byte-aligned LZ-adjacent format whose whole spec is one public page
+    (functions/qoi.py module doc; nothing transcribed — the format has no
+    tables at all).  Decoding is stateful per image: a 64-slot running
+    hash index plus a previous-pixel register drive six chunk ops
+    (RUN/INDEX/DIFF/LUMA/RGB/RGBA), and the fixture's palette-jump pixel
+    chain makes every op live in the corpus — including RGBA via the
+    alpha-at-jump docs (doc_id % 4 == 0).  The payload is a spec-correct
+    QOI stream (magic, BE dims, end marker) built and decoded by
+    functions/qoi.py inside one Arrow mapInPandas pass; the DuckDB oracle
+    recomputes the pixels independently as last-jump window algebra.
+    Per-row independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.qoi_pixel_stats(M.with_qoi_payload(docs))

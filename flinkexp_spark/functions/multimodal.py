@@ -2208,3 +2208,139 @@ def apng_frame_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "px_sum long, px_min long, px_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# QOI fixtures (functions/qoi.py — Quite OK Image, all six chunk ops)
+# ---------------------------------------------------------------------------
+# The fixture synthesizes pixels as a CLOSED-FORM DELTA CHAIN and encodes
+# them — the synthesized artifact is the BITSTREAM; the pixels only exist
+# by decoding.  Per flattened pixel i, mode md = (s + 13i + i^2) % 8:
+# md in {0,1,2} repeats the previous pixel (QOI_OP_RUN fodder), md=3 is a
+# small wrapped delta (QOI_OP_DIFF range), md=4 a green-relative delta
+# (QOI_OP_LUMA range), md in {5,6,7} (and always i=0) JUMPS to one of four
+# palette colors pal(ch, k) = (5s + 47k + 31ch) % 256 with k = (s2+i) % 4 —
+# revisited palette colors light up QOI_OP_INDEX, first visits QOI_OP_RGB.
+# Pixel value = palette base at the LAST JUMP plus the prefix sum of
+# deltas since, mod 256 — exactly the window algebra (last-jump grouping +
+# per-group running sum) the DuckDB oracle replays in plain SQL.
+
+QOI_DIM_MOD = 25  # w = strlen(text) % 25 + 8; h = (3*strlen + doc_id) % 25 + 8
+QOI_DIM_MIN = 8
+
+
+def _ship_qoi_by_value() -> None:
+    """Register functions/qoi.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import qoi  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.qoi"]
+    )
+
+
+def qoi_fixture_pixels(doc_id: int, text: str):
+    """Re-export of :func:`flinkexp_spark.functions.qoi.closed_chain_pixels`
+    (it lives in qoi.py so worker closures ship it BY VALUE with the codec
+    — module-level functions here pickle by reference and break when the
+    driver runs from outside the repo; see streaming/stateful.py)."""
+    from flinkexp_spark.functions.qoi import closed_chain_pixels
+
+    return closed_chain_pixels(
+        doc_id, text, dim_mod=QOI_DIM_MOD, dim_min=QOI_DIM_MIN
+    )
+
+
+def with_qoi_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a QOI payload encoding the closed-form pixel chain."""
+    _ship_qoi_by_value()
+    # close over qoi-module functions ONLY: the by-value registration ships
+    # them with the closure; a reference to this module would pickle by
+    # reference and break on executors that can't import the repo
+    from flinkexp_spark.functions.qoi import closed_chain_pixels, encode_qoi
+
+    dim_mod, dim_min = QOI_DIM_MOD, QOI_DIM_MIN
+
+    def fixture(doc_id: int, text: str):
+        return closed_chain_pixels(doc_id, text, dim_mod=dim_mod, dim_min=dim_min)
+
+    def encode(batches):
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            _w, _h, channels, px = fixture(doc_id, text)
+            return encode_qoi(px, channels=channels)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def qoi_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode: QOI -> pixels inside one Arrow mapInPandas pass
+    (header cross-checks, the 64-slot running index, all six chunk ops),
+    then exact-integer stats.  ``pos_checksum`` = sum((3i+ch+1) * value)
+    over channel-major order pins pixel AND channel order.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    _ship_qoi_by_value()
+    from flinkexp_spark.functions.qoi import decode_qoi
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            w, h, channels, px = decode_qoi(bytes(payload))
+            flat = px[:, :channels].astype(np.int64).reshape(-1)
+            pos = np.arange(1, len(flat) + 1, dtype=np.int64)
+            return (
+                w,
+                h,
+                channels,
+                w * h,
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((pos * flat).sum()),
+            )
+
+        cols = [
+            "width",
+            "height",
+            "channels",
+            "n_px",
+            "px_sum",
+            "px_min",
+            "px_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, width long, height long, channels long, "
+            "n_px long, px_sum long, px_min long, px_max long, "
+            "pos_checksum long"
+        ),
+    )

@@ -112,6 +112,8 @@ AUDIT = [
     "multimodal_decode_g711_pcm",
     "multimodal_decode_apng_frames",
     "sim_search_graph_beam",
+    # round-11 additions
+    "multimodal_decode_qoi_pixels",
     # round-7 additions
     "multimodal_decode_jpeg_pixels",
     "geo_neighbor_pairs_salted",
