@@ -142,8 +142,10 @@ HEADLINE = [
     "multimodal_decode_apng_frames",
     "sim_search_ivf_bucketed",
     "sim_search_graph_beam",
-    # round-11 addition: QOI image codec (all six chunk ops oracle-live)
+    # round-11 additions: QOI image codec (all six chunk ops oracle-live),
+    # unigram-LM tokenizer (hard-EM train + Viterbi encode)
     "multimodal_decode_qoi_pixels",
+    "tokenizer_unigram_encode",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -61,6 +61,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     geo,  # grid-blocked spatial joins / kNN / density (new r6)
     experiments,  # CUPED, Kaplan-Meier, item lift, seasonality (new r6)
     sketches,  # KMV/theta set-algebra sketches (new r9)
+    tokenizer_unigram,  # unigram-LM hard-EM train + Viterbi encode (new r11)
 )
 
 # --------------------------------------------------------------------------
@@ -644,6 +645,10 @@ _R11_NEW: tuple[str, ...] = (
     # QOI image codec (X5): sixth from-spec image/animation format, all
     # six chunk ops oracle-live (functions/qoi.py)
     "multimodal_decode_qoi_pixels",
+    # unigram-LM tokenizer (X4): hard-EM train + Viterbi encode, lattice
+    # DP replayed in the oracle as a recursive CTE (tokenizer_unigram.py)
+    "tokenizer_unigram_train",
+    "tokenizer_unigram_encode",
 )
 
 _R11_REVERIFY: tuple[str, ...] = (
@@ -703,8 +708,10 @@ _R11_REVERIFY: tuple[str, ...] = (
 # Names consciously pushed past slot 50 by this round's new queries; they
 # head the r12 pool.  _r11_window() asserts the overflow equals this list.
 _R11_CARRY_TO_R12: tuple[str, ...] = (
-    # 5 new queries displace the REVERIFY tail (49 pads + 5 new = 54 plan
+    # 7 new queries displace the REVERIFY tail (49 pads + 7 new = 56 plan
     # names for 50 slots)
+    "stream_window_join",
+    "stream_window_topn",
     "text_extract_redact_pii",
     "text_tfidf_topk",
     "text_tokens_bpe",

@@ -114,6 +114,8 @@ AUDIT = [
     "sim_search_graph_beam",
     # round-11 additions
     "multimodal_decode_qoi_pixels",
+    "tokenizer_unigram_train",
+    "tokenizer_unigram_encode",
     # round-7 additions
     "multimodal_decode_jpeg_pixels",
     "geo_neighbor_pairs_salted",
