@@ -825,3 +825,35 @@ def test_ivf_bucketed_probe_prunes_partitions(spark, sf_dir):
     assert "dynamicpruningexpression" in scan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning(cell" not in plan, plan
+
+
+def test_qoi_decode_is_shuffle_free(spark, sf_dir):
+    """X5 codec contract: QOI encode+decode is per-row independent work —
+    the whole pipeline (filter -> Arrow encode -> Arrow decode) must show
+    ZERO Exchange operators and exactly the two intended MapInPandas
+    boundaries; the doc_id filter must reach the parquet scan."""
+    plan = plan_of(queries()["multimodal_decode_qoi_pixels"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    # formatted mode prints each node in the tree AND a detail section
+    assert plan.count("MapInPandas") == 4, plan
+    assert "LessThan(doc_id,100)" in plan, plan
+
+
+def test_unigram_encode_runs_python_on_distinct_words_only(spark, sf_dir):
+    """Unigram encode's Python boundary is the DISTINCT-WORD histogram,
+    not per-occurrence rows: the Viterbi UDF (ArrowEvalPython) must sit
+    above the distinct aggregation, and the occurrences join back via an
+    equi-join (AQE typically broadcasts the tiny encoded vocab) — never a
+    cartesian."""
+    plan = plan_of(queries()["tokenizer_unigram_encode"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the Python node's detail section shows its input columns: the
+    # distinct-word side carries NO doc_id — per-occurrence rows reaching
+    # Python would mean the memo-table shape regressed
+    py = next(
+        (s for s in plan.split("\n\n")
+         if s.startswith("(") and "ArrowEvalPython" in s),
+        "",
+    )
+    assert py, plan
+    assert "word#" in py and "doc_id" not in py, py
