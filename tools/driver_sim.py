@@ -76,6 +76,14 @@ def main() -> int:
         help="write a CORRECTNESS_FULL.json-style artifact (driver row "
         "schema: rows/schema/hash_match, spark/oracle_rows, err) here",
     )
+    ap.add_argument(
+        "--merge-into",
+        action="store_true",
+        help="with --artifact and --only: load the existing artifact and "
+        "REPLACE only the rows this invocation ran — the retry path for "
+        "individual contention-timeout rows of a long sweep (record the "
+        "merge in the frozen artifact's provenance note)",
+    )
     args = ap.parse_args()
 
     os.chdir("/tmp")
@@ -361,6 +369,15 @@ def main() -> int:
     if args.artifact:
         import json
 
+        if args.merge_into:
+            # retry path: update ONLY the rows this invocation ran inside
+            # an existing raw sweep artifact (contention-timeout retries of
+            # individual queries; the provenance note in the frozen
+            # artifact must say which rows were merged and why)
+            with open(args.artifact) as fh:
+                merged = json.load(fh)
+            merged.update(records)
+            records = merged
         with open(args.artifact, "w") as fh:
             json.dump(records, fh, indent=1, sort_keys=False)
             fh.write("\n")

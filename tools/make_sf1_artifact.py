@@ -40,6 +40,7 @@ EXCLUSION_REASONS: dict[str, str] = {
         "pairs.  Losslessness is hash-proven at sf0.001/sf0.01 where the "
         "quadratic proof is feasible; the algorithm's candidate cost is "
         "sum of prefix-posting-list squares, independent of the oracle."
+        "r11: sf1 losslessness now has POSITIVE sampled signal — `dedup_jaccard_prefix_sf_audit` (green row in this artifact) runs the identical prefix-filter pipeline on an md5(min-shingle)-bucketed subcorpus against the full brute-force oracle."
     ),
     "geo_neighbor_pairs": (
         "oracle timeout (600s watchdog): oracle is the brute-force a<b "
@@ -48,6 +49,7 @@ EXCLUSION_REASONS: dict[str, str] = {
         "the cell-blocking losslessness proof.  Spark's 8-degree "
         "cell-blocked join completed: 10,241,882 pairs.  Proof holds at "
         "sf0.001/sf0.01 (274 pairs, non-vacuous per r08)."
+        "r11: `geo_neighbor_pairs_sf_audit` (green row in this artifact) restricts the REAL full-corpus cell-blocked join to md5-bucket-sampled endpoints and brute-forces exactly those — positive sampled losslessness signal at sf1."
     ),
     "sim_search_graph_beam": (
         "oracle timeout (600s watchdog): the oracle unrolls the ENTIRE "
@@ -58,6 +60,7 @@ EXCLUSION_REASONS: dict[str, str] = {
         "The Spark side completed (200 rows = 20 queries x top-10).  The "
         "contract is hash-proven at sf0.001/0.01/0.1 and the 0.90 recall "
         "floor is pinned in tests/test_llm_ops.py."
+        "r11: `sim_search_graph_beam_sf_audit` (green row in this artifact) runs the identical graph-ANN pipeline on a stride+renumber sample of the sf1 corpus where the exhaustive oracle is feasible."
     ),
     "sim_search_recall_graph": (
         "oracle OOM in DuckDB (~100 GiB budget): nests the full "
@@ -65,6 +68,7 @@ EXCLUSION_REASONS: dict[str, str] = {
         "brute-force oracle as CTEs.  The Spark side completed (1 recall "
         "row); hash-proven at sf0.001/0.01/0.1 with measured recall "
         "0.990/0.995/0.955 and the pytest-pinned 0.90 floor."
+        "r11: `sim_search_recall_graph_sf_audit` (green row in this artifact) is the sampled twin with the exhaustive oracle feasible."
     ),
     "geo_neighbor_pairs_salted": (
         "verification-harness limit, not an engine one: the driver-sim "
