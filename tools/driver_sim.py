@@ -77,6 +77,13 @@ def main() -> int:
         "schema: rows/schema/hash_match, spark/oracle_rows, err) here",
     )
     ap.add_argument(
+        "--duck-mem",
+        default=None,
+        help="DuckDB memory_limit for the oracle connection (e.g. 48GB). "
+        "Set it on sf1 sweeps so a quadratic oracle OOMs INSIDE DuckDB "
+        "(recorded err row) instead of drawing the kernel OOM killer",
+    )
+    ap.add_argument(
         "--merge-into",
         action="store_true",
         help="with --artifact and --only: load the existing artifact and "
@@ -106,6 +113,14 @@ def main() -> int:
     print(f"entry(): {n_entry} rows")
 
     con = duckdb.connect()
+    if args.duck_mem:
+        # Cap the oracle engine BELOW the host OOM line: an over-budget
+        # brute-force oracle must surface as a recorded DuckDB
+        # OutOfMemoryException row, not a kernel OOM-kill that takes the
+        # whole sweep (and every completed row) with it — the r11 sf1
+        # sweep died exactly that way at 116 GiB anon RSS.
+        con.execute(f"SET memory_limit='{args.duck_mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     if args.tz:
         con.execute(f"SET TimeZone='{args.tz}'")
     for t in TABLES:
@@ -284,6 +299,7 @@ def main() -> int:
             "err": None,
         }
         q_t0 = time.time()
+        print(f"-> [{i}/{len(names)}] {name}", flush=True)
         try:
           with _Watchdog(args.timeout, name) as wd:
             df = qs[name](spark, args.sf_dir)
@@ -360,9 +376,17 @@ def main() -> int:
         else:
             if not failures or not failures[-1].startswith(name):
                 failures.append(f"{name}: mismatch")
-            print(f"[{i}/{len(names)}] {name}: FAIL")
+            print(f"[{i}/{len(names)}] {name}: FAIL", flush=True)
         if i % 25 == 0:
-            print(f"[{i}/{len(names)}] {n_ok} ok, {time.time()-t0:.0f}s")
+            print(f"[{i}/{len(names)}] {n_ok} ok, {time.time()-t0:.0f}s", flush=True)
+        if args.artifact:
+            # flush after EVERY query: a multi-hour sweep that dies (kernel
+            # OOM, host reboot) must not lose its completed rows — the
+            # survivors re-enter via --only + --merge-into
+            import json
+
+            with open(args.artifact + ".partial", "w") as fh:
+                json.dump(records, fh, indent=1, sort_keys=False)
     print(f"DONE {n_ok}/{len(names)} ok in {time.time()-t0:.0f}s")
     for f in failures:
         print("  " + f[:300])
