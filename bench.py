@@ -146,6 +146,7 @@ HEADLINE = [
     # unigram-LM tokenizer (hard-EM train + Viterbi encode)
     "multimodal_decode_qoi_pixels",
     "tokenizer_unigram_encode",
+    "text_perplexity_filter",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -649,6 +649,8 @@ _R11_NEW: tuple[str, ...] = (
     # DP replayed in the oracle as a recursive CTE (tokenizer_unigram.py)
     "tokenizer_unigram_train",
     "tokenizer_unigram_encode",
+    # CCNet-style LM-perplexity quality filter on top of the unigram model
+    "text_perplexity_filter",
 )
 
 _R11_REVERIFY: tuple[str, ...] = (
@@ -708,8 +710,9 @@ _R11_REVERIFY: tuple[str, ...] = (
 # Names consciously pushed past slot 50 by this round's new queries; they
 # head the r12 pool.  _r11_window() asserts the overflow equals this list.
 _R11_CARRY_TO_R12: tuple[str, ...] = (
-    # 7 new queries displace the REVERIFY tail (49 pads + 7 new = 56 plan
+    # 8 new queries displace the REVERIFY tail (49 pads + 8 new = 57 plan
     # names for 50 slots)
+    "stream_window_distinct_users",
     "stream_window_join",
     "stream_window_topn",
     "text_extract_redact_pii",

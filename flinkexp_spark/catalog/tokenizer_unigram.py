@@ -418,3 +418,126 @@ def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _perplexity_oracle_sql() -> str:
+    """Train chain + final Viterbi + per-doc integer perplexity algebra.
+
+    The keep/flag split is the corpus-MEAN split done entirely in integer
+    arithmetic: doc i is kept iff mean_cost_i * n_docs >= sum(mean_cost)
+    — algebraically identical to mean_cost_i >= avg(mean_cost) but exact
+    cross-engine (no float average ever materializes)."""
+    final = UNI_EM_ITERS + 1
+    return f"""
+        WITH RECURSIVE {_train_chain()},
+        {_dp_cte(str(final), f"sc_{UNI_EM_ITERS}")},
+        wcost AS MATERIALIZED (
+            SELECT word,
+                   CAST(COUNT(*) AS BIGINT) AS n_pieces,
+                   CAST(SUM(score) AS BIGINT) AS cost
+            FROM (SELECT word, unnest(pieces) AS piece FROM seg_{final})
+            JOIN sc_{UNI_EM_ITERS} USING (piece)
+            GROUP BY word),
+        occ AS (
+            SELECT doc_id, unnest({tokens_sql('text')}) AS word
+            FROM documents),
+        perdoc AS MATERIALIZED (
+            SELECT doc_id,
+                   CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+                   CAST(SUM(cost) AS BIGINT) AS total_cost,
+                   CAST(floor(SUM(cost) * 1.0 / SUM(n_pieces)) AS BIGINT)
+                     AS mean_cost
+            FROM occ JOIN wcost USING (word)
+            GROUP BY doc_id),
+        corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(mean_cost) AS BIGINT) AS sum_means
+            FROM perdoc)
+        SELECT doc_id, pieces, total_cost, mean_cost,
+               mean_cost * n_docs >= sum_means AS keep
+        FROM perdoc CROSS JOIN corpus
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_perplexity_filter",
+    oracle=_perplexity_oracle_sql(),
+    tags=("X4", "A2", "U1"),
+)
+def q_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality filter (Wenzek et al. 2020,
+    public method): score every document by the mean per-token log-prob
+    of its Viterbi segmentation under the corpus-trained unigram LM, and
+    keep the documents at or above the corpus mean (low perplexity =
+    in-distribution text).
+
+    Everything after the one quantized ln per vocabulary piece is EXACT
+    integer math, including the keep split: doc i is kept iff
+    mean_cost_i * n_docs >= sum(mean_cost) — the corpus-mean comparison
+    with no float average, so both engines agree bit-for-bit.  Scale
+    shape: per-word costs come from the same distinct-word memo table as
+    unigram encode, the corpus statistic is ONE scalar aggregate row
+    cross-joined back (broadcast — no global window, no single-partition
+    NTILE; a percentile-bucket variant would use approximate cutpoints
+    at 100 TB), all pinned linear."""
+    docs = datasets.load(spark, sf_dir, "documents")
+    scores = {p: s for p, _, s in trained_unigram(spark, sf_dir)}
+    _ship_unigram_by_value()
+    from flinkexp_spark.functions.unigram import viterbi_segment
+
+    table = dict(scores)
+    mp = UNI_MAX_PIECE
+
+    @F.pandas_udf("n_pieces long, cost long")
+    def seg_cost(words):
+        import pandas as pd
+
+        def one(w: str):
+            pieces = viterbi_segment(w, table, mp)
+            return len(pieces), sum(table[p] for p in pieces)
+
+        rows = [one(w) for w in words]
+        return pd.DataFrame(rows, columns=["n_pieces", "cost"])
+
+    per_word = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    wcost = (
+        per_word.select("word")
+        .distinct()
+        .withColumn("sc", seg_cost("word"))
+        .select("word", F.col("sc.n_pieces"), F.col("sc.cost"))
+    )
+    perdoc = (
+        per_word.join(wcost, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pieces").cast("long").alias("pieces"),
+            F.sum("cost").cast("long").alias("total_cost"),
+        )
+        .withColumn(
+            "mean_cost",
+            F.floor(F.col("total_cost") * 1.0 / F.col("pieces")).cast("long"),
+        )
+    )
+    corpus = perdoc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("mean_cost").cast("long").alias("sum_means"),
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "pieces",
+            "total_cost",
+            "mean_cost",
+            (F.col("mean_cost") * F.col("n_docs") >= F.col("sum_means")).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -127,3 +127,23 @@ def test_train_and_encode_against_corpus(spark) -> None:
     for r in e:
         assert 0 < r["pieces"] <= r["chars"]
         assert r["compression_x1000"] >= 1000
+
+
+@pytest.mark.usefixtures("spark")
+def test_perplexity_filter_mean_split_identity(spark) -> None:
+    """The keep flag must equal the float-free corpus-mean comparison:
+    mean_cost * n_docs >= sum(mean_cost)."""
+    from flinkexp_spark.catalog.tokenizer_unigram import (
+        q_text_perplexity_filter,
+    )
+
+    rows = q_text_perplexity_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n = len(rows)
+    s = sum(r["mean_cost"] for r in rows)
+    kept = 0
+    for r in rows:
+        assert r["keep"] == (r["mean_cost"] * n >= s)
+        assert r["mean_cost"] <= 0 and r["total_cost"] <= r["mean_cost"]
+        kept += bool(r["keep"])
+    assert 0 < kept < n, "mean split must actually separate the corpus"

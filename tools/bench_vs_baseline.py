@@ -31,8 +31,10 @@ ROWS = [
             "sample_priority_weighted", "multimodal_decode_jpeg_pixels",
             "quality_t_closeness", "graph_label_propagation",
             "profile_join_skew",
-            # r11: QOI decode + unigram-LM encode ride the per-query gate
+            # r11: QOI decode + unigram-LM encode + perplexity filter ride
+            # the per-query gate
             "multimodal_decode_qoi_pixels", "tokenizer_unigram_encode",
+            "text_perplexity_filter",
         ],
     ),
     (

@@ -116,6 +116,7 @@ AUDIT = [
     "multimodal_decode_qoi_pixels",
     "tokenizer_unigram_train",
     "tokenizer_unigram_encode",
+    "text_perplexity_filter",
     # round-7 additions
     "multimodal_decode_jpeg_pixels",
     "geo_neighbor_pairs_salted",
