@@ -487,19 +487,28 @@ FUZZY_MAX_DIST = 2
 
 @register(
     "join_fuzzy_blocked",
+    # The oracle applies the SAME lossless length-delta prefilter as the
+    # engine (|len a - len b| > d implies distance > d) before the O(len²)
+    # DP, and computes levenshtein once in a projection instead of twice
+    # (WHERE + SELECT): identical semantics and hashes, but the sf1 pair
+    # space is fixture-quadratic (fixed 25 brands, blocks grow 10x) and
+    # the unfiltered double-DP form ran 590s there — at the 600s watchdog
+    # line (it timed out under any host contention in the r11 sweeps).
     oracle=f"""
-        WITH p AS (
-            SELECT a.p_brand AS brand,
-                   levenshtein(a.p_name, b.p_name) AS d
+        WITH cand AS MATERIALIZED (
+            SELECT a.p_brand AS brand, a.p_name AS na, b.p_name AS nb
             FROM part a JOIN part b
               ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
             WHERE a.p_name <> b.p_name
-              AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST})
+              AND abs(strlen(a.p_name) - strlen(b.p_name))
+                  <= {FUZZY_MAX_DIST}),
+        p AS (
+            SELECT brand, levenshtein(na, nb) AS d FROM cand)
         SELECT brand,
                COUNT(*) AS n_fuzzy_pairs,
                CAST(SUM(d) AS BIGINT) AS dist_sum,
                CAST(MIN(d) AS BIGINT) AS min_dist
-        FROM p GROUP BY brand
+        FROM p WHERE d <= {FUZZY_MAX_DIST} GROUP BY brand
     """,
     tags=("J5", "F1"),
 )
