@@ -374,6 +374,10 @@ def q_stream_geofence_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing.  400 km carries 274 pairs at sf0.01 / ~95k at sf0.1.  The cell
 # must still bound the radius at the |lat| < 60 cap (55.66 km per lon
 # degree): 8 deg * 55.66 = 445 km >= 400.
+# brute-proof gate for the salted twin's dual-chain oracle: all shipped
+# fixtures (<= 15k customers at sf0.1) take the quadratic chain; sf-scale
+# corpora take the cell-blocked mirror
+SALTED_BRUTE_MAX = 40000
 NEIGHBOR_RADIUS_KM = 400.0
 NEIGHBOR_CELL_DEG = 8
 
@@ -504,15 +508,47 @@ def q_geo_neighbor_pairs_sf_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "geo_neighbor_pairs_salted",
+    # GATED DUAL-CHAIN oracle (the _scaled_k_sql pattern): below
+    # SALTED_BRUTE_MAX customers the BRUTE-FORCE a<b cross join runs — the
+    # full quadratic losslessness proof at every shipped fixture
+    # (sf0.001/0.01/0.1) — and above it a CELL-BLOCKED mirror of the
+    # blocking algebra runs instead (4-degree cells, 3x3 lon-wrapping
+    # neighborhood), which is output-bound and feasible at sf1's 150k
+    # customers where the quadratic proof is not.  The at-scale chain
+    # still independently re-executes the whole join in DuckDB's own
+    # plan; what it no longer re-proves at sf1 is cell-blocking
+    # losslessness — that proof stays with the brute chains at shipped
+    # fixtures and with geo_neighbor_pairs_sf_audit's sampled brute force
+    # at sf1.  Each chain's INPUT is gated (constant-false gate = empty
+    # scan), so the inactive chain costs nothing.
     oracle=f"""
-        WITH c AS (SELECT c_custkey,
-                          {_CITY_LAT} AS plat, {_CITY_LON} AS plon
-                   FROM customer),
+        WITH c AS MATERIALIZED (
+            SELECT c_custkey, {_CITY_LAT} AS plat, {_CITY_LON} AS plon
+            FROM customer),
+        gate AS (SELECT COUNT(*) <= {SALTED_BRUTE_MAX} AS small FROM c),
+        cb AS (SELECT * FROM c WHERE (SELECT small FROM gate)),
+        cg AS MATERIALIZED (
+            SELECT c_custkey, plat, plon,
+                   CAST(floor(plat / 4) AS BIGINT) AS cell_lat,
+                   CAST(floor((plon + 180.0) / 4) AS BIGINT) % 90 AS cell_lon
+            FROM c WHERE NOT (SELECT small FROM gate)),
+        r9 AS (
+            SELECT c_custkey, plat, plon,
+                   cell_lat + dy.d AS g_lat,
+                   (cell_lon + dx.d + 90) % 90 AS g_lon
+            FROM cg, (VALUES (-1), (0), (1)) dy(d),
+                 (VALUES (-1), (0), (1)) dx(d)),
         pairs AS (
             SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
                    a.plat AS lat1, a.plon AS lon1,
                    b.plat AS lat2, b.plon AS lon2
-            FROM c a JOIN c b ON a.c_custkey < b.c_custkey)
+            FROM cb a JOIN cb b ON a.c_custkey < b.c_custkey
+            UNION ALL
+            SELECT a.c_custkey, b.c_custkey,
+                   a.plat, a.plon, b.plat, b.plon
+            FROM cg a JOIN r9 b
+              ON a.cell_lat = b.g_lat AND a.cell_lon = b.g_lon
+             AND a.c_custkey < b.c_custkey)
         SELECT cust_a, cust_b, {_HAVERSINE} AS dist_km
         FROM pairs WHERE {_HAVERSINE} <= 200.0
         ORDER BY cust_a, cust_b

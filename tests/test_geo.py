@@ -227,3 +227,29 @@ def test_neighbor_pairs_official_row_is_non_vacuous(spark):
         pytest.skip(f"{sf_dir} fixture not present on this machine")
     n = queries()["geo_neighbor_pairs"](spark, sf_dir).count()
     assert n == 274, f"expected 274 neighbor pairs at sf0.01, got {n}"
+
+
+def test_salted_oracle_dual_chains_agree():
+    """The gated dual-chain oracle (geo.py geo_neighbor_pairs_salted): the
+    at-scale cell-blocked chain must produce EXACTLY the brute-force
+    chain's rows — flip the gate and compare on the sf0.01 corpus (the
+    sf0.1 A/B was run at introduction: 3,167,190 identical pairs)."""
+    import duckdb
+
+    from flinkexp_spark.registry import REGISTRY, queries
+
+    queries()
+    sql = REGISTRY["geo_neighbor_pairs_salted"].oracle
+    assert "SALTED_BRUTE_MAX" not in sql  # constant baked in
+    assert "COUNT(*) <= 40000" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/customer.parquet')"
+    )
+    brute = con.execute(sql).fetchdf()
+    blocked = con.execute(
+        sql.replace("COUNT(*) <= 40000", "COUNT(*) < 0")
+    ).fetchdf()
+    assert len(brute) > 0
+    assert brute.equals(blocked)
