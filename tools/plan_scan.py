@@ -73,7 +73,11 @@ PY_ALLOWED_PREFIXES: dict[str, str] = {
     "tokenizer_": "X4: BPE encode applies learned merges per-doc in Arrow",
 }
 # Individual queries allowed to cross into Python, and why.
-PY_ALLOWED_NAMES: dict[str, str] = {}
+PY_ALLOWED_NAMES: dict[str, str] = {
+    "text_perplexity_filter": "X4: scores docs with the unigram-LM "
+    "Viterbi cost UDF (tokenizer family Arrow surface) over the "
+    "distinct-word histogram — same boundary as tokenizer_unigram_*",
+}
 
 DEFAULT_SHUFFLE_CEILING = 15
 # Reviewed per-query shuffle budgets (iterative or many-stage pipelines
