@@ -487,26 +487,36 @@ FUZZY_MAX_DIST = 2
 
 @register(
     "join_fuzzy_blocked",
-    # The oracle applies the SAME lossless length-delta prefilter as the
-    # engine (|len a - len b| > d implies distance > d) before the O(len²)
-    # DP, and computes levenshtein once in a projection instead of twice
-    # (WHERE + SELECT): identical semantics and hashes, but the sf1 pair
-    # space is fixture-quadratic (fixed 25 brands, blocks grow 10x) and
-    # the unfiltered double-DP form ran 590s there — at the 600s watchdog
-    # line (it timed out under any host contention in the r11 sweeps).
+    # The oracle runs the DP over the DISTINCT-NAME histogram, never over
+    # key pairs — a pure algebraic rewrite, exact for ANY input: for an
+    # unordered name pair {A, B} within a brand (A < B lexicographically;
+    # same-name pairs are excluded by the query's p_name <> filter),
+    # every (key_a, key_b) cross pair appears exactly once under the
+    # key-ordering predicate regardless of which name holds the smaller
+    # key, so the pair multiplicity is count(A) * count(B) and the
+    # per-brand aggregates weight by it.  This is the BPE-encode
+    # memo-table philosophy applied to the oracle: levenshtein cost now
+    # scales with DISTINCT names² (length-prefiltered), not rows² — the
+    # row-pair form ran ~600s at sf1 (10x name replication = 100x
+    # duplicate DP evaluations) and timed out at the watchdog line.  The
+    # lossless length-delta prefilter (|len a - len b| > d implies
+    # distance > d) still runs ahead of the DP, which evaluates once in a
+    # projection.
     oracle=f"""
-        WITH cand AS MATERIALIZED (
-            SELECT a.p_brand AS brand, a.p_name AS na, b.p_name AS nb
-            FROM part a JOIN part b
-              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-            WHERE a.p_name <> b.p_name
-              AND abs(strlen(a.p_name) - strlen(b.p_name))
-                  <= {FUZZY_MAX_DIST}),
+        WITH grp AS MATERIALIZED (
+            SELECT p_brand AS brand, p_name AS nm,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM part GROUP BY p_brand, p_name),
+        cand AS MATERIALIZED (
+            SELECT a.brand, a.c * b.c AS m, a.nm AS na, b.nm AS nb
+            FROM grp a JOIN grp b
+              ON a.brand = b.brand AND a.nm < b.nm
+            WHERE abs(strlen(a.nm) - strlen(b.nm)) <= {FUZZY_MAX_DIST}),
         p AS (
-            SELECT brand, levenshtein(na, nb) AS d FROM cand)
+            SELECT brand, m, levenshtein(na, nb) AS d FROM cand)
         SELECT brand,
-               COUNT(*) AS n_fuzzy_pairs,
-               CAST(SUM(d) AS BIGINT) AS dist_sum,
+               CAST(SUM(m) AS BIGINT) AS n_fuzzy_pairs,
+               CAST(SUM(m * d) AS BIGINT) AS dist_sum,
                CAST(MIN(d) AS BIGINT) AS min_dist
         FROM p WHERE d <= {FUZZY_MAX_DIST} GROUP BY brand
     """,
