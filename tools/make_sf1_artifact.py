@@ -52,7 +52,9 @@ EXCLUSION_REASONS: dict[str, str] = {
         "r11: `geo_neighbor_pairs_sf_audit` (green row in this artifact) restricts the REAL full-corpus cell-blocked join to md5-bucket-sampled endpoints and brute-forces exactly those — positive sampled losslessness signal at sf1."
     ),
     "sim_search_graph_beam": (
-        "oracle timeout (600s watchdog): the oracle unrolls the ENTIRE "
+        "oracle infeasible at sf1 (r11: exhausts the 48GB-capped DuckDB's "
+        "spill disk mid-join; pre-cap r10 run hit the 600s watchdog — "
+        "same deliberate-quadratic class): the oracle unrolls the ENTIRE "
         "graph-ANN pipeline — kNN-graph build (10M scored shared-cell "
         "pairs at sf1 even after the score-once-and-mirror halving, each "
         "a 64-dim list-lambda cosine) plus 3 beam-hop CTEs re-referencing "
@@ -63,21 +65,13 @@ EXCLUSION_REASONS: dict[str, str] = {
         "r11: `sim_search_graph_beam_sf_audit` (green row in this artifact) runs the identical graph-ANN pipeline on a stride+renumber sample of the sf1 corpus where the exhaustive oracle is feasible."
     ),
     "sim_search_recall_graph": (
-        "oracle OOM in DuckDB (~100 GiB budget): nests the full "
+        "oracle timeout (600s watchdog; the uncapped r10 run instead OOMed "
+        "DuckDB at ~100 GiB): nests the full "
         "sim_search_graph_beam oracle (see its exclusion) AND the "
         "brute-force oracle as CTEs.  The Spark side completed (1 recall "
         "row); hash-proven at sf0.001/0.01/0.1 with measured recall "
         "0.990/0.995/0.955 and the pytest-pinned 0.90 floor."
         "r11: `sim_search_recall_graph_sf_audit` (green row in this artifact) is the sampled twin with the exhaustive oracle feasible."
-    ),
-    "geo_neighbor_pairs_salted": (
-        "verification-harness limit, not an engine one: the driver-sim "
-        "collects BOTH sides into the driver to hash; the result itself "
-        "is ~10.2M wide rows at sf1 (>1.3 GiB serialized, over "
-        "spark.driver.maxResultSize) and the brute-force oracle is the "
-        "same quadratic join excluded for the unsalted twin.  The Spark "
-        "job (salted hot-cell variant) runs at sf1 in the BENCH_SF1 "
-        "suite; hash-proven lossless vs brute force at sf0.001/sf0.01."
     ),
 }
 
