@@ -64,12 +64,30 @@ def main() -> int:
         help="adjudication notes for flagged exponents (recorded verbatim)",
     )
     ap.add_argument(
+        "--annotate-only",
+        action="store_true",
+        help="rewrite ONLY the analysis field of the existing artifact "
+        "(adjudicating flagged exponents after inspection) — no bench run",
+    )
+    ap.add_argument(
         "--skip-base-check",
         action="store_true",
         help="allow an sf0.1 base whose query set lags HEADLINE (exponents "
         "for the missing queries are simply omitted)",
     )
     args = ap.parse_args()
+
+    if args.annotate_only:
+        if not args.analysis:
+            print("--annotate-only requires --analysis", file=sys.stderr)
+            return 1
+        with open(args.out) as f:
+            payload = json.load(f)
+        payload["analysis"] = args.analysis
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"annotated {args.out}")
+        return 0
 
     sys.path.insert(0, REPO)
     import bench
