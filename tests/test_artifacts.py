@@ -165,3 +165,26 @@ def test_plan_scan_matches_registry_and_is_clean():
         if not n.startswith("stream_")
     ]
     assert not bad_skips, f"non-streaming queries skipped: {bad_skips}"
+
+
+def test_bench_local_matches_headline_at_head():
+    """BENCH_LOCAL.json (the sf0.1 medians the round freezes as
+    BENCH_r{N}) must carry the current headline suite — same staleness
+    class as the BENCH_SF1 trip-wire, one artifact earlier in the chain."""
+    path = os.path.join(REPO, "BENCH_LOCAL.json")
+    if not os.path.exists(path):
+        pytest.skip("no local bench artifact yet")
+    with open(path) as f:
+        art = json.load(f)
+    if art.get("sf") != 0.1:
+        pytest.skip("BENCH_LOCAL holds a non-sf0.1 run (mid-regeneration)")
+    import bench
+
+    names = set(_registry_names())
+    expected = {n for n in bench.HEADLINE if n in names}
+    missing = sorted(expected - set(art["queries"]))
+    extra = sorted(set(art["queries"]) - expected)
+    assert not missing and not extra, (
+        f"BENCH_LOCAL.json lags the headline suite at HEAD (missing="
+        f"{missing}, stale={extra}) — regenerate: python bench.py"
+    )
