@@ -24,8 +24,23 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+
+def _head_sha() -> str | None:
+    """Git SHA at generation time — the BENCH_SF1 staleness trip-wire
+    compares this against BENCH_SF1['head'] so a perf change committed
+    after the sf1 freeze trips CI (ADVICE r11, medium)."""
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return None
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -325,6 +340,7 @@ def main() -> None:
     full_payload = json.dumps(
         {
             "metric": "headline_suite_wall_seconds",
+            "head": _head_sha(),
             "value": total,
             "unit": "sec",
             "queries": medians,

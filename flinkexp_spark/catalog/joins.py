@@ -511,7 +511,7 @@ FUZZY_MAX_DIST = 2
             SELECT a.brand, a.c * b.c AS m, a.nm AS na, b.nm AS nb
             FROM grp a JOIN grp b
               ON a.brand = b.brand AND a.nm < b.nm
-            WHERE abs(strlen(a.nm) - strlen(b.nm)) <= {FUZZY_MAX_DIST}),
+            WHERE abs(length(a.nm) - length(b.nm)) <= {FUZZY_MAX_DIST}),
         p AS (
             SELECT brand, m, levenshtein(na, nb) AS d FROM cand)
         SELECT brand,

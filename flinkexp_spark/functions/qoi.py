@@ -171,9 +171,13 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, np.ndarray]:
         b1 = chunks[p]
         p += 1
         if b1 == _OP_RGB:
+            if p + 3 > len(chunks):
+                raise QoiError(f"truncated RGB op at byte {p}")
             r, g, b = chunks[p], chunks[p + 1], chunks[p + 2]
             p += 3
         elif b1 == _OP_RGBA:
+            if p + 4 > len(chunks):
+                raise QoiError(f"truncated RGBA op at byte {p}")
             r, g, b, a = chunks[p], chunks[p + 1], chunks[p + 2], chunks[p + 3]
             p += 4
         elif b1 & _MASK2 == _OP_INDEX:
@@ -183,6 +187,8 @@ def decode_qoi(data: bytes) -> tuple[int, int, int, np.ndarray]:
             g = (g + ((b1 >> 2) & 0x03) - 2) % 256
             b = (b + (b1 & 0x03) - 2) % 256
         elif b1 & _MASK2 == _OP_LUMA:
+            if p >= len(chunks):
+                raise QoiError(f"truncated LUMA op at byte {p}")
             b2 = chunks[p]
             p += 1
             dg = (b1 & 0x3F) - 32

@@ -130,6 +130,27 @@ def test_bench_sf1_matches_headline_at_head():
             "BENCH_SF1 has flagged exponents but no analysis adjudicating "
             "them — rerun make_bench_sf1.py with --analysis"
         )
+    # ADVICE r11 (medium): the query-set check alone lets a perf change
+    # committed AFTER the sf1 freeze pass CI with stale exponents.  The
+    # sf1 artifact and the sf0.1 base must come from the SAME generation
+    # head — bench.py stamps BENCH_LOCAL, make_bench_sf1 refuses a base
+    # from a different HEAD, and this wire catches a later regeneration
+    # of either one alone.
+    local_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    if os.path.exists(local_path):
+        with open(local_path) as f:
+            local = json.load(f)
+        if (
+            local.get("sf") == 0.1
+            and local.get("head")
+            and art.get("head")
+        ):
+            assert local["head"] == art["head"], (
+                f"BENCH_SF1 frozen at {art['head'][:12]} but BENCH_LOCAL "
+                f"was generated at {local['head'][:12]} — perf changed "
+                "after the sf1 freeze; regenerate both: python bench.py "
+                "&& python tools/make_bench_sf1.py"
+            )
 
 
 def test_plan_scan_matches_registry_and_is_clean():

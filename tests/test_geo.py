@@ -234,7 +234,12 @@ def test_salted_oracle_dual_chains_agree():
     at-scale cell-blocked chain must produce EXACTLY the brute-force
     chain's rows — flip the gate and compare on the sf0.01 corpus (the
     sf0.1 A/B was run at introduction: 3,167,190 identical pairs)."""
+    import os
+
     import duckdb
+
+    if not os.path.exists("/root/testdata/sf0.01/customer.parquet"):
+        pytest.skip("sf0.01 customer fixture not present on this machine")
 
     from flinkexp_spark.registry import REGISTRY, queries
 

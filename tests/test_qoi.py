@@ -163,6 +163,22 @@ def test_decoder_error_paths() -> None:
         decode_qoi(bad)
 
 
+def test_decoder_truncated_operand_reads_raise_qoi_error() -> None:
+    """ADVICE r11: an RGB/RGBA/LUMA tag whose operand bytes are cut off
+    mid-op must raise QoiError (the documented malformed-stream contract),
+    not a bare IndexError from indexing past the chunk buffer."""
+    hdr = QOI_MAGIC + bytes([0, 0, 0, 2, 0, 0, 0, 1, 4, 0])  # 2x1 RGBA
+    # RGB tag (0xFE) with only 1 of 3 operand bytes before the end marker
+    with pytest.raises(QoiError, match="truncated RGB"):
+        decode_qoi(hdr + bytes([0xFE, 1]) + QOI_END)
+    # RGBA tag (0xFF) with 3 of 4 operand bytes
+    with pytest.raises(QoiError, match="truncated RGBA"):
+        decode_qoi(hdr + bytes([0xFF, 1, 2, 3]) + QOI_END)
+    # LUMA tag (0b10xxxxxx) with its second byte missing
+    with pytest.raises(QoiError, match="truncated LUMA"):
+        decode_qoi(hdr + bytes([0x80]) + QOI_END)
+
+
 def test_encoder_input_validation() -> None:
     with pytest.raises(QoiError, match="pixels"):
         encode_qoi(np.zeros((4, 4), np.uint8))

@@ -116,6 +116,22 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # The base must have been GENERATED at the current HEAD, not merely
+    # cover the same query set (ADVICE r11, medium: a perf change committed
+    # after the base run made the sf1 exponents stale while the query-set
+    # check stayed green).
+    if (
+        not args.skip_base_check
+        and base.get("head")
+        and base["head"] != head_sha()
+    ):
+        print(
+            f"BENCH_LOCAL.json was generated at {base['head'][:12]} but "
+            f"HEAD is {head_sha()[:12]} — rerun `python bench.py` so the "
+            "sf0.1 base reflects the code being frozen",
+            file=sys.stderr,
+        )
+        return 1
 
     # 2. the sf1 run, through the standard harness (bench.py overwrites
     # BENCH_LOCAL.json with its full payload; keep the sf0.1 base safe)
@@ -158,6 +174,7 @@ def main() -> int:
         "fixture": "tools/gen_sf1.py — key-shifted 10x replication of "
         f"sf0.1 ({args.sf1_dir})",
         "base": "BENCH_LOCAL.json sf0.1 medians at the same HEAD",
+        "base_head": base.get("head"),
         "load1_prerun": sf1.get("load1_prerun"),
         "load1_postrun": sf1.get("load1_postrun"),
         "queries": sf1["queries"],

@@ -212,12 +212,28 @@ def main() -> int:
             flush=True,
         )
 
+    # --only refreshes a subset IN PLACE: merge into the existing artifact
+    # instead of clobbering the full-registry sweep (ADVICE r11 — a subset
+    # overwrite silently destroyed the 20-minute artifact).
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("stats", {}))
+        merged.update(stats)
+        stats = merged
+        partial = sorted(
+            set(prior.get("partial_refresh", [])) | set(names)
+        )
+    else:
+        partial = []
+
     payload = {
         "head": head_sha(),
         "sf_dir": args.sf_dir,
         "elapsed_sec": round(time.time() - t0, 1),
         "registry_total": len(REGISTRY),
-        "scanned": len(names),
+        "scanned": len(stats),
+        "partial_refresh": partial,
         "skipped_streaming": {"names": skipped, "reason": SKIP_REASON},
         "rules": {
             "cartesian": "no CartesianProduct anywhere (allowlist empty)",
