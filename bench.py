@@ -162,6 +162,13 @@ HEADLINE = [
     "multimodal_decode_qoi_pixels",
     "tokenizer_unigram_encode",
     "text_perplexity_filter",
+    # round-12 additions: from-spec DEFLATE decode, WordPiece tokenizer,
+    # zero-shuffle phrase search, hourly linear resample
+    "multimodal_decode_deflate",
+    "tokenizer_wordpiece_encode",
+    "search_phrase_match",
+    "timeseries_resample_linear",
+    "stat_mann_whitney",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -62,6 +62,7 @@ from flinkexp_spark.catalog import (  # noqa: F401
     experiments,  # CUPED, Kaplan-Meier, item lift, seasonality (new r6)
     sketches,  # KMV/theta set-algebra sketches (new r9)
     tokenizer_unigram,  # unigram-LM hard-EM train + Viterbi encode (new r11)
+    tokenizer_wordpiece,  # greedy longest-match WordPiece encode (new r12)
 )
 
 # --------------------------------------------------------------------------
@@ -739,6 +740,112 @@ def _r11_window() -> tuple[str, ...]:
     return window
 
 
+# --------------------------------------------------------------------------
+# ROUND-12 WINDOW: drain the carry ledger, then the r04 block.
+# After r11 the union ledger is 325/325 green; the staleness frontier is the
+# 7-name _R11_CARRY_TO_R12 list (3 streaming-window r03 rows + 4
+# llm_textprep rows) followed by the r04 block (40 names whose newest
+# official row is round 4).  New + 7 carry + r04 fill the 50 slots; any
+# overflow lands in _R12_CARRY_TO_R13 (loud, asserted).
+# NEW QUERIES added this round must be appended to _R12_NEW.
+# --------------------------------------------------------------------------
+_R12_NEW: tuple[str, ...] = (
+    # from-spec DEFLATE inflate (X6): RFC 1951 fixed+dynamic Huffman +
+    # RFC 1950 zlib container, closing the PNG/APNG loop the way QOI/FLAC
+    # did (functions/inflate.py)
+    "multimodal_decode_deflate",
+    # WordPiece tokenizer: greedy longest-match-first subword encode, the
+    # third tokenizer family (BPE merge-replay, unigram Viterbi, now
+    # WordPiece greedy) — oracle replays the greedy scan as a recursive CTE
+    "tokenizer_wordpiece_encode",
+    # Mann-Whitney U rank-sum test (rank stats family next to ks/chi2/psi)
+    "stat_mann_whitney",
+    # positional inverted index + adjacency-join phrase search (the exact
+    # substring-match retrieval op next to bm25/inverted-index)
+    "search_phrase_match",
+    # time-series resample to a fixed grid with linear interpolation
+    "timeseries_resample_linear",
+)
+
+_R12_REVERIFY: tuple[str, ...] = (
+    # the r11 carry ledger, verbatim (oldest official rows: r03)
+    "stream_window_distinct_users",
+    "stream_window_join",
+    "stream_window_topn",
+    "text_extract_redact_pii",
+    "text_tfidf_topk",
+    "text_tokens_bpe",
+    "vocab_encode_ids",
+    # the r04 block: every query whose newest official row is round 4
+    "agg_grouping_sets",
+    "agg_histogram_quantile",
+    "agg_pivot",
+    "agg_regression_ols",
+    "agg_share_of_parent",
+    "agg_winsorized_mean",
+    "cohort_retention",
+    "join_fuzzy_blocked",
+    "join_range_binned",
+    "pattern_absence",
+    "pattern_attribution_last_touch",
+    "pattern_conversion_latency",
+    "pattern_transition_matrix",
+    "project_unpivot",
+    "quality_constraints_audit",
+    "quality_fk_orphans",
+    "sink_dynamic_partition_overwrite",
+    "sketch_count_min",
+    "source_csv_malformed_modes",
+    "source_file_metadata_lineage",
+    "source_parquet_schema_evolution",
+    "sql_lateral_explode",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q16",
+    "sql_tpch_q19",
+    "sql_tpch_q2",
+    "sql_tpch_q20",
+    "sql_tpch_q22",
+    "sql_window_tumble",
+    "stat_chi_square",
+    "stat_psi_drift",
+    "stream_list_state_recent_tws",
+    "stream_map_state_totals_tws",
+    "stream_session_timers_tws",
+    "stream_stateful_bootstrap_tws",
+    "table_fingerprint",
+    "text_bigram_fluency",
+    "text_classifier_score",
+    "text_quality_ensemble",
+)
+
+# Names consciously pushed past slot 50 by this round's new queries; they
+# head the r13 pool.  _r12_window() asserts the overflow equals this list.
+_R12_CARRY_TO_R13: tuple[str, ...] = (
+    # 5 new queries displace the REVERIFY tail (47 pads + 5 new = 52 plan
+    # names for 50 slots)
+    "text_classifier_score",
+    "text_quality_ensemble",
+)
+
+
+def _r12_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots.
+
+    Over-subscription must be acknowledged in _R12_CARRY_TO_R13 — a pool
+    name silently falling off the end (the r09 bug) raises instead."""
+    pad = [n for n in _R12_REVERIFY if n not in _R12_NEW]
+    plan = _R12_NEW + tuple(pad)
+    window, overflow = plan[:50], plan[50:]
+    if set(overflow) != set(_R12_CARRY_TO_R13):
+        raise RuntimeError(
+            "r12 window over-subscribed: names dropped from the 50 slots "
+            f"({sorted(overflow)}) do not match _R12_CARRY_TO_R13 "
+            f"({sorted(_R12_CARRY_TO_R13)}) — update the carry list"
+        )
+    return window
+
+
 def _apply_rotation() -> None:
     """Reorder the registry dict: priority lists first, then module order.
 
@@ -747,7 +854,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r11_window()
+    priority = _r12_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

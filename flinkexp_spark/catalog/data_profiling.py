@@ -267,3 +267,114 @@ def q_stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_x1e6"),
         )
     )
+
+
+@register(
+    "stat_mann_whitney",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS ga
+            FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+        d AS (
+            SELECT v, CAST(SUM(ga) AS BIGINT) AS c1,
+                   CAST(COUNT(*) - SUM(ga) AS BIGINT) AS c2,
+                   CAST(COUNT(*) AS BIGINT) AS t
+            FROM s GROUP BY v),
+        c AS (
+            SELECT v, c1, c2, t,
+                   CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) AS ft
+            FROM d),
+        m AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(c1 * (2 * (ft - t) + t + 1)) AS BIGINT) AS r1_x2,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tiesum
+            FROM c)
+        SELECT n1, n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT)
+                   AS u2_x2,
+               tiesum,
+               CAST(FLOOR(
+                   ((r1_x2 - n1 * (n1 + 1)) - n1 * n2) * 1000000.0
+                   / (2.0 * SQRT(
+                       n1 * n2 / 12.0
+                       * ((n1 + n2 + 1)
+                          - tiesum / ((n1 + n2) * (n1 + n2 - 1.0)))))
+               ) AS BIGINT) AS z_x1e6
+        FROM m
+    """,
+    tags=("A2", "W3"),
+)
+def q_stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    click and view value distributions — the LOCATION-shift drift test
+    rounding out the family (chi2 = categorical, PSI = fixed bins,
+    KS = shape, MWU = median shift under no distributional assumption).
+
+    Exact-integer discipline: with midranks doubled (2x) every quantity
+    stays integral — for a tie group of size t whose preceding cumulative
+    count is s, each member's doubled midrank is 2s + t + 1, so the
+    doubled rank-sum R1_x2 = sum(c1 * (2s + t + 1)) and the doubled
+    statistic U1_x2 = R1_x2 - n1(n1+1) are exact BIGINTs, as is the tie
+    correction sum(t^3 - t).  The single float expression (the
+    tie-corrected normal z in micro-units) is written identically on
+    both engines.  Overflow bound: U1_x2 <= 2*n1*n2 crosses 2^63 near
+    N ~ 2e9 rows per side; tiesum <= sum(t^3) stays far below it while
+    the value domain (price cents) keeps tie groups << N^(1/3) * 2e6.
+
+    Plan shape (the 100 TB story): one shuffle to the per-value
+    histogram (domain cardinality, not row count), then the cumulative
+    counts come from the engine's DISTRIBUTED prefix sum
+    (operators/prefix_sum.py) — no single-partition global window; the
+    final reduce is a one-row aggregate.
+    """
+    s = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+            F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("ga"),
+        )
+    )
+    d = s.groupBy("v").agg(
+        F.sum("ga").cast("long").alias("c1"),
+        (F.count("*") - F.sum("ga")).cast("long").alias("c2"),
+        F.count("*").cast("long").alias("t"),
+    )
+    c = running_sums(d, "v", ["t"], prefix="f").withColumnRenamed("ft", "ft_")
+    m = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * (F.col("ft_") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tiesum"),
+    )
+    u1 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    nn = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1")
+        * F.col("n2")
+        / F.lit(12.0)
+        * ((nn + 1) - F.col("tiesum") / (nn * (nn - F.lit(1.0))))
+    )
+    return m.select(
+        "n1",
+        "n2",
+        u1.cast("long").alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).cast("long").alias("u2_x2"),
+        "tiesum",
+        F.floor(
+            (u1 - F.col("n1") * F.col("n2")) * 1000000.0
+            / (F.lit(2.0) * F.sqrt(var))
+        )
+        .cast("long")
+        .alias("z_x1e6"),
+    )

@@ -1145,3 +1145,56 @@ def q_multimodal_decode_qoi_pixels(spark: SparkSession, sf_dir: str) -> DataFram
     Per-row independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.qoi_pixel_stats(M.with_qoi_payload(docs))
+
+
+@register(
+    "multimodal_decode_deflate",
+    # Oracle recomputes the synthesized PLAINTEXT arithmetically: byte i
+    # is (s + 3*(i % 64)) % 256 over n = len*7 + doc_id mod 3000 + 2000
+    # bytes — so after the REAL from-spec decode (RFC 1950 container +
+    # Adler-32 verify, RFC 1951 canonical Huffman, stored/fixed/dynamic
+    # blocks, overlapping LZ77 copies) the stats must land exactly:
+    # DEFLATE is lossless, no epsilon anywhere.  pos_checksum is weighted
+    # by the 1-based byte offset, pinning emit order across block
+    # boundaries and copy resolution direction.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   (len * 7 + doc_id) % {M.DEFLATE_LEN_MOD}
+                       + {M.DEFLATE_LEN_MIN} AS n
+            FROM m),
+        b AS (
+            SELECT doc_id, n,
+                   (s + 3 * (i % {M.DEFLATE_PERIOD})) % 256 AS v,
+                   i + 1 AS pos
+            FROM (SELECT *, unnest(range(n)) AS i FROM d))
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS BIGINT) AS byte_min,
+               CAST(MAX(v) AS BIGINT) AS byte_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: from-spec DEFLATE/zlib decode (functions/inflate.py — RFC
+    1951 inflate with canonical Huffman construction, all three block
+    types, overlapping LZ77 copies; RFC 1950 container with FCHECK and
+    Adler-32 verification; zero ``import zlib`` on the decode path).
+    This closes the compression loop the way QOI and FLAC closed image
+    and audio: the byte-level entropy-coding layer under PNG/APNG is now
+    derived from the public spec, and tests/test_inflate.py pins the
+    from-spec decoder byte-identical to zlib across every block type —
+    including the PNG fixture's own IDAT streams.  ``doc_id % 3`` cycles
+    stored / dynamic / fixed blocks (the fixed variant from the repo's
+    own fixed-Huffman literal encoder, since zlib never emits BTYPE=1).
+    Per-row independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.deflate_stats(M.with_deflate_payload(docs))

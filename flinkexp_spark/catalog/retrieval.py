@@ -332,3 +332,75 @@ def q_index_inverted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= IDX_MIN_DF)
     )
+
+
+PHRASE = ("fast", "table")  # the exact 2-gram the phrase query matches
+
+
+@register(
+    "search_phrase_match",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     list_filter(range(1, len(toks)),
+                                 i -> toks[i] = '{PHRASE[0]}'
+                                  AND toks[i + 1] = '{PHRASE[1]}') AS hits
+              FROM t)
+        SELECT doc_id,
+               CAST(len(hits) AS BIGINT) AS n_matches,
+               CAST(list_min(hits) AS BIGINT) AS first_pos,
+               CAST(list_max(hits) AS BIGINT) AS last_pos
+        FROM m WHERE len(hits) > 0
+        ORDER BY n_matches DESC, doc_id
+    """,
+    tags=("X4", "F1", "P2"),
+)
+def q_search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search: documents whose token stream contains the
+    query words ADJACENT and IN ORDER (the positional-index phrase query
+    next to `search_bm25_topk`'s bag-of-words ranking and
+    `index_inverted_build`'s df/tf index — positions are what those
+    summaries drop).
+
+    Plan shape: ZERO shuffles.  The naive positional-index plan explodes
+    (doc, pos, token) and self-joins postings on (doc_id, pos+1); this
+    instead evaluates the adjacency predicate INSIDE the row with a
+    higher-order array filter over 1-based positions — the whole query
+    is scan -> project, embarrassingly parallel, and Catalyst keeps it
+    in one WholeStageCodegen span.  At 100 TB the phrase scan runs at
+    I/O speed with no exchange at all; a standing positional index (the
+    pay-once layout) only wins once the same corpus serves MANY queries.
+    Positions are 1-based token offsets; a k-term phrase generalizes by
+    chaining k-1 element_at lookaheads.
+    """
+    docs = datasets.load(spark, sf_dir, "documents")
+
+    # Bind the token array through a 1-element transform (the
+    # functions/text.py::shingles trick): a lambda capturing the raw
+    # tokens(...) expression would re-run the regex split once PER
+    # POSITION — O(|doc|^2) splits per document.
+    def over(arr):
+        return F.when(
+            F.size(arr) >= 2,
+            F.filter(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: (F.element_at(arr, i) == PHRASE[0])
+                & (F.element_at(arr, i + 1) == PHRASE[1]),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    hits = F.element_at(
+        F.transform(F.array(T.tokens(F.col("text"))), over), 1
+    )
+    return (
+        docs.select("doc_id", hits.alias("hits"))
+        .filter(F.size("hits") > 0)
+        .select(
+            "doc_id",
+            F.size("hits").cast("long").alias("n_matches"),
+            F.array_min("hits").cast("long").alias("first_pos"),
+            F.array_max("hits").cast("long").alias("last_pos"),
+        )
+        .orderBy(F.desc("n_matches"), "doc_id")
+    )

@@ -249,3 +249,168 @@ def q_timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         6,
     )
     return m.select("lag", "n", xcorr.alias("xcorr")).orderBy("lag")
+
+
+RESAMPLE_USERS = 40  # series included in the resample fixture window
+
+
+@register(
+    "timeseries_resample_linear",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+            FROM events WHERE user_id < {RESAMPLE_USERS}),
+        obs AS (
+            SELECT user_id, t,
+                   CAST(MIN(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM ev GROUP BY user_id, t),
+        rng AS (
+            SELECT user_id,
+                   CAST(FLOOR((MIN(t) + 3599) / 3600.0) AS BIGINT) AS h0,
+                   CAST(FLOOR(MAX(t) / 3600.0) AS BIGINT) AS h1
+            FROM obs GROUP BY user_id),
+        grid AS (
+            SELECT user_id, 3600 * unnest(range(h0, h1 + 1)) AS t
+            FROM rng WHERE h0 <= h1),
+        u AS (
+            SELECT user_id, t, v, 1 AS is_obs FROM obs
+            UNION ALL
+            SELECT user_id, t, NULL, 0 FROM grid),
+        w AS (
+            SELECT user_id, t, is_obs,
+                   last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY t, is_obs DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pt,
+                   last_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY t, is_obs DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS pv,
+                   first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY t, is_obs
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS nt,
+                   first_value(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY t, is_obs
+                             ROWS BETWEEN CURRENT ROW
+                                      AND UNBOUNDED FOLLOWING) AS nv
+            FROM u)
+        SELECT user_id, t AS g,
+               CAST(CASE WHEN nt = pt THEN pv * 10000
+                    ELSE FLOOR((pv * (nt - t) + nv * (t - pt)) * 10000.0
+                               / (nt - pt)) END AS BIGINT) AS val_x1e6
+        FROM w
+        WHERE is_obs = 0 AND pt IS NOT NULL AND nt IS NOT NULL
+        ORDER BY user_id, g
+    """,
+    tags=("W2", "F3", "J7"),
+)
+def q_timeseries_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each irregular series onto a fixed hourly grid with LINEAR
+    interpolation between the surrounding readings — the hypertable
+    ``time_bucket_gapfill(..., interpolate(...))`` contract
+    (TimescaleDB), completing the fill family: LOCF carries a step
+    function; this draws the secant.
+
+    Integer-exact: readings collapse to per-second cents (ties -> MIN,
+    deterministic), grid points are epoch-second hour multiples, and the
+    interpolated value floor((pv*(nt-g) + nv*(g-pt)) * 1e4 / (nt-pt)) is
+    computed over exact integers whose products stay far below 2^53, so
+    the one float division is bit-identical on both engines.  A reading
+    exactly ON a grid point short-circuits to its own value (nt = pt
+    guard — the divisor would be zero).
+
+    Plan shape: the sort-merge trick for interpolation WITHOUT a range
+    join — union the grid rows into the observation stream, then ONE
+    partition-by-series ordered pass computes prev/next via
+    running-frame last/first(ignorenulls) in both directions.  Two
+    window sorts over the same hash partitioning (Catalyst reuses the
+    exchange), no self-join, no explode-per-gap.  At 100 TB: state per
+    row is one carried (t, v) pair each direction; grid density is
+    bounded by the bucket width, so output stays O(series x hours)
+    regardless of reading rate.
+    """
+    ev = (
+        datasets.load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < RESAMPLE_USERS)
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("t"),
+            "value",
+        )
+    )
+    obs = ev.groupBy("user_id", "t").agg(
+        F.min(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    rng = obs.groupBy("user_id").agg(
+        F.floor((F.min("t") + 3599) / 3600.0).cast("long").alias("h0"),
+        F.floor(F.max("t") / 3600.0).cast("long").alias("h1"),
+    )
+    grid = (
+        rng.filter(F.col("h0") <= F.col("h1"))
+        .select(
+            "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+        .select(
+            "user_id",
+            (F.col("h") * 3600).cast("long").alias("t"),
+            F.lit(None).cast("long").alias("v"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    u = obs.select(
+        "user_id", "t", "v", F.lit(1).alias("is_obs")
+    ).unionByName(grid)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.desc("is_obs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.asc("is_obs"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("is_obs") == 1, F.col("t"))
+    obs_v = F.when(F.col("is_obs") == 1, F.col("v"))
+    w = u.select(
+        "user_id",
+        "t",
+        "is_obs",
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("pt"),
+        F.last(obs_v, ignorenulls=True).over(w_prev).alias("pv"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("nt"),
+        F.first(obs_v, ignorenulls=True).over(w_next).alias("nv"),
+    )
+    val = F.when(
+        F.col("nt") == F.col("pt"), F.col("pv") * 10000
+    ).otherwise(
+        F.floor(
+            (
+                F.col("pv") * (F.col("nt") - F.col("t"))
+                + F.col("nv") * (F.col("t") - F.col("pt"))
+            )
+            * 10000.0
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return (
+        w.filter(
+            (F.col("is_obs") == 0)
+            & F.col("pt").isNotNull()
+            & F.col("nt").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("t").alias("g"),
+            val.cast("long").alias("val_x1e6"),
+        )
+        .orderBy("user_id", "g")
+    )

@@ -2344,3 +2344,130 @@ def qoi_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DEFLATE/zlib (from-spec inflate — functions/inflate.py, round 12)
+# ---------------------------------------------------------------------------
+
+DEFLATE_LEN_MOD = 3000
+DEFLATE_LEN_MIN = 2000
+DEFLATE_PERIOD = 64
+
+
+def _ship_inflate_by_value() -> None:
+    """Register functions/inflate.py for BY-VALUE pickling (same rule as
+    _ship_jpeg_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import inflate  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.inflate"]
+    )
+
+
+def with_deflate_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL zlib/DEFLATE payload compressing the deterministic
+    plaintext byte[i] = (s + 3*(i % 64)) % 256 of length
+    len(text)*7 + doc_id mod 3000 + 2000.  ``doc_id % 3`` cycles the
+    decoder's three block-type paths:
+
+    * 0 — stored blocks (zlib level 0: BTYPE=0, LEN/NLEN framing)
+    * 1 — dynamic Huffman (zlib level 9: BTYPE=2 with LZ77 matches —
+      the periodic plaintext guarantees long overlapping copies)
+    * 2 — fixed Huffman (BTYPE=1) from the repo's own literal encoder,
+      since zlib's compressor never emits fixed blocks in practice
+
+    The COMPRESSORS may be stdlib zlib (encoding is fixture synthesis,
+    same stance as the APNG fixture writer); the decode side under test
+    never touches zlib."""
+    _ship_inflate_by_value()
+    from flinkexp_spark.functions.inflate import zlib_wrap_fixed
+
+    lmod, lmin, per = DEFLATE_LEN_MOD, DEFLATE_LEN_MIN, DEFLATE_PERIOD
+
+    def encode(batches):
+        import hashlib
+        import zlib as _z  # fixture synthesis only — decode is from-spec
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            n = (len(raw) * 7 + doc_id) % lmod + lmin
+            plain = bytes((s + 3 * (i % per)) % 256 for i in range(n))
+            var = doc_id % 3
+            if var == 0:
+                return _z.compress(plain, 0)
+            if var == 1:
+                return _z.compress(plain, 9)
+            return zlib_wrap_fixed(plain)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def deflate_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL from-spec zlib/DEFLATE decode (functions/inflate.py: container
+    header + Adler-32 verify, canonical Huffman tables, all three block
+    types, overlapping LZ77 copies) inside one Arrow mapInPandas pass,
+    then exact-integer byte stats.  ``pos_checksum`` is weighted by the
+    1-based byte offset, pinning the decode ORDER — a block emitted out
+    of sequence or a copy resolved backwards hash-fails.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    _ship_inflate_by_value()
+    from flinkexp_spark.functions.inflate import zlib_decompress
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            plain = zlib_decompress(bytes(payload))
+            v = np.frombuffer(plain, dtype=np.uint8).astype(np.int64)
+            pos = np.arange(1, len(v) + 1, dtype=np.int64)
+            return (
+                len(v),
+                int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+                int((pos * v).sum()),
+            )
+
+        cols = [
+            "n_bytes",
+            "byte_sum",
+            "byte_min",
+            "byte_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_bytes long, byte_sum long, "
+            "byte_min long, byte_max long, pos_checksum long"
+        ),
+    )
