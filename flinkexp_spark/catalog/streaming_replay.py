@@ -325,6 +325,14 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the batch gaps-and-islands formulation; Spark's
     session_window must produce the identical session set.
+
+    Sink choice (r12, the slowest-headliner fix): the output is
+    INPUT-SIZED — ~95k sessions from 100k events at sf0.1, since most
+    per-user gaps exceed 30 minutes — so the memory sink's driver-side
+    row ingest dominated the replay (measured 10.5 s vs 2.1 s).  The
+    file drain writes executor-side; complete mode overwrites per batch
+    (streaming/replay.py::drain_file_sink), so the final table is the
+    last batch's full emission, identical rows to the memory sink.
     """
     events = datasets.load(spark, sf_dir, "events")
 
@@ -334,7 +342,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"))
         )
 
-    out = replay(spark, events, transform, output_mode="complete")
+    out = replay(spark, events, transform, output_mode="complete", sink="files")
     return out.select(
         "user_id",
         F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(

@@ -255,8 +255,13 @@ def drain_file_sink(
         outdir = os.path.join(work, "out")
         os.makedirs(outdir)
 
+        # Complete mode re-emits the WHOLE result table every batch, so the
+        # parquet write must REPLACE, not append — overwrite-per-batch is
+        # exactly the memory sink's complete semantics (last table wins).
+        write_mode = "overwrite" if output_mode == "complete" else "append"
+
         def append_batch(df: DataFrame, epoch_id: int) -> None:
-            df.write.mode("append").parquet(outdir)
+            df.write.mode(write_mode).parquet(outdir)
 
         q = (
             out.writeStream.foreachBatch(append_batch)
