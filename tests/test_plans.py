@@ -857,3 +857,44 @@ def test_unigram_encode_runs_python_on_distinct_words_only(spark, sf_dir):
     )
     assert py, plan
     assert "word#" in py and "doc_id" not in py, py
+
+
+def test_phrase_match_has_zero_exchanges(spark, sf_dir):
+    """search_phrase_match's whole claim is the zero-shuffle scan: the
+    adjacency predicate runs inside the row, so the physical plan must
+    contain no Exchange at all (the final orderBy on a to-be-collected
+    result is allowed to plan a sort, but no shuffle may precede it
+    before an action materializes)."""
+    df = queries()["search_phrase_match"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "phrase matching must stay JVM-side: " + plan
+    )
+    # scan -> project -> filter: the only wide op is the final global sort
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 1, plan  # rangepartitioning for the output order
+
+
+def test_wordpiece_encode_memoizes_on_the_histogram(spark, sf_dir):
+    """The greedy scan must run per DISTINCT word (the BPE memo-table
+    shape): the ArrowEvalPython node's input carries no doc_id."""
+    plan = plan_of(queries()["tokenizer_wordpiece_encode"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    py = next(
+        (s for s in plan.split("\n\n")
+         if s.startswith("(") and "ArrowEvalPython" in s),
+        "",
+    )
+    assert py, plan
+    assert "word#" in py and "doc_id" not in py, py
+
+
+def test_resample_reuses_one_exchange_for_both_window_sorts(spark, sf_dir):
+    """Both prev/next window passes partition by user_id; Catalyst must
+    plan hash exchanges on user_id only (no other shuffle key), and the
+    union-stream trick must not introduce a join."""
+    plan = plan_of(queries()["timeseries_resample_linear"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan.replace(
+        "BroadcastHashJoin", ""
+    ), plan
