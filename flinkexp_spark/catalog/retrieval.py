@@ -162,16 +162,30 @@ JACCARD_BRUTE_MAX = 20000
             SELECT doc_id, sh, len(sh) AS n FROM s0 WHERE len(sh) > 0),
         gate AS (SELECT COUNT(*) <= {JACCARD_BRUTE_MAX} AS small FROM s),
         sb AS (SELECT * FROM s WHERE (SELECT small FROM gate)),
-        pa AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        pa AS MATERIALIZED (
+               -- MATERIALIZED: c is referenced three times downstream; an
+               -- inlined CTE re-evaluates list_intersect per reference
+               -- inside the final filter (measured 150s of a 164s run)
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                       len(list_intersect(a.sh, b.sh)) AS c,
                       a.n AS na, b.n AS nb
                FROM sb a JOIN sb b ON a.doc_id < b.doc_id),
         sg AS MATERIALIZED (
             SELECT * FROM s WHERE NOT (SELECT small FROM gate)),
-        post AS (SELECT doc_id, n, unnest(sh) AS g FROM sg),
-        dfreq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf
-                  FROM post GROUP BY g),
-        pre AS (
+        post AS MATERIALIZED (SELECT doc_id, n, unnest(sh) AS g FROM sg),
+        dfreq AS MATERIALIZED (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS gdf,
+                   CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS gid
+            FROM post GROUP BY g),
+        -- verify over dense INTEGER shingle ids, not VARCHAR lists:
+        -- list_intersect on BIGINT is ~6x cheaper per candidate pair
+        -- (measured 77s -> 15s for 2.4M pairs), and gid is a collision-free
+        -- dictionary id (row_number over the distinct-shingle set), so the
+        -- intersection COUNT is exactly the string-set count
+        sid AS MATERIALIZED (
+            SELECT doc_id, any_value(n) AS n, list_sort(list(gid)) AS idv
+            FROM post JOIN dfreq USING (g) GROUP BY doc_id),
+        pre AS MATERIALIZED (
             SELECT doc_id, g FROM (
                 SELECT p.doc_id, p.g,
                        row_number() OVER (PARTITION BY p.doc_id
@@ -180,15 +194,17 @@ JACCARD_BRUTE_MAX = 20000
                            + 1 AS plen
                 FROM post p JOIN dfreq d USING (g))
             WHERE rn <= plen),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        cand AS MATERIALIZED (
+                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM pre a JOIN pre b
                    ON a.g = b.g AND a.doc_id < b.doc_id),
-        pb AS (SELECT k.id_a, k.id_b,
-                      len(list_intersect(x.sh, y.sh)) AS c,
+        pb AS MATERIALIZED (
+               SELECT k.id_a, k.id_b,
+                      len(list_intersect(x.idv, y.idv)) AS c,
                       x.n AS na, y.n AS nb
                FROM cand k
-               JOIN sg x ON x.doc_id = k.id_a
-               JOIN sg y ON y.doc_id = k.id_b),
+               JOIN sid x ON x.doc_id = k.id_a
+               JOIN sid y ON y.doc_id = k.id_b),
         p AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
         SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 4) AS jaccard
         FROM p WHERE c * 1.0 / (na + nb - c) >= {PREFIX_JACCARD_MIN}
