@@ -31,17 +31,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # non-green row is listed and that every listed row is actually non-green
 # (a stale entry for a now-green query also fails).
 EXCLUSION_REASONS: dict[str, str] = {
-    "dedup_jaccard_prefix": (
-        "oracle timeout (600s watchdog): the registered oracle is the "
-        "DELIBERATE brute-force all-pairs Jaccard join (retrieval.py:137 — "
-        "'the hash match IS the completeness proof' for the lossless "
-        "prefix filter), O(n^2)=1e10 set intersections at sf1's 100k docs. "
-        "The Spark side (prefix-filtered AllPairs) completed: 250,500 "
-        "pairs.  Losslessness is hash-proven at sf0.001/sf0.01 where the "
-        "quadratic proof is feasible; the algorithm's candidate cost is "
-        "sum of prefix-posting-list squares, independent of the oracle."
-        "r11: sf1 losslessness now has POSITIVE sampled signal — `dedup_jaccard_prefix_sf_audit` (green row in this artifact) runs the identical prefix-filter pipeline on an md5(min-shingle)-bucketed subcorpus against the full brute-force oracle."
-    ),
+    # dedup_jaccard_prefix: exclusion RETIRED in r12 — the oracle is now a
+    # gated dual chain (brute force below 20k docs, int-id AllPairs replay
+    # above) and hash-verifies the full 250,500-pair result at sf1.
     "geo_neighbor_pairs": (
         "oracle timeout (600s watchdog): oracle is the brute-force a<b "
         "customer self cross join with haversine (geo.py:383) — ~1.1e10 "
