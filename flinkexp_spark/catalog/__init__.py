@@ -765,6 +765,9 @@ _R12_NEW: tuple[str, ...] = (
     "search_phrase_match",
     # time-series resample to a fixed grid with linear interpolation
     "timeseries_resample_linear",
+    # gzip container (RFC 1952) over the from-spec inflate, with CRC-32
+    # derived from the RFC's reference construction — the DEFLATE trio
+    "multimodal_decode_gzip",
 )
 
 _R12_REVERIFY: tuple[str, ...] = (
@@ -822,8 +825,9 @@ _R12_REVERIFY: tuple[str, ...] = (
 # Names consciously pushed past slot 50 by this round's new queries; they
 # head the r13 pool.  _r12_window() asserts the overflow equals this list.
 _R12_CARRY_TO_R13: tuple[str, ...] = (
-    # 5 new queries displace the REVERIFY tail (47 pads + 5 new = 52 plan
+    # 6 new queries displace the REVERIFY tail (47 pads + 6 new = 53 plan
     # names for 50 slots)
+    "text_bigram_fluency",
     "text_classifier_score",
     "text_quality_ensemble",
 )

@@ -1198,3 +1198,52 @@ def q_multimodal_decode_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-row independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.deflate_stats(M.with_deflate_payload(docs))
+
+
+@register(
+    "multimodal_decode_gzip",
+    # Oracle recomputes the synthesized plaintext arithmetically (byte i =
+    # (s*5 + 11*(i % 48)) % 256 over n = len*3 + doc_id mod 2000 + 1500
+    # bytes); the engine's from-spec RFC 1952 walk (header flags incl.
+    # FNAME, raw inflate, table-driven CRC-32, ISIZE, multi-member
+    # concatenation) must land the stats exactly.  The multi-member
+    # variant (doc_id % 3 == 2) splits the SAME plaintext across two
+    # members, so one closed form covers all three container layouts.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   (len * 3 + doc_id) % {M.GZIP_LEN_MOD}
+                       + {M.GZIP_LEN_MIN} AS n
+            FROM m),
+        b AS (
+            SELECT doc_id, n,
+                   (s * 5 + 11 * (i % {M.GZIP_PERIOD})) % 256 AS v,
+                   i + 1 AS pos
+            FROM (SELECT *, unnest(range(n)) AS i FROM d))
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS BIGINT) AS byte_min,
+               CAST(MAX(v) AS BIGINT) AS byte_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: from-spec gzip decode (RFC 1952 container over the RFC 1951
+    inflate of functions/inflate.py) — completing the DEFLATE trio:
+    raw deflate, zlib (Adler-32), gzip (table-driven CRC-32 from the
+    RFC's own reference construction, FNAME/FEXTRA/FCOMMENT/FHCRC flag
+    walk, ISIZE check, multi-member concatenation per §2.2).  CRC-32
+    itself is derived from spec — no zlib/binascii import anywhere on
+    the decode path; tests/test_inflate.py pins it against zlib.crc32
+    and the decoder against stdlib gzip across layouts.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.gzip_stats(M.with_gzip_payload(docs))

@@ -176,6 +176,12 @@ def _dynamic_tables(br: _BitReader) -> tuple[_Huffman, _Huffman]:
 
 def inflate(data: bytes, pos: int = 0) -> bytes:
     """Raw DEFLATE decode of ``data[pos:]`` (RFC 1951)."""
+    return _inflate_raw(data, pos)[0]
+
+
+def _inflate_raw(data: bytes, pos: int = 0) -> tuple[bytes, int]:
+    """Raw DEFLATE decode returning (output, end byte position) — the
+    container walkers (zlib trailer, gzip member loop) need the cursor."""
     br = _BitReader(data, pos)
     out = bytearray()
     while True:
@@ -223,7 +229,7 @@ def inflate(data: bytes, pos: int = 0) -> bytes:
                     for i in range(length):
                         out.append(out[start + i])
         if bfinal:
-            return bytes(out)
+            return bytes(out), br.pos
 
 
 def adler32(data: bytes, value: int = 1) -> int:
@@ -323,3 +329,95 @@ def zlib_wrap_fixed(data: bytes) -> bytes:
         + deflate_fixed_literals(data)
         + adler32(data).to_bytes(4, "big")
     )
+
+
+# ---------------------------------------------------------------------------
+# gzip container (RFC 1952) + CRC-32 (ISO 3309 / RFC 1952 §8, from spec)
+# ---------------------------------------------------------------------------
+
+def _crc_table() -> list[int]:
+    # RFC 1952 §8.1.1.6.2 reference table construction: reflected
+    # polynomial 0xEDB88320.
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC_TABLE = _crc_table()
+
+
+def crc32(data: bytes, value: int = 0) -> int:
+    """RFC 1952 reference CRC-32 (table-driven), no zlib import."""
+    c = value ^ 0xFFFFFFFF
+    for byte in data:
+        c = _CRC_TABLE[(c ^ byte) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    """RFC 1952 member walk: magic, CM, flag-driven optional fields
+    (FEXTRA/FNAME/FCOMMENT/FHCRC), raw inflate, CRC-32 + ISIZE verify.
+    Multi-member streams concatenate, per §2.2."""
+    out = bytearray()
+    pos = 0
+    if not data:
+        raise InflateError("empty gzip stream")
+    while pos < len(data):
+        if pos + 10 > len(data):
+            raise InflateError(f"truncated gzip header at byte {pos}")
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise InflateError(
+                f"bad gzip magic {data[pos:pos + 2]!r} at byte {pos}"
+            )
+        if data[pos + 2] != 8:
+            raise InflateError(f"unsupported CM={data[pos + 2]} (deflate only)")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise InflateError(f"reserved FLG bits set: {flg:#04x}")
+        hdr_start = pos
+        pos += 10  # MTIME(4) XFL OS skipped — not semantic
+        if flg & _FEXTRA:
+            if pos + 2 > len(data):
+                raise InflateError("truncated FEXTRA length")
+            xlen = data[pos] | (data[pos + 1] << 8)
+            pos += 2 + xlen
+        for bit in (_FNAME, _FCOMMENT):
+            if flg & bit:
+                end = data.find(b"\x00", pos)
+                if end < 0:
+                    raise InflateError("unterminated FNAME/FCOMMENT")
+                pos = end + 1
+        if flg & _FHCRC:
+            if pos + 2 > len(data):
+                raise InflateError("truncated FHCRC")
+            want = data[pos] | (data[pos + 1] << 8)
+            got = crc32(data[hdr_start:pos]) & 0xFFFF
+            if want != got:
+                raise InflateError(f"header CRC16 mismatch: {got:#06x}")
+            pos += 2
+        if pos > len(data):
+            raise InflateError("truncated gzip header fields")
+        member, pos = _inflate_raw(data, pos)
+        if pos + 8 > len(data):
+            raise InflateError("truncated gzip trailer")
+        want_crc = int.from_bytes(data[pos : pos + 4], "little")
+        want_isize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        pos += 8
+        got_crc = crc32(member)
+        if got_crc != want_crc:
+            raise InflateError(
+                f"CRC-32 mismatch: {got_crc:#010x} != {want_crc:#010x}"
+            )
+        if want_isize != len(member) % (1 << 32):
+            raise InflateError(
+                f"ISIZE mismatch: {len(member)} != {want_isize}"
+            )
+        out += member
+    return bytes(out)

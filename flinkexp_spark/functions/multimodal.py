@@ -2471,3 +2471,112 @@ def deflate_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "byte_min long, byte_max long, pos_checksum long"
         ),
     )
+
+
+GZIP_LEN_MOD = 2000
+GZIP_LEN_MIN = 1500
+GZIP_PERIOD = 48
+
+
+def with_gzip_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL gzip (RFC 1952) payload compressing the deterministic
+    plaintext byte[i] = (s*5 + 11*(i % 48)) % 256 of length
+    len(text)*3 + doc_id mod 2000 + 1500.  ``doc_id % 3`` cycles the
+    container walker's paths:
+
+    * 0 — bare member, level 9 (dynamic blocks)
+    * 1 — FNAME-bearing header (GzipFile filename), level 9
+    * 2 — MULTI-MEMBER stream: the plaintext split across two
+      concatenated members (second at level 0 -> stored blocks), which
+      per §2.2 must decode to the same concatenated plaintext
+
+    Encode side is stdlib gzip (fixture synthesis); the decode under
+    test is the from-spec walker in functions/inflate.py."""
+    _ship_inflate_by_value()
+
+    lmod, lmin, per = GZIP_LEN_MOD, GZIP_LEN_MIN, GZIP_PERIOD
+
+    def encode(batches):
+        import gzip as _gz  # fixture synthesis only — decode is from-spec
+        import hashlib
+        import io
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            n = (len(raw) * 3 + doc_id) % lmod + lmin
+            plain = bytes((s * 5 + 11 * (i % per)) % 256 for i in range(n))
+            var = doc_id % 3
+            if var == 0:
+                return _gz.compress(plain, 9, mtime=0)
+            if var == 1:
+                buf = io.BytesIO()
+                with _gz.GzipFile(
+                    filename=f"doc{doc_id}.bin", mode="wb",
+                    fileobj=buf, mtime=0,
+                ) as f:
+                    f.write(plain)
+                return buf.getvalue()
+            half = n // 2
+            return _gz.compress(plain[:half], 9, mtime=0) + _gz.compress(
+                plain[half:], 0, mtime=0
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def gzip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL from-spec gzip decode (functions/inflate.py: member walk with
+    flag-driven optional fields, raw inflate, table-driven CRC-32 and
+    ISIZE verification, multi-member concatenation) inside one Arrow
+    mapInPandas pass, then exact-integer byte stats.  Same envelope as
+    deflate_stats: per-row independent, no shuffle."""
+    _ship_inflate_by_value()
+    from flinkexp_spark.functions.inflate import gzip_decompress
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            plain = gzip_decompress(bytes(payload))
+            v = np.frombuffer(plain, dtype=np.uint8).astype(np.int64)
+            pos = np.arange(1, len(v) + 1, dtype=np.int64)
+            return (
+                len(v),
+                int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+                int((pos * v).sum()),
+            )
+
+        cols = ["n_bytes", "byte_sum", "byte_min", "byte_max", "pos_checksum"]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_bytes long, byte_sum long, "
+            "byte_min long, byte_max long, pos_checksum long"
+        ),
+    )

@@ -120,3 +120,40 @@ def test_fixed_literal_encoder_is_minimal() -> None:
     data = bytes(range(100))
     block = deflate_fixed_literals(data)
     assert len(block) == (3 + 8 * len(data) + 7 + 7) // 8
+
+
+def test_gzip_container_parity_and_errors() -> None:
+    """RFC 1952 walker vs stdlib gzip: bare members, FNAME headers,
+    level-0 stored members, multi-member concatenation, and CRC-32
+    against zlib.crc32; then the container error paths."""
+    import gzip as _gz
+    import io
+
+    from flinkexp_spark.functions.inflate import crc32, gzip_decompress
+
+    for data in _corpora()[:8]:
+        assert gzip_decompress(_gz.compress(data, 9)) == data
+        assert gzip_decompress(_gz.compress(data, 0)) == data
+        buf = io.BytesIO()
+        with _gz.GzipFile(
+            filename="member.bin", mode="wb", fileobj=buf, mtime=0
+        ) as f:
+            f.write(data)
+        assert gzip_decompress(buf.getvalue()) == data
+        assert (
+            gzip_decompress(_gz.compress(data) + _gz.compress(b"tail"))
+            == data + b"tail"
+        )
+        assert crc32(data) == zlib.crc32(data)
+    with pytest.raises(InflateError, match="magic"):
+        gzip_decompress(b"\x1f\x8c" + b"\x00" * 20)
+    with pytest.raises(InflateError, match="trailer"):
+        gzip_decompress(_gz.compress(b"x")[:-1])
+    corrupt = bytearray(_gz.compress(b"hello" * 100))
+    corrupt[-5] ^= 0xFF
+    with pytest.raises(InflateError, match="CRC-32"):
+        gzip_decompress(bytes(corrupt))
+    wrong_size = bytearray(_gz.compress(b"hello" * 100))
+    wrong_size[-1] ^= 0x01
+    with pytest.raises(InflateError, match="ISIZE"):
+        gzip_decompress(bytes(wrong_size))
