@@ -46,6 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flinkexp_spark.registry import REGISTRY, queries  # noqa: E402
 from flinkexp_spark.session import get_session  # noqa: E402
+from flinkexp_spark.srcstate import source_tree_hash  # noqa: E402
 
 # Headline suite: one representative per BASELINE.md row.  Names absent from
 # the registry are skipped (bench never breaks while the catalog evolves);
@@ -348,6 +349,7 @@ def main() -> None:
         {
             "metric": "headline_suite_wall_seconds",
             "head": _head_sha(),
+            "src_hash": source_tree_hash(),
             "value": total,
             "unit": "sec",
             "queries": medians,

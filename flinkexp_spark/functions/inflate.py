@@ -170,8 +170,26 @@ def _dynamic_tables(br: _BitReader) -> tuple[_Huffman, _Huffman]:
     if len(lengths) != hlit + hdist:
         raise InflateError("code-length run overflows the header counts")
     lit = _Huffman(lengths[:hlit])
-    dist = _Huffman(lengths[hlit:])
+    dist_lengths = lengths[hlit:]
+    if any(dist_lengths):
+        dist = _Huffman(dist_lengths)
+    else:
+        # ADVICE r12: RFC 1951 permits a block that uses no distance codes
+        # to send a single zero-length distance code (zlib's inflate
+        # accepts this).  Build a sentinel that errors only if a distance
+        # symbol is actually requested.
+        dist = _NoDistanceCodes()
     return lit, dist
+
+
+class _NoDistanceCodes:
+    """Sentinel decoder for an all-zero distance-length table (§3.2.7)."""
+
+    def decode(self, br: _BitReader) -> int:
+        raise InflateError(
+            "distance symbol requested but the block declared no distance "
+            "codes"
+        )
 
 
 def inflate(data: bytes, pos: int = 0) -> bytes:
@@ -259,12 +277,20 @@ def zlib_decompress(data: bytes) -> bytes:
         raise InflateError(f"unsupported CM={cmf & 0x0F} (deflate only)")
     if flg & 0x20:
         raise InflateError("FDICT preset dictionaries not supported")
-    br_end = len(data) - 4
-    out = inflate(data[:br_end], 2)
-    expect = int.from_bytes(data[br_end:], "big")
+    # ADVICE r12: read the trailer at the deflate stream's END CURSOR, not
+    # the final 4 bytes of the input — a valid stream followed by trailing
+    # bytes is a distinct, explicit diagnosis, not an Adler mismatch.
+    out, end = _inflate_raw(data, 2)
+    if end + 4 > len(data):
+        raise InflateError("truncated Adler-32 trailer")
+    expect = int.from_bytes(data[end : end + 4], "big")
     got = adler32(out)
     if got != expect:
         raise InflateError(f"Adler-32 mismatch: {got:#010x} != {expect:#010x}")
+    if end + 4 != len(data):
+        raise InflateError(
+            f"{len(data) - end - 4} trailing bytes after the zlib stream"
+        )
     return out
 
 

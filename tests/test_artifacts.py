@@ -140,17 +140,26 @@ def test_bench_sf1_matches_headline_at_head():
     if os.path.exists(local_path):
         with open(local_path) as f:
             local = json.load(f)
-        if (
-            local.get("sf") == 0.1
-            and local.get("head")
-            and art.get("head")
-        ):
-            assert local["head"] == art["head"], (
-                f"BENCH_SF1 frozen at {art['head'][:12]} but BENCH_LOCAL "
-                f"was generated at {local['head'][:12]} — perf changed "
-                "after the sf1 freeze; regenerate both: python bench.py "
-                "&& python tools/make_bench_sf1.py"
-            )
+        if local.get("sf") == 0.1:
+            # r13: compare the perf-relevant SOURCE content hash when both
+            # artifacts carry it — an artifact-only commit moves git HEAD
+            # without changing measured perf (the r12 false trip when the
+            # driver re-stamped BENCH_LOCAL after the round-close commit).
+            # Pre-r13 artifacts fall back to the git-HEAD comparison.
+            if local.get("src_hash") and art.get("src_hash"):
+                assert local["src_hash"] == art["src_hash"], (
+                    "BENCH_SF1 and BENCH_LOCAL were generated against "
+                    "different perf-relevant source trees — perf code "
+                    "changed after the sf1 freeze; regenerate both: "
+                    "python bench.py && python tools/make_bench_sf1.py"
+                )
+            elif local.get("head") and art.get("head"):
+                assert local["head"] == art["head"], (
+                    f"BENCH_SF1 frozen at {art['head'][:12]} but BENCH_LOCAL "
+                    f"was generated at {local['head'][:12]} — perf changed "
+                    "after the sf1 freeze; regenerate both: python bench.py "
+                    "&& python tools/make_bench_sf1.py"
+                )
 
 
 def test_plan_scan_matches_registry_and_is_clean():

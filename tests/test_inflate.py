@@ -157,3 +157,65 @@ def test_gzip_container_parity_and_errors() -> None:
     wrong_size[-1] ^= 0x01
     with pytest.raises(InflateError, match="ISIZE"):
         gzip_decompress(bytes(wrong_size))
+
+
+def test_dynamic_block_with_no_distance_codes() -> None:
+    """RFC 1951 lets a block that never references a distance emit a
+    single zero-length distance code (HDIST=1, all lengths 0); zlib's
+    inflate accepts such streams and ours must too (ADVICE r12).  The
+    stream is hand-assembled: literals {65:'A', 256:EOB} at length 1,
+    every other length zero, data 'AAA'."""
+    bits: list[int] = []
+
+    def emit(value: int, nbits: int) -> None:  # header fields: LSB-first
+        for i in range(nbits):
+            bits.append((value >> i) & 1)
+
+    def emit_code(code: int, nbits: int) -> None:  # Huffman: MSB-first
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    emit(1, 1)  # BFINAL
+    emit(2, 2)  # BTYPE=2 dynamic
+    emit(0, 5)  # HLIT  -> 257 literal codes
+    emit(0, 5)  # HDIST -> 1 distance code
+    emit(14, 4)  # HCLEN -> 18 code-length codes (covers syms 18, 0, 1)
+    # CLC lengths in the spec's order 16 17 18 0 8 7 9 6 10 5 11 4 12 3
+    # 13 2 14 1: sym18 -> 1, sym0 -> 2, sym1 -> 2, rest 0
+    clc_len = {18: 1, 0: 2, 1: 2}
+    order = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1)
+    for sym in order:
+        emit(clc_len.get(sym, 0), 3)
+    # canonical CLC codes: sym18 (len 1) -> 0; sym0 -> 10; sym1 -> 11
+    clc = {18: (0b0, 1), 0: (0b10, 2), 1: (0b11, 2)}
+
+    def clc_sym(sym: int) -> None:
+        emit_code(*clc[sym])
+
+    clc_sym(18); emit(65 - 11, 7)   # 65 zeros (literals 0..64)
+    clc_sym(1)                       # literal 65 ('A') -> length 1
+    clc_sym(18); emit(138 - 11, 7)  # 138 zeros (66..203)
+    clc_sym(18); emit(52 - 11, 7)   # 52 zeros (204..255)
+    clc_sym(1)                       # literal 256 (EOB) -> length 1
+    clc_sym(0)                       # the single ZERO-length distance code
+    # literal codes: sym65 -> 0, sym256 -> 1 (canonical, both length 1)
+    emit_code(0, 1); emit_code(0, 1); emit_code(0, 1)  # 'AAA'
+    emit_code(1, 1)  # EOB
+    raw = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        raw[i // 8] |= b << (i % 8)
+    raw = bytes(raw)
+    assert zlib.decompress(raw, wbits=-15) == b"AAA"  # zlib accepts it
+    assert inflate(raw) == b"AAA"
+
+
+def test_zlib_trailing_garbage_is_a_distinct_diagnosis() -> None:
+    """A valid zlib stream followed by extra bytes must fail with an
+    explicit trailing-bytes error read at the deflate END CURSOR — not a
+    misleading Adler-32 mismatch (ADVICE r12)."""
+    good = zlib.compress(b"payload" * 50, 6)
+    assert zlib_decompress(good) == b"payload" * 50
+    with pytest.raises(InflateError, match="trailing bytes"):
+        zlib_decompress(good + b"junk")
+    with pytest.raises(InflateError, match="truncated Adler-32"):
+        zlib_decompress(good[:-2])

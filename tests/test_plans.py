@@ -11,6 +11,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import shutil
 import uuid
 
@@ -891,10 +892,22 @@ def test_wordpiece_encode_memoizes_on_the_histogram(spark, sf_dir):
 
 
 def test_resample_reuses_one_exchange_for_both_window_sorts(spark, sf_dir):
-    """Both prev/next window passes partition by user_id; Catalyst must
-    plan hash exchanges on user_id only (no other shuffle key), and the
-    union-stream trick must not introduce a join."""
+    """The union-stream interpolation must plan NO join of any kind, every
+    hash shuffle must lead with user_id (the series key), and the two
+    prev/next window sorts must share ONE user_id exchange — so the whole
+    plan is exactly 3 hash exchanges (obs agg on (user_id,t), grid-range
+    agg on user_id, the shared window exchange) plus the final range
+    partition for the ordered output (ADVICE r12: the old assertion only
+    checked join absence)."""
     plan = plan_of(queries()["timeseries_resample_linear"](spark, sf_dir))
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan.replace(
-        "BroadcastHashJoin", ""
-    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+    hash_keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    range_keys = re.findall(r"rangepartitioning\(", plan)
+    assert hash_keys and all(
+        k.strip().startswith("user_id") for k in hash_keys
+    ), hash_keys
+    # 2 aggregation shuffles + 1 shared window shuffle; a 4th hash
+    # exchange means the two window sorts stopped sharing theirs
+    assert len(hash_keys) == 3, (hash_keys, plan)
+    assert len(range_keys) == 1, plan

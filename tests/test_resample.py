@@ -4,6 +4,7 @@ pure-Python reference (bisect-based interpolation per series)."""
 from __future__ import annotations
 
 import bisect
+import math
 import os
 
 import pytest
@@ -48,10 +49,9 @@ def test_engine_matches_bisect_reference(spark) -> None:
                 val = obs[pt] * 10000
             else:
                 num = (obs[pt] * (nt - g) + obs[nt] * (g - pt)) * 10000.0
-                val = int(num // (nt - pt)) if num >= 0 else -(-num // (nt - pt))
-                # floor semantics for possibly-negative numerators
-                import math
-
+                # float division + floor — mirrors both the engine and the
+                # oracle (ADVICE r12: the dead integer floor-div line that
+                # previously shadowed this misstated the reference math)
                 val = math.floor(num / (nt - pt))
             expect[(uid, g)] = val
 

@@ -38,6 +38,9 @@ import shutil
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from flinkexp_spark.srcstate import source_tree_hash  # noqa: E402
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOCAL = os.path.join(REPO, "BENCH_LOCAL.json")
 
@@ -116,22 +119,32 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
-    # The base must have been GENERATED at the current HEAD, not merely
-    # cover the same query set (ADVICE r11, medium: a perf change committed
-    # after the base run made the sf1 exponents stale while the query-set
-    # check stayed green).
-    if (
-        not args.skip_base_check
-        and base.get("head")
-        and base["head"] != head_sha()
-    ):
-        print(
-            f"BENCH_LOCAL.json was generated at {base['head'][:12]} but "
-            f"HEAD is {head_sha()[:12]} — rerun `python bench.py` so the "
-            "sf0.1 base reflects the code being frozen",
-            file=sys.stderr,
-        )
-        return 1
+    # The base must have been GENERATED against the current perf-relevant
+    # source, not merely cover the same query set (ADVICE r11, medium: a
+    # perf change committed after the base run made the sf1 exponents
+    # stale while the query-set check stayed green).  Compare the source
+    # content hash when the base carries it (r13 — artifact-only commits
+    # move git HEAD without changing measured perf, the r12 false trip);
+    # fall back to git HEAD for pre-r13 bases.
+    if not args.skip_base_check:
+        if base.get("src_hash"):
+            if base["src_hash"] != source_tree_hash():
+                print(
+                    "BENCH_LOCAL.json was generated against a different "
+                    "perf-relevant source tree (src_hash mismatch) — rerun "
+                    "`python bench.py` so the sf0.1 base reflects the code "
+                    "being frozen",
+                    file=sys.stderr,
+                )
+                return 1
+        elif base.get("head") and base["head"] != head_sha():
+            print(
+                f"BENCH_LOCAL.json was generated at {base['head'][:12]} but "
+                f"HEAD is {head_sha()[:12]} — rerun `python bench.py` so the "
+                "sf0.1 base reflects the code being frozen",
+                file=sys.stderr,
+            )
+            return 1
 
     # 2. the sf1 run, through the standard harness (bench.py overwrites
     # BENCH_LOCAL.json with its full payload; keep the sf0.1 base safe)
@@ -167,6 +180,7 @@ def main() -> int:
         "metric": sf1["metric"],
         "sf": 1.0,
         "head": head_sha(),
+        "src_hash": source_tree_hash(),
         "value": sf1["value"],
         "unit": "sec",
         "repeats": sf1["repeats"],

@@ -23,10 +23,11 @@ tests/test_artifacts.py fail the judge's pytest if any artifact lags):
   commit    git add artifacts + commit
 
 ``bench`` and ``sf1bench`` run back-to-back with no commit in between so
-the BENCH_SF1.head == BENCH_LOCAL.head trip-wire holds.  The commit step
-refuses if any step was skipped AND its artifact is older than the
-registry's newest mtime — a lagging artifact must be regenerated or
-justified by hand, never silently committed.
+the BENCH_SF1/BENCH_LOCAL same-source trip-wire holds.  The commit step
+refuses if ANY artifact in the registry is older than the newest
+perf/correctness-relevant source edit (``--allow-stale`` overrides with a
+loud warning), and stages ONLY the artifact registry plus PROGRESS.jsonl —
+never ``git add -A`` (ADVICE r12, medium).
 """
 
 from __future__ import annotations
@@ -64,6 +65,49 @@ STEPS = (
 )
 
 
+def newest_source_mtime() -> float:
+    """Newest mtime across perf/correctness-relevant source (the registry)."""
+    newest = 0.0
+    roots = [os.path.join(REPO, "flinkexp_spark")]
+    extras = [os.path.join(REPO, "bench.py"), os.path.join(REPO, "__spark_entry__.py")]
+    for root in roots:
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+    for p in extras:
+        if os.path.exists(p):
+            newest = max(newest, os.path.getmtime(p))
+    return newest
+
+
+def check_artifacts_fresh(allow_stale: bool) -> None:
+    """Refuse to commit an artifact that predates the newest source edit.
+
+    ADVICE r12 (medium): the docstring promised this guard but ARTIFACTS
+    was dead code and the commit step ran an unconditional `git add -A`,
+    which could silently commit stale artifacts — exactly the r11 failure
+    class (`--only commit` after a partial regen).
+    """
+    src_mtime = newest_source_mtime()
+    stale = []
+    for name in ARTIFACTS:
+        path = os.path.join(REPO, name)
+        if os.path.exists(path) and os.path.getmtime(path) < src_mtime:
+            lag = src_mtime - os.path.getmtime(path)
+            stale.append(f"{name} (lags newest source edit by {lag:.0f}s)")
+    if stale:
+        msg = (
+            "refusing to commit stale artifacts — regenerate first or pass "
+            "--allow-stale with a reason:\n  " + "\n  ".join(stale)
+        )
+        if allow_stale:
+            print(f"WARNING (overridden by --allow-stale): {msg}")
+        else:
+            raise SystemExit(msg)
+
+
 def run(cmd: list[str], cwd: str = REPO, env: dict | None = None) -> None:
     print(f"\n=== {' '.join(cmd)}", flush=True)
     t0 = time.time()
@@ -97,6 +141,12 @@ def main() -> int:
     ap.add_argument("--sf1-note", default="round close via tools/round_close.py")
     ap.add_argument(
         "--message", default=None, help="commit message (default auto)"
+    )
+    ap.add_argument(
+        "--allow-stale",
+        action="store_true",
+        help="commit even if an artifact's mtime lags the newest source "
+        "edit (use only with a hand-verified justification)",
     )
     args = ap.parse_args()
 
@@ -143,7 +193,13 @@ def main() -> int:
         elif step == "pytest":
             run([PY, "-m", "pytest", "tests/", "-x", "-q"])
         elif step == "commit":
-            run(["git", "add", "-A"] + [])
+            check_artifacts_fresh(args.allow_stale)
+            # Stage ONLY the artifact registry (plus the progress ledger) —
+            # `git add -A` could sweep unrelated working-tree files into the
+            # close commit (ADVICE r12, medium).
+            to_stage = [n for n in ARTIFACTS + ["PROGRESS.jsonl"]
+                        if os.path.exists(os.path.join(REPO, n))]
+            run(["git", "add", "--"] + to_stage)
             msg = args.message or (
                 "Round close: regenerate correctness/coverage/plan/bench "
                 "artifacts at HEAD"
