@@ -578,14 +578,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    # Node COUNT is a scalar (graph-dimension, bounded): fetch it once
+    # instead of crossJoin-broadcasting a 1-row frame into the init and
+    # every iteration — that folds 1/n and 0.15/n into plan literals and
+    # drops PAGERANK_ITERS+1 broadcast-exchange stages (r12 verdict #3:
+    # the per-stage scheduling overhead was the measured regression, A/B
+    # median 2.4s -> 1.9s at sf0.1).
+    n = float(nodes.count())
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
     ew = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("tw")).alias("frac")
     ).localCheckpoint()
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     # The rank vector is one row per NODE (graph-dimension-sized, not
     # fact-sized), so it broadcasts into the edge join and the contribution
     # table broadcasts back — each iteration is map-side except the one
@@ -600,11 +604,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 (
-                    F.lit(0.15) / F.col("n")
+                    F.lit(0.15 / n)
                     + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )

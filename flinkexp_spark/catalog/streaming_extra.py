@@ -64,6 +64,10 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         transform,
         output_mode="append",
         extra_files=[resent],
+        # input-sized emission (every unique event survives): drain through
+        # the executor-side parquet sink, not the driver-side memory sink —
+        # the same rule that took stream_session_window 6.6s -> 1.35s (r12)
+        sink="files",
     )
 
 
