@@ -1247,3 +1247,59 @@ def q_multimodal_decode_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.gzip_stats(M.with_gzip_payload(docs))
+
+
+@register(
+    "multimodal_decode_bzip2",
+    # Oracle recomputes the synthesized plaintext arithmetically (byte i =
+    # (s*3 + 13*((i // 9) % 37)) % 256 over n = len*5 + doc_id mod 2500 +
+    # 1800 bytes); the engine's from-spec bzip2 decode (Huffman group
+    # selectors, RLE2 + inverse MTF, inverse BWT, RLE1 undo, block and
+    # combined CRC-32) must land the stats exactly — bzip2 is lossless,
+    # no epsilon anywhere.  The 9-byte value runs force the RLE1 stage on
+    # every row; doc_id % 3 == 2 splits the SAME plaintext across two
+    # byte-aligned concatenated streams, so one closed form covers all
+    # three container layouts.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   (len * 5 + doc_id) % {M.BZIP2_LEN_MOD}
+                       + {M.BZIP2_LEN_MIN} AS n
+            FROM m),
+        b AS (
+            SELECT doc_id, n,
+                   (s * 3 + 13 * ((i // {M.BZIP2_RUN})
+                                  % {M.BZIP2_PERIOD})) % 256 AS v,
+                   i + 1 AS pos
+            FROM (SELECT *, unnest(range(n)) AS i FROM d))
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS BIGINT) AS byte_min,
+               CAST(MAX(v) AS BIGINT) AS byte_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_bzip2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: from-spec bzip2 decode (functions/bzip2.py) — the SECOND
+    general-purpose compression family derived from its public format
+    description, built on BWT + MTF + RLE + Huffman where the DEFLATE
+    trio is LZ77 + Huffman.  Every stage is from-spec: the two-level
+    symbol map, unary MTF-coded tree selectors, delta-coded code
+    lengths, 50-symbol Huffman groups, bijective-base-2 RUNA/RUNB zero
+    runs, inverse Burrows-Wheeler transform from the origin pointer,
+    RLE1 undo, and both CRC-32 layers (poly 0x04C11DB7, MSB-first —
+    the non-reflected variant, unlike gzip's).  ``import bz2`` appears
+    ONLY in fixture synthesis and the parity tests
+    (tests/test_bzip2.py), never on the decode path.  doc_id % 3 cycles
+    level-9 / level-1 / multi-stream container layouts.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.bzip2_stats(M.with_bzip2_payload(docs))

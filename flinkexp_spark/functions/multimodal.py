@@ -2580,3 +2580,130 @@ def gzip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "byte_min long, byte_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# bzip2 (X5, r13): the second from-spec general-purpose compression family —
+# BWT + MTF + RLE + Huffman (functions/bzip2.py) next to the DEFLATE trio's
+# LZ77 + Huffman.  Same envelope: per-row independent Arrow mapInPandas,
+# encode side is stdlib bz2 (fixture synthesis ONLY), decode is from-spec.
+# ---------------------------------------------------------------------------
+
+BZIP2_LEN_MOD = 2500
+BZIP2_LEN_MIN = 1800
+BZIP2_RUN = 9  # plaintext repeats each value 9x -> RLE1 runs (4 + count 5)
+BZIP2_PERIOD = 37
+
+
+def _ship_bzip2_by_value() -> None:
+    """Register functions/bzip2.py for BY-VALUE pickling (same rule as
+    _ship_inflate_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import bzip2  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.bzip2"]
+    )
+
+
+def with_bzip2_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL .bz2 payload compressing the deterministic plaintext
+    byte[i] = (s*3 + 13*((i // 9) % 37)) % 256 of length
+    len(text)*5 + doc_id mod 2500 + 1800 — the 9-byte value runs make the
+    decoder's RLE1 stage live in every row (each run is 4 literal bytes +
+    a count byte on the wire).  ``doc_id % 3`` cycles the container paths:
+
+    * 0 — single stream, level 9 (900k block size)
+    * 1 — single stream, level 1 (100k block size header path)
+    * 2 — MULTI-STREAM: plaintext split across two byte-aligned
+      concatenated streams (stdlib ``bz2.decompress`` semantics)
+
+    Encode side is stdlib bz2 (fixture synthesis); the decode under test
+    is the from-spec BWT+MTF+RLE+Huffman pipeline in functions/bzip2.py."""
+    _ship_bzip2_by_value()
+
+    lmod, lmin = BZIP2_LEN_MOD, BZIP2_LEN_MIN
+    run, per = BZIP2_RUN, BZIP2_PERIOD
+
+    def encode(batches):
+        import bz2 as _bz2  # fixture synthesis only — decode is from-spec
+        import hashlib
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            n = (len(raw) * 5 + doc_id) % lmod + lmin
+            plain = bytes(
+                (s * 3 + 13 * ((i // run) % per)) % 256 for i in range(n)
+            )
+            var = doc_id % 3
+            if var == 0:
+                return _bz2.compress(plain, 9)
+            if var == 1:
+                return _bz2.compress(plain, 1)
+            half = n // 2
+            return _bz2.compress(plain[:half], 9) + _bz2.compress(
+                plain[half:], 1
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def bzip2_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL from-spec bzip2 decode (functions/bzip2.py: Huffman group
+    selectors, RLE2+MTF, inverse BWT, RLE1, block + combined CRC-32
+    verification, multi-stream concatenation) inside one Arrow
+    mapInPandas pass, then exact-integer byte stats.  Same envelope as
+    gzip_stats: per-row independent, no shuffle."""
+    _ship_bzip2_by_value()
+    from flinkexp_spark.functions.bzip2 import bz2_decompress
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            plain = bz2_decompress(bytes(payload))
+            v = np.frombuffer(plain, dtype=np.uint8).astype(np.int64)
+            pos = np.arange(1, len(v) + 1, dtype=np.int64)
+            return (
+                len(v),
+                int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+                int((pos * v).sum()),
+            )
+
+        cols = ["n_bytes", "byte_sum", "byte_min", "byte_max", "pos_checksum"]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_bytes long, byte_sum long, "
+            "byte_min long, byte_max long, pos_checksum long"
+        ),
+    )
