@@ -1303,3 +1303,63 @@ def q_multimodal_decode_bzip2(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.bzip2_stats(M.with_bzip2_payload(docs))
+
+
+@register(
+    "multimodal_decode_tiff_lzw",
+    # Oracle recomputes the synthesized image arithmetically: pixel (x,y)
+    # = (s + 3x + 7y + (x*y)%5) % 256 over w = doc_id mod 40 + 24, h =
+    # (len*3 + doc_id) mod 48 + 16 — after the REAL from-spec decode
+    # (IFD walk in both byte orders, strip assembly, MSB-first
+    # early-change LZW, Predictor-2 horizontal-differencing undo) the
+    # stats must land exactly: LZW is lossless, no epsilon anywhere.
+    # pos_checksum is weighted by the 1-based raster offset, pinning row
+    # order across strip boundaries and the predictor cumsum direction.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   doc_id % {M.TIFF_W_MOD} + {M.TIFF_W_MIN} AS w,
+                   (len * 3 + doc_id) % {M.TIFF_H_MOD} + {M.TIFF_H_MIN} AS h
+            FROM m),
+        px AS (
+            SELECT doc_id, w, h, x, y,
+                   (s + 3 * x + 7 * y + (x * y) % 5) % 256 AS v,
+                   y * w + x + 1 AS pos
+            FROM (SELECT *, unnest(range(h)) AS y FROM d),
+                 LATERAL (SELECT unnest(range(w)) AS x))
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: from-spec TIFF 6.0 + LZW decode (functions/tiff.py) — the
+    MSB-first, EARLY-CHANGE variant of LZW (width bumps one code before
+    the table fills; table reset at code 4094) under the classic TIFF
+    container: byte-order mark for both endiannesses, typed IFD entries
+    with inline-vs-offset values, StripOffsets/StripByteCounts assembly,
+    and Predictor-2 horizontal differencing undone as a row cumsum.
+    Complements functions/gif.py, which implements the LSB-first
+    late-change LZW — the two variants differ in bit order, width
+    schedule, and reset protocol, and both are derived from their
+    respective public specs.  No imaging library exists in this
+    environment, so the fixture writer is also from-spec and BOTH
+    directions are pinned to hand-derived spec-rule bit vectors in
+    tests/test_tiff_lzw.py (code-by-code, including the KwKwK case).
+    doc_id % 3 cycles LE-single-strip / LE-multi-strip-predictor2 /
+    BE-multi-strip-predictor2.  Per-row independent work: no shuffle,
+    linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.tiff_stats(M.with_tiff_payload(docs))

@@ -2707,3 +2707,134 @@ def bzip2_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "byte_min long, byte_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF + LZW (X5, r13): the MSB-first early-change LZW variant with the
+# classic TIFF container (functions/tiff.py), next to GIF's LSB-first LZW.
+# ---------------------------------------------------------------------------
+
+TIFF_W_MOD = 40
+TIFF_W_MIN = 24
+TIFF_H_MOD = 48
+TIFF_H_MIN = 16
+
+
+def _ship_tiff_by_value() -> None:
+    """Register functions/tiff.py for BY-VALUE pickling (same rule as
+    _ship_inflate_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import tiff  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.tiff"]
+    )
+
+
+def with_tiff_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL classic-TIFF payload: an 8-bit grayscale image with
+    closed-form pixels v(x,y) = (s + 3x + 7y + (x*y)%5) % 256 of
+    dimensions w = doc_id mod 40 + 24, h = (len(text)*3 + doc_id) mod 48
+    + 16, LZW-compressed (Compression=5).  ``doc_id % 3`` cycles the
+    reader's container paths:
+
+    * 0 — little-endian, single strip, Predictor 1
+    * 1 — little-endian, 8-row strips, Predictor 2 (horizontal diff)
+    * 2 — BIG-endian (``MM``), 11-row strips, Predictor 2
+
+    Encode side is the from-spec writer in functions/tiff.py (fixture
+    synthesis — no stdlib TIFF exists); decode under test is the from-spec
+    IFD walk + MSB-first early-change LZW + predictor undo, pinned to
+    hand-derived spec vectors in tests/test_tiff_lzw.py."""
+    _ship_tiff_by_value()
+    from flinkexp_spark.functions.tiff import tiff_encode_gray
+
+    wmod, wmin, hmod, hmin = TIFF_W_MOD, TIFF_W_MIN, TIFF_H_MOD, TIFF_H_MIN
+
+    def encode(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            w = doc_id % wmod + wmin
+            h = (len(raw) * 3 + doc_id) % hmod + hmin
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            px = ((s + 3 * x + 7 * y + (x * y) % 5) % 256).astype(np.uint8)
+            var = doc_id % 3
+            if var == 0:
+                return tiff_encode_gray(px)
+            if var == 1:
+                return tiff_encode_gray(px, rows_per_strip=8, predictor=2)
+            return tiff_encode_gray(
+                px, rows_per_strip=11, predictor=2, big_endian=True
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def tiff_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL from-spec TIFF decode (functions/tiff.py: header + IFD walk in
+    both byte orders, strip assembly, MSB-first early-change LZW,
+    Predictor-2 undo) inside one Arrow mapInPandas pass, then
+    exact-integer pixel stats.  Per-row independent, no shuffle."""
+    _ship_tiff_by_value()
+    from flinkexp_spark.functions.tiff import tiff_decode_gray
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            img = tiff_decode_gray(bytes(payload)).astype(np.int64)
+            h, w = img.shape
+            flat = img.reshape(-1)
+            pos = np.arange(1, flat.size + 1, dtype=np.int64)
+            return (
+                w,
+                h,
+                flat.size,
+                int(flat.sum()),
+                int(flat.min()),
+                int(flat.max()),
+                int((pos * flat).sum()),
+            )
+
+        cols = [
+            "width", "height", "n_px", "px_sum", "px_min", "px_max",
+            "pos_checksum",
+        ]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, width long, height long, n_px long, "
+            "px_sum long, px_min long, px_max long, pos_checksum long"
+        ),
+    )
