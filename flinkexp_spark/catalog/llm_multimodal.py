@@ -1363,3 +1363,62 @@ def q_multimodal_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.tiff_stats(M.with_tiff_payload(docs))
+
+
+@register(
+    "multimodal_decode_zstd_frames",
+    # Oracle recomputes the synthesized plaintext arithmetically (byte i =
+    # (s*7 + 17*((i // 150) % 53)) % 256 over n = len*4 + doc_id mod 2200
+    # + 1600 bytes); the engine's from-spec RFC 8878 frame walk (header
+    # descriptor bit fields, window arithmetic, the 2-byte FCS bias,
+    # raw/RLE block loop, xxHash64 content checksums, skippable frames,
+    # multi-frame concatenation) must land the stats exactly.  The
+    # 150-byte value runs put RLE blocks on the wire for every row.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   (len * 4 + doc_id) % {M.ZSTD_LEN_MOD}
+                       + {M.ZSTD_LEN_MIN} AS n
+            FROM m),
+        b AS (
+            SELECT doc_id, n,
+                   (s * 7 + 17 * ((i // {M.ZSTD_RUN})
+                                  % {M.ZSTD_PERIOD})) % 256 AS v,
+                   i + 1 AS pos
+            FROM (SELECT *, unnest(range(n)) AS i FROM d))
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS BIGINT) AS byte_min,
+               CAST(MAX(v) AS BIGINT) AS byte_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: from-spec Zstandard FRAME WALKER (RFC 8878, functions/zstd.py)
+    — the container layer of the third modern compression family: magic
+    and skippable-frame routing, Frame_Header_Descriptor bit fields with
+    reserved-bit enforcement, Window_Descriptor exponent/mantissa
+    arithmetic, the +256 bias of the 2-byte Frame_Content_Size field,
+    the 3-byte little-endian block loop over Raw and RLE blocks, and
+    xxHash64 content checksums implemented from the published algorithm.
+    Compressed_Block entropy sections (FSE/Huffman) are explicitly out
+    of scope and rejected with a clear error — the from-spec entropy
+    lanes are DEFLATE (functions/inflate.py) and bzip2
+    (functions/bzip2.py).  Unlike those two, a REAL reference binary
+    exists in this environment: tests/test_zstd.py round-trips our
+    frames through the system ``zstd`` executable in BOTH directions
+    (it verifies our checksums; our walker decodes its raw-block output
+    for incompressible data), pinning container and hash to the
+    reference implementation, not just the RFC text.  doc_id % 3 cycles
+    windowed / skippable+single-segment / multi-frame layouts.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.zstd_stats(M.with_zstd_payload(docs))

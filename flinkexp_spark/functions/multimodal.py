@@ -2838,3 +2838,135 @@ def tiff_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "px_sum long, px_min long, px_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# zstd frame walker (X5, r13): RFC 8878 container over raw/RLE blocks
+# (functions/zstd.py) with from-spec xxHash64 content checksums.
+# ---------------------------------------------------------------------------
+
+ZSTD_LEN_MOD = 2200
+ZSTD_LEN_MIN = 1600
+ZSTD_RUN = 150  # 150-byte value runs -> RLE blocks on the wire
+ZSTD_PERIOD = 53
+
+
+def _ship_zstd_by_value() -> None:
+    """Register functions/zstd.py for BY-VALUE pickling (same rule as
+    _ship_inflate_by_value: executors can't import the repo)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import zstd  # noqa: F401 — force import
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.zstd"]
+    )
+
+
+def with_zstd_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a spec-valid zstd payload (RFC 8878 raw/RLE frames) carrying
+    the deterministic plaintext byte[i] = (s*7 + 17*((i // 150) % 53)) %
+    256 of length len(text)*4 + doc_id mod 2200 + 1600 — the 150-byte
+    value runs become RLE blocks, the run boundaries raw blocks.
+    ``doc_id % 3`` cycles the walker's container paths:
+
+    * 0 — one windowed frame, FCS present, content checksum
+    * 1 — skippable metadata frame + one SINGLE-SEGMENT frame w/ checksum
+    * 2 — two concatenated frames splitting the plaintext (first without
+      checksum, second single-segment) — multi-frame semantics
+
+    The encoder is the from-spec stored-frame writer in functions/zstd.py;
+    tests/test_zstd.py round-trips it through the system's REAL ``zstd``
+    binary (both directions), so the fixture bytes are independently
+    verified conformant."""
+    _ship_zstd_by_value()
+    from flinkexp_spark.functions.zstd import (
+        zstd_compress_stored,
+        zstd_skippable_frame,
+    )
+
+    lmod, lmin = ZSTD_LEN_MOD, ZSTD_LEN_MIN
+    run, per = ZSTD_RUN, ZSTD_PERIOD
+
+    def encode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            n = (len(raw) * 4 + doc_id) % lmod + lmin
+            plain = bytes(
+                (s * 7 + 17 * ((i // run) % per)) % 256 for i in range(n)
+            )
+            var = doc_id % 3
+            if var == 0:
+                return zstd_compress_stored(plain)
+            if var == 1:
+                return zstd_skippable_frame(
+                    b"doc metadata", doc_id % 16
+                ) + zstd_compress_stored(plain, single_segment=True)
+            half = n // 2
+            return zstd_compress_stored(
+                plain[:half], checksum=False
+            ) + zstd_compress_stored(plain[half:], single_segment=True)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def zstd_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """From-spec zstd frame walk (functions/zstd.py: descriptor bit
+    fields, window arithmetic, FCS bias, raw/RLE block loop, xxHash64
+    content checksum, skippable frames, multi-frame concatenation) inside
+    one Arrow mapInPandas pass, then exact-integer byte stats.  Same
+    envelope as gzip_stats: per-row independent, no shuffle."""
+    _ship_zstd_by_value()
+    from flinkexp_spark.functions.zstd import zstd_decompress
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            plain = zstd_decompress(bytes(payload))
+            v = np.frombuffer(plain, dtype=np.uint8).astype(np.int64)
+            pos = np.arange(1, len(v) + 1, dtype=np.int64)
+            return (
+                len(v),
+                int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+                int((pos * v).sum()),
+            )
+
+        cols = ["n_bytes", "byte_sum", "byte_min", "byte_max", "pos_checksum"]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_bytes long, byte_sum long, "
+            "byte_min long, byte_max long, pos_checksum long"
+        ),
+    )
