@@ -850,6 +850,103 @@ def _r12_window() -> tuple[str, ...]:
     return window
 
 
+# --------------------------------------------------------------------------
+# ROUND-13 WINDOW: drain the carry ledger, then the r05 block.
+# After r12 the union ledger is 331/331 green; the staleness frontier is
+# the 3-name _R12_CARRY_TO_R13 list (r04 text-analysis rows) followed by
+# the r05 block (35 names whose newest official row is round 5).  4 new +
+# 3 carry + 35 r05 + 8 oldest-r06 pads fill the 50 slots exactly — no
+# overflow this round (_R13_CARRY_TO_R14 is empty, asserted).
+# NEW QUERIES added this round must be appended to _R13_NEW.
+# --------------------------------------------------------------------------
+_R13_NEW: tuple[str, ...] = (
+    # from-spec bzip2 (X6): the second general-purpose compression family
+    # — BWT + MTF + RLE + Huffman with both CRC-32 layers (functions/bzip2.py)
+    "multimodal_decode_bzip2",
+    # from-spec TIFF 6.0 + MSB-first EARLY-CHANGE LZW + Predictor 2, the
+    # counterpart of GIF's LSB-first late-change variant (functions/tiff.py)
+    "multimodal_decode_tiff_lzw",
+    # RFC 8878 zstd frame walker over raw/RLE blocks with from-spec
+    # xxHash64, pinned to the system's real zstd binary (functions/zstd.py)
+    "multimodal_decode_zstd_frames",
+    # Kruskal-Wallis H: k-group rank test completing the rank-stats family
+    # (doubled-midrank exact ints + order-pinned float fold)
+    "stat_kruskal_wallis",
+)
+
+_R13_REVERIFY: tuple[str, ...] = (
+    # the r12 carry ledger, verbatim (oldest official rows: r04)
+    "text_bigram_fluency",
+    "text_classifier_score",
+    "text_quality_ensemble",
+    # the r05 block: every query whose newest official row is round 5
+    "text_url_canonicalize",
+    "cdc_apply_ops",
+    "pattern_copurchase_pairs",
+    "sink_sized_shards",
+    "profile_table",
+    "quality_sequence_gaps",
+    "diagnose_skew",
+    "profile_entropy",
+    "quality_k_anonymity",
+    "join_bloom_prefilter",
+    "quality_anomaly_mad",
+    "multimodal_video_frames",
+    "multimodal_scene_cuts",
+    "embed_quantize_int8",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "boilerplate_strip",
+    "sample_weighted_hash",
+    "mix_rebalance_weights",
+    "shard_assign",
+    "sample_fixed_per_group",
+    "curriculum_order",
+    "window_distribution",
+    "sql_recursive_cte",
+    "sql_date_spine",
+    "sketch_hll_mergeable",
+    "agg_approx_top_k",
+    "sql_variant_json",
+    "sql_listagg",
+    "sql_pipe_syntax",
+    "sql_group_by_all",
+    "sql_parameterized",
+    "stream_foreachbatch_merge",
+    "timeseries_locf",
+    "timeseries_time_weighted_avg",
+    # oldest r06 rows pad the remaining slots
+    "source_python_datasource",
+    "changelog_incremental_agg",
+    "graph_common_neighbors",
+    "graph_clustering_coefficient",
+    "quality_l_diversity",
+    "join_asof_forward",
+    "text_zipf_fit",
+    "multimodal_decode_meta",
+)
+
+# No names pushed past slot 50 this round (4 new + 46 pads = 50 exactly).
+_R13_CARRY_TO_R14: tuple[str, ...] = ()
+
+
+def _r13_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots.
+
+    Over-subscription must be acknowledged in _R13_CARRY_TO_R14 — a pool
+    name silently falling off the end (the r09 bug) raises instead."""
+    pad = [n for n in _R13_REVERIFY if n not in _R13_NEW]
+    plan = _R13_NEW + tuple(pad)
+    window, overflow = plan[:50], plan[50:]
+    if set(overflow) != set(_R13_CARRY_TO_R14):
+        raise RuntimeError(
+            "r13 window over-subscribed: names dropped from the 50 slots "
+            f"({sorted(overflow)}) do not match _R13_CARRY_TO_R14 "
+            f"({sorted(_R13_CARRY_TO_R14)}) — update the carry list"
+        )
+    return window
+
+
 def _apply_rotation() -> None:
     """Reorder the registry dict: priority lists first, then module order.
 
@@ -858,7 +955,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r12_window()
+    priority = _r13_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

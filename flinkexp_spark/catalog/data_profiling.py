@@ -378,3 +378,156 @@ def q_stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_x1e6"),
     )
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   event_type AS grp
+            FROM events),
+        d AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM s GROUP BY v),
+        c AS (
+            SELECT v, t, CAST(SUM(t) OVER (ORDER BY v) AS BIGINT) AS ft
+            FROM d),
+        cg AS (
+            SELECT v, grp, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM s GROUP BY v, grp),
+        r AS (
+            SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_g,
+                   CAST(SUM(cnt * (2 * (ft - t) + t + 1)) AS BIGINT)
+                       AS rsum_x2
+            FROM cg JOIN c USING (v) GROUP BY grp),
+        tot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tiesum
+            FROM d),
+        o AS (
+            SELECT grp, n_g, rsum_x2,
+                   SUM(CAST(rsum_x2 AS DOUBLE) * CAST(rsum_x2 AS DOUBLE)
+                       / (4.0 * n_g))
+                       OVER (ORDER BY grp
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+            FROM r),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k, max_by(cum, grp) AS s
+            FROM o),
+        h AS (
+            SELECT k, n, tiesum,
+                   12.0 * s / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)
+                       AS hstat
+            FROM agg, tot)
+        SELECT o.grp, o.n_g, o.rsum_x2, h.k, h.n, h.tiesum,
+               CAST(FLOOR(h.hstat * 1000000.0) AS BIGINT) AS h_x1e6,
+               CAST(FLOOR(h.hstat
+                          / (1.0 - h.tiesum
+                             / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n))
+                          * 1000000.0) AS BIGINT) AS h_tie_x1e6
+        FROM o, h
+        ORDER BY o.grp
+    """,
+    tags=("A2", "W3"),
+)
+def q_stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event-type value distributions —
+    the k-group generalization completing the rank-stats family (MWU =
+    two-sample location, KS = two-sample shape, chi2/PSI = categorical;
+    KW = k-sample location by rank, the nonparametric one-way ANOVA).
+
+    Exact-integer discipline (the r12 Mann-Whitney scheme extended): with
+    midranks doubled, each tie group of size t at cumulative offset s
+    contributes doubled midrank 2s + t + 1, so every per-group doubled
+    rank sum rsum_x2 is an exact BIGINT (hash-checked per group).  The
+    quadratic term sum(R_j^2 / n_j) = sum(rsum_x2^2 / (4 n_j)) must leave
+    integers (rsum_x2^2 ~ 4 N^4 crosses 2^63 near N ~ 40k rows), so it is
+    computed in DOUBLE — and because float addition does not commute
+    across k group terms, BOTH engines fold the terms in the SAME
+    explicit order: a cumulative window ordered by group name, taking the
+    last partial sum (max_by over a k-row frame, k = 5 event types).  The
+    remaining float expressions (H and its tie correction) are written
+    token-identically on both engines; outputs land in floor-microunits.
+
+    Plan shape (the 100 TB story): one shuffle to the per-value histogram
+    (domain cardinality, not row count), the DISTRIBUTED prefix sum of
+    operators/prefix_sum.py for cumulative ranks (no single-partition
+    global window over data-sized input), one shuffle for the per-(value,
+    group) counts, then everything downstream of ``r`` is k rows.
+    """
+    s = datasets.load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        F.col("event_type").alias("grp"),
+    )
+    d = s.groupBy("v").agg(F.count("*").cast("long").alias("t"))
+    c = running_sums(d, "v", ["t"], prefix="f")
+    cg = s.groupBy("v", "grp").agg(F.count("*").cast("long").alias("cnt"))
+    r = (
+        cg.join(c, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt")
+                * (2 * (F.col("ft") - F.col("t")) + F.col("t") + 1)
+            )
+            .cast("long")
+            .alias("rsum_x2"),
+        )
+    )
+    tot = d.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tiesum"),
+    )
+    # ordered fold of the k float terms (k = #event types, bounded): the
+    # unpartitioned window frame is k rows, not data-sized
+    w = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, 0)
+    term = (
+        F.col("rsum_x2").cast("double")
+        * F.col("rsum_x2").cast("double")
+        / (F.lit(4.0) * F.col("n_g"))
+    )
+    o = r.select("grp", "n_g", "rsum_x2", F.sum(term).over(w).alias("cum"))
+    agg = o.agg(
+        F.count("*").cast("long").alias("k"),
+        F.max_by("cum", "grp").alias("s"),
+    )
+    h = agg.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "n",
+        "tiesum",
+        (
+            F.lit(12.0) * F.col("s") / (F.col("n").cast("double") * (F.col("n") + 1))
+            - F.lit(3.0) * (F.col("n") + 1)
+        ).alias("hstat"),
+    )
+    return (
+        o.select("grp", "n_g", "rsum_x2")
+        .crossJoin(F.broadcast(h))
+        .select(
+            "grp",
+            "n_g",
+            "rsum_x2",
+            "k",
+            "n",
+            "tiesum",
+            F.floor(F.col("hstat") * 1000000.0).cast("long").alias("h_x1e6"),
+            F.floor(
+                F.col("hstat")
+                / (
+                    F.lit(1.0)
+                    - F.col("tiesum")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        - F.col("n")
+                    )
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("h_tie_x1e6"),
+        )
+        .orderBy("grp")
+    )
