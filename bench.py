@@ -170,6 +170,12 @@ HEADLINE = [
     "search_phrase_match",
     "timeseries_resample_linear",
     "stat_mann_whitney",
+    # round-13 additions: bzip2 + TIFF-LZW + zstd-frame codecs,
+    # Kruskal-Wallis k-group rank test
+    "multimodal_decode_bzip2",
+    "multimodal_decode_tiff_lzw",
+    "multimodal_decode_zstd_frames",
+    "stat_kruskal_wallis",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -35,6 +35,10 @@ ROWS = [
             # the per-query gate
             "multimodal_decode_qoi_pixels", "tokenizer_unigram_encode",
             "text_perplexity_filter",
+            # r13: the new codec trio + the k-group rank test ride the
+            # same per-query gate (codecs are doc_id<100 constant-cost)
+            "multimodal_decode_bzip2", "multimodal_decode_tiff_lzw",
+            "multimodal_decode_zstd_frames", "stat_kruskal_wallis",
         ],
     ),
     (
