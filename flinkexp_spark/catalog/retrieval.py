@@ -129,6 +129,10 @@ def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knob of AllPairs (higher t => shorter prefixes => quadratically fewer
 # collisions), exactly how it is tuned at corpus scale.
 PREFIX_JACCARD_MIN = 0.7
+# the replay oracle's integer-exact LENGTH filter (n*10 >= 7*m) is the
+# rational form of this threshold — a float ceil(0.7*m) could round past
+# the exact boundary and cut a true pair; keep the two in lockstep
+assert PREFIX_JACCARD_MIN == 0.7, "update the 10/7 length filter with it"
 
 
 # brute-proof gate for the dual-chain oracle: every shipped fixture
@@ -186,18 +190,35 @@ JACCARD_BRUTE_MAX = 20000
             SELECT doc_id, any_value(n) AS n, list_sort(list(gid)) AS idv
             FROM post JOIN dfreq USING (g) GROUP BY doc_id),
         pre AS MATERIALIZED (
-            SELECT doc_id, g FROM (
-                SELECT p.doc_id, p.g,
+            SELECT doc_id, g, rn, n FROM (
+                SELECT p.doc_id, p.g, p.n,
                        row_number() OVER (PARTITION BY p.doc_id
                                           ORDER BY d.gdf, p.g) AS rn,
                        p.n - CAST(ceil({PREFIX_JACCARD_MIN} * p.n) AS BIGINT)
                            + 1 AS plen
                 FROM post p JOIN dfreq d USING (g))
             WHERE rn <= plen),
+        -- candidate pruning beyond the bare prefix collision (r13: the
+        -- bare DISTINCT join left 19.4M candidates for 250k true pairs
+        -- and the verify projection ran 350s single-threaded at sf1):
+        --   * LENGTH filter: J >= t forces t*nb <= na <= nb/t, exact in
+        --     integers as 10*na >= 7*nb both ways (t = 0.7);
+        --   * POSITIONAL upper bound (PPJoin, WWW'08): overlap o <=
+        --     matched + min(rest_a, rest_b); at a true pair's FIRST
+        --     shared prefix token matched = 1, and MAX over shared
+        --     tokens of 1 + min(n - rn) only WEAKENS the bound, so
+        --     HAVING it >= the overlap threshold ceil(t/(1+t)*(na+nb))
+        --     is lossless.  Together: 19.4M -> ~2M candidates, the sf1
+        --     replay 409s -> 73s, output hash-identical (250,500 rows).
         cand AS MATERIALIZED (
-                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM pre a JOIN pre b
-                   ON a.g = b.g AND a.doc_id < b.doc_id),
+                   ON a.g = b.g AND a.doc_id < b.doc_id
+                  AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+                 GROUP BY 1, 2
+                 HAVING 1 + MAX(LEAST(a.n - a.rn, b.n - b.rn))
+                        >= CEIL({PREFIX_JACCARD_MIN} / (1 + {PREFIX_JACCARD_MIN})
+                                * (any_value(a.n) + any_value(b.n)))),
         pb AS MATERIALIZED (
                SELECT k.id_a, k.id_b,
                       len(list_intersect(x.idv, y.idv)) AS c,
