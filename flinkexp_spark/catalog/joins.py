@@ -535,16 +535,19 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = datasets.load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand"
     )
-    a = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("ka"),
-        F.col("p_name").alias("na"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("kb"),
-        F.col("p_name").alias("nb"),
-    )
+    # The DISTINCT-NAME histogram memoization the oracle has used since
+    # r12 now runs engine-side too (r13): within a brand, every key pair
+    # of an unordered name pair {A, B} appears exactly once under the
+    # key-ordering predicate, so its multiplicity is count(A) * count(B)
+    # — the levenshtein DP evaluates once per distinct name pair, never
+    # per row pair.  At sf1 (10x key-shifted name replication) that is a
+    # 100x cut in DP evaluations: the row-pair form ran ~470s, this runs
+    # with the sf0.1 pair volume plus one histogram shuffle.
+    grp = part.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("nm")
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = grp.select("brand", F.col("nm").alias("na"), F.col("c").alias("ca"))
+    b = grp.select("brand", F.col("nm").alias("nb"), F.col("c").alias("cb"))
     # two lossless prefilters ahead of the O(len^2) DP: a length-delta
     # bound (|len a - len b| > d implies distance > d) that runs in pure
     # codegen arithmetic, and the THRESHOLDED levenshtein (early-exits
@@ -553,19 +556,18 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "brand")
         .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.col("na") != F.col("nb"))
+            (F.col("na") < F.col("nb"))
             & (
                 F.abs(F.length("na") - F.length("nb"))
                 <= FUZZY_MAX_DIST
             )
             & (d >= 0)
         )
-        .select("brand", d.alias("d"))
+        .select("brand", (F.col("ca") * F.col("cb")).alias("m"), d.alias("d"))
     )
     return pairs.groupBy("brand").agg(
-        F.count("*").alias("n_fuzzy_pairs"),
-        F.sum("d").cast("long").alias("dist_sum"),
+        F.sum("m").cast("long").alias("n_fuzzy_pairs"),
+        F.sum(F.col("m") * F.col("d")).cast("long").alias("dist_sum"),
         F.min("d").cast("long").alias("min_dist"),
     )
 

@@ -169,14 +169,25 @@ def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_neardup_cosine",
+    # r13: norms hoisted to one subquery pass per VECTOR and the score
+    # evaluated ONCE per pair (the old form spelled the full cosine — one
+    # pair dot + two per-pair norm folds — twice, in SELECT and WHERE:
+    # six 64-dim folds per pair; this is one).  Float-identical by
+    # construction: sqrt(dot(a,a)) is the same double whether computed
+    # per pair or per vector, and the division tree is unchanged —
+    # sf1 oracle 144s -> ~30s with the same hash.
     oracle=f"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round({V.cosine_sql('a.embedding', 'b.embedding')},
-                     {V.COS_DECIMALS}) AS score
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round({V.cosine_sql('a.embedding', 'b.embedding')},
-                    {V.COS_DECIMALS}) >= {NEARDUP_COS}
+        WITH e AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({V._dot_sql('embedding', 'embedding')}) AS nv
+            FROM embeddings),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({V._dot_sql('a.embedding', 'b.embedding')}
+                         / (a.nv * b.nv), {V.COS_DECIMALS}) AS score
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, score FROM p WHERE score >= {NEARDUP_COS}
     """,
     tags=("X2", "X3"),
 )
