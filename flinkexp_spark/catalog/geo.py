@@ -195,7 +195,18 @@ def _blocked_pairs(
 
 
 def _oracle_pairs(radius_km: float) -> str:
-    """Brute-force oracle: cross join + the same haversine predicate."""
+    """Brute-force oracle: every (customer, supplier) pair against the
+    same haversine predicate.
+
+    r13: the pair generation carries a LOSSLESS latitude band as a join
+    inequality — on a sphere the great-circle distance is at least the
+    pure-latitude separation, 111.19 km/degree, so any true pair
+    satisfies |lat1 - lat2| <= radius/111.0 (divisor deliberately under
+    111.19 for slack).  This is scalar algebra, not blocking: every pair
+    is still judged, but DuckDB plans the two inequalities as an IEJoin
+    instead of materializing the full cross product through the
+    15-trig-call haversine — sf1: 181s -> seconds for the 600 km radius,
+    output identical."""
     return f"""
         WITH c AS (SELECT c_custkey,
                           {_CUST_LAT} AS lat1, {_CUST_LON} AS lon1
@@ -204,7 +215,9 @@ def _oracle_pairs(radius_km: float) -> str:
                      {_SUPP_LAT} AS lat2, {_SUPP_LON} AS lon2
               FROM supplier),
         pairs AS (SELECT c_custkey, s_suppkey, {_HAVERSINE} AS dist_km
-                  FROM c CROSS JOIN s)
+                  FROM c JOIN s
+                    ON lat1 - lat2 <= {radius_km} / 111.0
+                   AND lat2 - lat1 <= {radius_km} / 111.0)
         SELECT c_custkey, s_suppkey, dist_km FROM pairs
         WHERE dist_km <= {radius_km}
     """
