@@ -143,6 +143,13 @@ def main() -> int:
         "--message", default=None, help="commit message (default auto)"
     )
     ap.add_argument(
+        "--bench-analysis",
+        default=None,
+        help="adjudication text for BENCH_SF1 flagged exponents, forwarded "
+        "to make_bench_sf1.py --analysis (required by the test_artifacts "
+        "wire whenever any exponent exceeds 1.2)",
+    )
+    ap.add_argument(
         "--allow-stale",
         action="store_true",
         help="commit even if an artifact's mtime lags the newest source "
@@ -186,8 +193,14 @@ def main() -> int:
             run([PY, os.path.join(REPO, "bench.py")])
         elif step == "sf1bench":
             wait_quiet()
-            run([PY, os.path.join(REPO, "tools", "make_bench_sf1.py"),
-                 "--sf1-dir", args.sf1_dir])
+            cmd = [PY, os.path.join(REPO, "tools", "make_bench_sf1.py"),
+                   "--sf1-dir", args.sf1_dir]
+            # A fresh BENCH_SF1 with flagged exponents FAILS the
+            # test_artifacts adjudication wire until an analysis is
+            # stamped (r13 chain stopped exactly there) — forward one.
+            if args.bench_analysis:
+                cmd += ["--analysis", args.bench_analysis]
+            run(cmd)
         elif step == "vs":
             run([PY, os.path.join(REPO, "tools", "bench_vs_baseline.py")])
         elif step == "pytest":
