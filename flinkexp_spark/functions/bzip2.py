@@ -209,8 +209,12 @@ def _decode_mtf_rle2(
         if sym <= _RUNB:  # bijective base-2 run of the MTF front byte
             run += (sym + 1) << run_shift
             run_shift += 1
+            if run > max_block:  # crafted RUNA/RUNB chains grow the run
+                raise Bzip2Error("block exceeds its declared size")
             continue
         if run:
+            if len(bwt) + run > max_block:  # guard BEFORE the allocation
+                raise Bzip2Error("block exceeds its declared size")
             bwt.extend(mtf[:1] * run)
             run, run_shift = 0, 0
         if sym == eob:

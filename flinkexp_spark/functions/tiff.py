@@ -206,12 +206,12 @@ def tiff_encode_gray(
         cnt_array_pos, pos = pos, pos + 4 * n_strips
     ifd_pos = pos
 
-    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+    def entry(tag: int, typ: int, count: int, value: int) -> tuple[int, bytes]:
         if typ == 3 and count == 1:  # SHORT packs left-justified
-            return struct.pack(f"{e}HHI", tag, typ, count) + struct.pack(
+            return tag, struct.pack(f"{e}HHI", tag, typ, count) + struct.pack(
                 f"{e}HH", value, 0
             )
-        return struct.pack(f"{e}HHII", tag, typ, count, value)
+        return tag, struct.pack(f"{e}HHII", tag, typ, count, value)
 
     tags = [
         entry(_TAG_WIDTH, 3, 1, w),
@@ -245,7 +245,10 @@ def tiff_encode_gray(
         for s in strips:
             out += struct.pack(f"{e}I", len(s))
     out += struct.pack(f"{e}H", len(tags))
-    for t in sorted(tags):  # IFD entries must be tag-sorted (spec)
+    # IFD entries must be sorted by NUMERIC tag (spec).  Sorting the packed
+    # bytes would order little-endian output by the tag's LOW byte — only
+    # accidentally correct while every tag shares high byte 0x01.
+    for _, t in sorted(tags):
         out += t
     out += struct.pack(f"{e}I", 0)  # no next IFD
     return bytes(out)
@@ -327,4 +330,10 @@ def tiff_decode_gray(data: bytes) -> np.ndarray:
         if predictor == 2:
             block = np.cumsum(block.astype(np.int64), axis=1) % 256
         img[i * rps : i * rps + rows] = block.astype(np.uint8)
+    covered = min(len(offsets) * rps, h) if rps else 0
+    if covered < h:  # under-declared strip table must not yield zero rows
+        raise TiffError(
+            f"strips cover only {covered} of {h} rows "
+            f"({len(offsets)} strips at {rps} rows/strip)"
+        )
     return img

@@ -215,6 +215,7 @@ def zstd_decompress(data: bytes) -> bytes:
 
 _RLE_MIN = 16  # runs at least this long become RLE blocks
 _RAW_MAX = 4096  # raw-block cap (forces multi-block frames in fixtures)
+_BLOCK_MAX = 128 * 1024  # RFC 8878 Block_Maximum_Size ceiling
 
 
 def zstd_compress_stored(
@@ -236,7 +237,14 @@ def zstd_compress_stored(
         while j < n and data[j] == b:
             j += 1
         if j - i >= _RLE_MIN:
-            blocks.append((_RLE, b, j - i))
+            # split long runs: Block_Maximum_Size = min(Window_Size, 128 KB)
+            # (RFC 8878 §3.1.1.2.4) — one oversized RLE block would both
+            # violate the spec and overflow the 21-bit Block_Size field
+            run = j - i
+            while run > 0:
+                chunk = min(run, _BLOCK_MAX)
+                blocks.append((_RLE, b, chunk))
+                run -= chunk
             i = j
         else:
             end = min(i + _RAW_MAX, n)

@@ -97,3 +97,49 @@ def test_error_paths() -> None:
     # ignores non-stream trailing bytes
     with pytest.raises(Bzip2Error, match="magic"):
         bz2_decompress(bytes(good) + b"junk junk junk")
+
+
+def _pack_msb_bits(bitstr: str) -> bytes:
+    """Pack a '0'/'1' string MSB-first, zero-padded to a byte boundary."""
+    bitstr += "0" * (-len(bitstr) % 8)
+    return bytes(
+        int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8)
+    )
+
+
+def test_rle2_run_guard_fires_before_allocation() -> None:
+    """A crafted RUNA/RUNB chain (bijective base-2, so ~40 symbols request
+    a multi-terabyte run) must raise BEFORE attempting the bwt allocation
+    (r13 ADVICE item, functions/bzip2.py)."""
+    from flinkexp_spark.functions.bzip2 import (
+        _BitReader,
+        _decode_mtf_rle2,
+        _Huffman,
+    )
+
+    # alpha 3 (one used byte): RUNA=0 len1 code 0, RUNB=1 len2 code 10,
+    # EOB=2 len2 code 11 — a complete canonical code
+    huff = _Huffman([1, 2, 2])
+    bits = "10" * 40 + "11"  # 40 RUNBs -> run ~ 2^41, then EOB
+    br = _BitReader(_pack_msb_bits(bits))
+    with pytest.raises(Bzip2Error, match="exceeds its declared size"):
+        _decode_mtf_rle2(br, [65], [huff], [0, 0], max_block=900_000)
+
+
+def test_rle2_extend_guard_checks_accumulated_length() -> None:
+    """run <= max_block alone is not enough: len(bwt) + run must also be
+    guarded before the extend (r13 ADVICE item)."""
+    from flinkexp_spark.functions.bzip2 import (
+        _BitReader,
+        _decode_mtf_rle2,
+        _Huffman,
+    )
+
+    # alpha 4 (two used bytes): RUNA=00, RUNB=01, literal sym2=10, EOB=11
+    huff = _Huffman([2, 2, 2, 2])
+    # 60 literals, then RUNBs summing to run=126 (<=150), then a literal
+    # forces the flush: 60 + 126 > 150 -> must raise at the extend guard
+    bits = "10" * 60 + "01" * 6 + "10" + "11"
+    br = _BitReader(_pack_msb_bits(bits))
+    with pytest.raises(Bzip2Error, match="exceeds its declared size"):
+        _decode_mtf_rle2(br, [65, 66], [huff], [0, 0], max_block=150)

@@ -118,3 +118,53 @@ def test_error_paths() -> None:
     blob[idx + 8] = 1
     with pytest.raises(TiffError, match="compression 1|unsupported"):
         tiff_decode_gray(bytes(blob))
+
+
+def _ifd_entries(blob: bytes) -> tuple[int, str, list[tuple[int, int]]]:
+    """Parse (ifd_pos, endian, [(tag, entry_offset), ...]) from a TIFF."""
+    import struct
+
+    e = ">" if blob[:2] == b"MM" else "<"
+    (ifd_pos,) = struct.unpack(f"{e}I", blob[4:8])
+    (n,) = struct.unpack(f"{e}H", blob[ifd_pos : ifd_pos + 2])
+    out = []
+    for i in range(n):
+        base = ifd_pos + 2 + 12 * i
+        (tag,) = struct.unpack(f"{e}H", blob[base : base + 2])
+        out.append((tag, base))
+    return ifd_pos, e, out
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_ifd_sorted_by_numeric_tag(big_endian: bool) -> None:
+    """IFD entries must be ordered by NUMERIC tag in both byte orders —
+    sorting packed little-endian bytes orders by the LOW byte and only
+    works by accident while all tags share high byte 0x01 (r13 ADVICE)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = tiff_encode_gray(img, rows_per_strip=3, big_endian=big_endian)
+    _, _, entries = _ifd_entries(blob)
+    tag_seq = [t for t, _ in entries]
+    assert tag_seq == sorted(tag_seq)
+    assert np.array_equal(tiff_decode_gray(blob), img)
+
+
+def test_strip_undercoverage_raises_not_zeros() -> None:
+    """An IFD that declares fewer strips than ceil(h/rps) must raise, not
+    silently leave the uncovered rows zero (r13 ADVICE)."""
+    import struct
+
+    rng = random.Random(7)
+    img = np.array(
+        [[rng.randrange(1, 256) for _ in range(16)] for _ in range(8)],
+        dtype=np.uint8,
+    )
+    blob = bytearray(tiff_encode_gray(img, rows_per_strip=2))  # 4 strips
+    _, e, entries = _ifd_entries(bytes(blob))
+    patched = 0
+    for tag, base in entries:
+        if tag in (273, 279):  # StripOffsets / StripByteCounts
+            struct.pack_into(f"{e}I", blob, base + 4, 2)  # declare 2 strips
+            patched += 1
+    assert patched == 2
+    with pytest.raises(TiffError, match="cover only 4 of 8 rows"):
+        tiff_decode_gray(bytes(blob))

@@ -138,3 +138,33 @@ def test_error_paths() -> None:
     fcs_bad[6] ^= 0x01  # 2-byte FCS field low byte
     with pytest.raises(ZstdError, match="content size|checksum"):
         zstd_decompress(bytes(fcs_bad))
+
+
+def test_long_rle_runs_split_at_block_maximum_size() -> None:
+    """Runs longer than 128 KB must be split into multiple RLE blocks
+    (RFC 8878 Block_Maximum_Size); a 3 MB run would previously overflow
+    the 21-bit Block_Size field entirely (r13 ADVICE item)."""
+    data = b"\xaa" * (3 * 1024 * 1024) + b"tail" + b"\x07" * 200_000
+    frame = zstd_compress_stored(data, checksum=True)
+    # walk the emitted blocks: every declared size must be <= 128 KB
+    pos = 4 + 1  # magic + FHD (no single-segment -> +1 window byte)
+    pos += 1  # window descriptor
+    fcs_flag = frame[4] >> 6
+    pos += {0: 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
+    sizes = []
+    while True:
+        hdr = int.from_bytes(frame[pos : pos + 3], "little")
+        last, btype, size = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+        sizes.append(size)
+        pos += 3 + (size if btype == 0 else 1)
+        if last:
+            break
+    assert max(sizes) <= 128 * 1024
+    assert sum(sizes) == len(data)
+    assert zstd_decompress(frame) == data
+
+
+@needs_zstd
+def test_split_rle_frame_accepted_by_real_zstd() -> None:
+    data = b"\x55" * (1024 * 1024) + b"x"
+    assert _real_decode(zstd_compress_stored(data, checksum=True)) == data
