@@ -113,6 +113,41 @@ def main() -> int:
     print(f"entry(): {n_entry} rows")
 
     con = duckdb.connect()
+    # Spill hygiene (r13 verdict #8): ALWAYS pin the oracle's spill to a
+    # dedicated directory (an in-memory duckdb otherwise spills to
+    # cwd-relative `.tmp` — the r13 sweep left ~34 GB of
+    # duckdb_temp_storage-*.tmp under /root/repo/.tmp), clean it after
+    # every query, and assert headroom up front.
+    spill_dir = "/tmp/duckdb_spill_driver_sim"
+    os.makedirs(spill_dir, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill_dir}'")
+
+    def _clean_spill() -> None:
+        import glob
+        import shutil as _sh
+
+        for p in glob.glob(os.path.join(spill_dir, "*")):
+            try:
+                (_sh.rmtree if os.path.isdir(p) else os.remove)(p)
+            except OSError:
+                pass
+
+    _clean_spill()
+    import shutil as _shutil
+
+    free_gb = _shutil.disk_usage(spill_dir).free / 2**30
+    if args.duck_mem:
+        # require headroom >= the memory budget before a multi-hour sweep:
+        # the worst observed spill (r13 recall-graph oracle) was 34 GB
+        # under a 48 GB budget, and per-query cleaning keeps it bounded
+        need_gb = float(args.duck_mem.rstrip("GBgb") or 0)
+        if free_gb < need_gb:
+            print(
+                f"ABORT: {free_gb:.0f} GB free under {spill_dir}, "
+                f"need >= {need_gb:.0f} GB (2x --duck-mem) before a sweep"
+            )
+            return 2
+    print(f"spill dir {spill_dir} ({free_gb:.0f} GB free)")
     if args.duck_mem:
         # Cap the oracle engine BELOW the host OOM line: an over-budget
         # brute-force oracle must surface as a recorded DuckDB
@@ -120,7 +155,6 @@ def main() -> int:
         # whole sweep (and every completed row) with it — the r11 sf1
         # sweep died exactly that way at 116 GiB anon RSS.
         con.execute(f"SET memory_limit='{args.duck_mem}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     if args.tz:
         con.execute(f"SET TimeZone='{args.tz}'")
     for t in TABLES:
@@ -313,6 +347,7 @@ def main() -> int:
                 else:
                     failures.append(f"{name}: mismatch (engine-hash)")
                     print(f"[{i}/{len(names)}] {name}: FAIL (engine-hash)")
+                _clean_spill()
                 continue
             try:
                 s = canon(df.toPandas())
@@ -334,6 +369,7 @@ def main() -> int:
                 else:
                     failures.append(f"{name}: mismatch (engine-hash)")
                     print(f"[{i}/{len(names)}] {name}: FAIL (engine-hash)")
+                _clean_spill()
                 continue
             rec["spark_rows"] = len(s)
             if name not in osql:
@@ -352,6 +388,7 @@ def main() -> int:
                 )
                 records[name] = rec
                 n_ok += 1
+                _clean_spill()
                 continue
             o = canon(con.execute(osql[name]).df())
             rec["oracle_rows"] = len(o)
@@ -371,6 +408,7 @@ def main() -> int:
                 failures.append(f"{name}: ERR {type(ex).__name__}: {ex}")
         rec["secs"] = round(time.time() - q_t0, 2)
         records[name] = rec
+        _clean_spill()  # per-query: a spilled oracle must not leak disk
         if ok:
             n_ok += 1
         else:
