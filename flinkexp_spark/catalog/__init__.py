@@ -947,6 +947,100 @@ def _r13_window() -> tuple[str, ...]:
     return window
 
 
+# --------------------------------------------------------------------------
+# ROUND-14 WINDOW: the r06 staleness frontier, then the r07 block.
+# After r13 the union ledger is green everywhere; the staleness frontier is
+# the 24 names whose newest official row is round 6, then the full 14-name
+# r07 block.  1 new + 24 r06 + 14 r07 + 11 oldest-r08 pads fill the 50
+# slots exactly — no overflow (_R14_CARRY_TO_R15 is empty, asserted).
+# NEW QUERIES added this round must be appended to _R14_NEW (each addition
+# pushes the newest r08 pad into the carry list — the window check raises
+# until the two lists agree).
+# --------------------------------------------------------------------------
+_R14_NEW: tuple[str, ...] = (
+    # from-spec .xz container walker (X5): stream/block/index CRC layers,
+    # LZMA2 uncompressed-chunk walk, CRC-64/ECMA-182 — pinned BOTH
+    # directions against the real `xz` binary and stdlib lzma
+    # (functions/xz.py, tests/test_xz.py)
+    "multimodal_decode_xz_frames",
+)
+
+_R14_REVERIFY: tuple[str, ...] = (
+    # the r06 block: every query whose newest official row is round 6
+    "sim_search_ivf",
+    "embed_random_projection",
+    "dedup_lines",
+    "pipeline_training_data",
+    "pipeline_dpo_pairs",
+    "window_gaps_islands",
+    "stream_python_datasource",
+    "timeseries_cross_correlation",
+    "feature_rolling_multi_horizon",
+    "feature_pit_training_set",
+    "join_asof_tolerance",
+    "feature_target_encoding",
+    "stats_correlation_matrix",
+    "quality_benford_audit",
+    "geo_distance_join",
+    "geo_nearest_supplier",
+    "geo_cell_density",
+    "stream_geofence_entry",
+    "stat_cuped_adjustment",
+    "survival_kaplan_meier",
+    "recsys_item_lift",
+    "timeseries_seasonal_decompose",
+    "rfm_segmentation",
+    "timeseries_forecast_backtest",
+    # the r07 block: newest official row is round 7
+    "changelog_incremental_join",
+    "interval_concurrency_peak",
+    "quality_t_closeness",
+    "multimodal_image_stats",
+    "sim_search_adc_rerank",
+    "sim_search_recall_ivf2",
+    "embed_quantize_pq",
+    "sim_search_pq_adc",
+    "sample_priority_weighted",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_encode",
+    "source_kafka_contract",
+    "pipeline_kafka_roundtrip",
+    "stat_ks_test",
+    # oldest r08 rows pad the remaining slots
+    "join_bucketed_colocated",
+    "join_dpp_partitioned",
+    "stream_wordcount_update",
+    "stream_session_window",
+    "stream_interval_join",
+    "stream_wordcount_per_record",
+    "scd2_build",
+    "join_scd2_pit",
+    "pattern_funnel",
+    "graph_triangle_count",
+    "graph_pagerank",
+)
+
+# No names pushed past slot 50 (1 new + 49 pads = 50 exactly).
+_R14_CARRY_TO_R15: tuple[str, ...] = ()
+
+
+def _r14_window() -> tuple[str, ...]:
+    """First-50 plan: new queries first, padded with re-verify slots.
+
+    Over-subscription must be acknowledged in _R14_CARRY_TO_R15 — a pool
+    name silently falling off the end (the r09 bug) raises instead."""
+    pad = [n for n in _R14_REVERIFY if n not in _R14_NEW]
+    plan = _R14_NEW + tuple(pad)
+    window, overflow = plan[:50], plan[50:]
+    if set(overflow) != set(_R14_CARRY_TO_R15):
+        raise RuntimeError(
+            "r14 window over-subscribed: names dropped from the 50 slots "
+            f"({sorted(overflow)}) do not match _R14_CARRY_TO_R15 "
+            f"({sorted(_R14_CARRY_TO_R15)}) — update the carry list"
+        )
+    return window
+
+
 def _apply_rotation() -> None:
     """Reorder the registry dict: priority lists first, then module order.
 
@@ -955,7 +1049,7 @@ def _apply_rotation() -> None:
     """
     from flinkexp_spark import registry
 
-    priority = _r13_window()
+    priority = _r14_window()
     missing = [n for n in priority if n not in registry.REGISTRY]
     if missing:  # a rename/removal must fail loudly, not silently shrink
         raise RuntimeError(f"rotation lists reference unknown queries: {missing}")

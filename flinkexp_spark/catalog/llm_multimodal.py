@@ -1422,3 +1422,65 @@ def q_multimodal_decode_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFra
     independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.zstd_stats(M.with_zstd_payload(docs))
+
+
+@register(
+    "multimodal_decode_xz_frames",
+    # Oracle recomputes the synthesized plaintext arithmetically (byte i =
+    # (s*11 + 23*((i // 170) % 47)) % 256 over n = len*4 + doc_id mod 2400
+    # + 1500 bytes); the engine's from-spec .xz container walk (stream
+    # header/footer CRC-32s, block headers, the LZMA2 uncompressed-chunk
+    # loop, CRC-32/CRC-64/SHA-256 block checks, Index verification,
+    # multi-stream Stream Padding) must land the stats exactly.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   (len * 4 + doc_id) % {M.XZ_LEN_MOD}
+                       + {M.XZ_LEN_MIN} AS n
+            FROM m),
+        b AS (
+            SELECT doc_id, n,
+                   (s * 11 + 23 * ((i // {M.XZ_RUN})
+                                   % {M.XZ_PERIOD})) % 256 AS v,
+                   i + 1 AS pos
+            FROM (SELECT *, unnest(range(n)) AS i FROM d))
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS BIGINT) AS byte_min,
+               CAST(MAX(v) AS BIGINT) AS byte_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_xz_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: from-spec .xz CONTAINER WALKER (Tukaani xz-file-format spec,
+    functions/xz.py) — the fourth compression-container family: stream
+    header magic + flags with reserved-bit enforcement and CRC-32, block
+    headers (encoded size, filter flags, the optional Compressed/
+    Uncompressed Size VLIs the multithreaded real tool writes, header
+    padding, CRC-32), the LZMA2 chunk walk over uncompressed chunks with
+    the dictionary-reset rule, block padding, integrity checks in all
+    four spec types (None / CRC-32 / CRC-64(ECMA-182, implemented from
+    the polynomial) / SHA-256), Index record-by-record verification
+    against the walked blocks, Backward Size, and multi-stream
+    concatenation with zero Stream Padding.  LZMA2 COMPRESSED chunks
+    (the range-coded payload) are explicitly out of scope and rejected
+    with a clear error — the exact analog of functions/zstd.py's
+    Compressed_Block boundary.  TWO reference implementations exist in
+    this environment: tests/test_xz.py round-trips our frames through
+    the system ``xz`` binary AND stdlib ``lzma`` in both directions
+    (they verify our checks; our walker decodes their uncompressed-chunk
+    output for incompressible data), pinning the container to the
+    reference tools, not just the spec text.  doc_id % 4 cycles
+    single-block-crc64 / multi-block-with-sizes-crc32 /
+    two-streams-padded-sha256 / multi-block-no-check layouts.  Per-row
+    independent work: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.xz_stats(M.with_xz_payload(docs))

@@ -2970,3 +2970,148 @@ def zstd_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "byte_min long, byte_max long, pos_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# xz container walker (X5, r14): the .xz file format over LZMA2
+# uncompressed chunks (functions/xz.py) with from-spec CRC-64/ECMA-182
+# and header CRC-32 verification — the fourth compression-container
+# family, pinned against the system's real ``xz`` binary AND stdlib lzma.
+# ---------------------------------------------------------------------------
+
+XZ_LEN_MOD = 2400
+XZ_LEN_MIN = 1500
+XZ_RUN = 170  # 170-byte value runs (payload variety, spans chunk splits)
+XZ_PERIOD = 47
+
+
+def _ship_xz_by_value() -> None:
+    """Register functions/xz.py AND its crc32 dependency
+    (functions/inflate.py) for by-value pickling — executors can't
+    import the repo (same rule as _ship_inflate_by_value)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from flinkexp_spark.functions import inflate, xz  # noqa: F401
+
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.inflate"]
+    )
+    cloudpickle.register_pickle_by_value(
+        sys.modules["flinkexp_spark.functions.xz"]
+    )
+
+
+def with_xz_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a spec-valid .xz payload carrying the deterministic
+    plaintext byte[i] = (s*11 + 23*((i // 170) % 47)) % 256 of length
+    len(text)*4 + doc_id mod 2400 + 1500.  ``doc_id % 4`` cycles the
+    walker's container paths:
+
+    * 0 — one block, CRC-64 check (the xz default)
+    * 1 — multi-block (700-byte blocks) WITH the optional
+      Compressed/Uncompressed Size header fields, CRC-32 check — the
+      layout the real multithreaded ``xz -T`` writes
+    * 2 — two concatenated streams split mid-payload with zero Stream
+      Padding between them (SHA-256 then no check)
+    * 3 — multi-block without size fields, no check
+
+    The encoder is the from-spec stored writer in functions/xz.py;
+    tests/test_xz.py round-trips it through the system's REAL ``xz``
+    binary and stdlib ``lzma``, so the fixture bytes are independently
+    verified conformant."""
+    _ship_xz_by_value()
+    from flinkexp_spark.functions.xz import (
+        xz_compress_stored,
+        xz_stream_padding,
+    )
+
+    lmod, lmin = XZ_LEN_MOD, XZ_LEN_MIN
+    run, per = XZ_RUN, XZ_PERIOD
+
+    def encode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            n = (len(raw) * 4 + doc_id) % lmod + lmin
+            plain = bytes(
+                (s * 11 + 23 * ((i // run) % per)) % 256 for i in range(n)
+            )
+            var = doc_id % 4
+            if var == 0:
+                return xz_compress_stored(plain, check="crc64")
+            if var == 1:
+                return xz_compress_stored(
+                    plain, check="crc32", block_bytes=700, with_sizes=True
+                )
+            if var == 2:
+                half = n // 2
+                return (
+                    xz_compress_stored(plain[:half], check="sha256")
+                    + xz_stream_padding(1 + doc_id % 3)
+                    + xz_compress_stored(plain[half:], check="none")
+                )
+            return xz_compress_stored(plain, check="none", block_bytes=900)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+def xz_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """From-spec .xz container walk (functions/xz.py: stream header/footer
+    CRC-32s, block-header parse + CRC, the LZMA2 uncompressed-chunk loop,
+    block checks across all four types, Index record verification,
+    Backward Size, multi-stream + Stream Padding) inside one Arrow
+    mapInPandas pass, then exact-integer byte stats.  Same envelope as
+    zstd_stats: per-row independent, no shuffle."""
+    _ship_xz_by_value()
+    from flinkexp_spark.functions.xz import xz_decompress
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes):
+            plain = xz_decompress(bytes(payload))
+            v = np.frombuffer(plain, dtype=np.uint8).astype(np.int64)
+            pos = np.arange(1, len(v) + 1, dtype=np.int64)
+            return (
+                len(v),
+                int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+                int((pos * v).sum()),
+            )
+
+        cols = ["n_bytes", "byte_sum", "byte_min", "byte_max", "pos_checksum"]
+        for pdf in batches:
+            rows = [one(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for j, c in enumerate(cols):
+                out[c] = pd.Series([r[j] for r in rows], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        decode,
+        schema=(
+            f"{id_col} long, n_bytes long, byte_sum long, "
+            "byte_min long, byte_max long, pos_checksum long"
+        ),
+    )
