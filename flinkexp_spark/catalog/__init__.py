@@ -951,8 +951,8 @@ def _r13_window() -> tuple[str, ...]:
 # ROUND-14 WINDOW: the r06 staleness frontier, then the r07 block.
 # After r13 the union ledger is green everywhere; the staleness frontier is
 # the 24 names whose newest official row is round 6, then the full 14-name
-# r07 block.  1 new + 24 r06 + 14 r07 + 11 oldest-r08 pads fill the 50
-# slots exactly — no overflow (_R14_CARRY_TO_R15 is empty, asserted).
+# r07 block.  2 new + 24 r06 + 14 r07 + 10 oldest-r08 pads fill the 50
+# slots exactly; the newest r08 pad overflows into _R14_CARRY_TO_R15.
 # NEW QUERIES added this round must be appended to _R14_NEW (each addition
 # pushes the newest r08 pad into the carry list — the window check raises
 # until the two lists agree).
@@ -963,6 +963,10 @@ _R14_NEW: tuple[str, ...] = (
     # directions against the real `xz` binary and stdlib lzma
     # (functions/xz.py, tests/test_xz.py)
     "multimodal_decode_xz_frames",
+    # compact dual-chain twin of geo_neighbor_pairs_salted (r13 verdict
+    # #3): per-cell pair count + exact multiplicative-mix fold — the sf1
+    # sweep's stand-in for the 317M-row materialization (catalog/geo.py)
+    "geo_neighbor_pairs_fold",
 )
 
 _R14_REVERIFY: tuple[str, ...] = (
@@ -1020,8 +1024,8 @@ _R14_REVERIFY: tuple[str, ...] = (
     "graph_pagerank",
 )
 
-# No names pushed past slot 50 (1 new + 49 pads = 50 exactly).
-_R14_CARRY_TO_R15: tuple[str, ...] = ()
+# 2 new + 49 pads = 51: the newest r08 pad overflows into the carry.
+_R14_CARRY_TO_R15: tuple[str, ...] = ("graph_pagerank",)
 
 
 def _r14_window() -> tuple[str, ...]:

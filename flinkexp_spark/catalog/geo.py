@@ -619,3 +619,118 @@ def q_geo_neighbor_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust_a", "cust_b", "dist_km")
         .orderBy("cust_a", "cust_b")
     )
+
+
+@register(
+    "geo_neighbor_pairs_fold",
+    # Same gated dual-chain pair stream as geo_neighbor_pairs_salted's
+    # oracle (brute-force a<b cross join below SALTED_BRUTE_MAX customers,
+    # cell-blocked mirror above), COLLAPSED per cell-of-a into a count and
+    # an order-insensitive arithmetic fold.  The fold term mixes the two
+    # keys MULTIPLICATIVELY and the fixed-point distance additively, so a
+    # dropped/duplicated/perturbed pair cannot cancel against another
+    # without satisfying a quadratic constraint across the cell — the
+    # compact stand-in (r13 verdict #3) that re-verifies the identical
+    # 317M-pair multiset at sf1 WITHOUT 317M-row materialization or
+    # per-row md5 on either engine.
+    oracle=f"""
+        WITH c AS MATERIALIZED (
+            SELECT c_custkey, {_CITY_LAT} AS plat, {_CITY_LON} AS plon
+            FROM customer),
+        gate AS (SELECT COUNT(*) <= {SALTED_BRUTE_MAX} AS small FROM c),
+        cb AS (SELECT * FROM c WHERE (SELECT small FROM gate)),
+        cg AS MATERIALIZED (
+            SELECT c_custkey, plat, plon,
+                   CAST(floor(plat / 4) AS BIGINT) AS cell_lat,
+                   CAST(floor((plon + 180.0) / 4) AS BIGINT) % 90 AS cell_lon
+            FROM c WHERE NOT (SELECT small FROM gate)),
+        r9 AS (
+            SELECT c_custkey, plat, plon,
+                   cell_lat + dy.d AS g_lat,
+                   (cell_lon + dx.d + 90) % 90 AS g_lon
+            FROM cg, (VALUES (-1), (0), (1)) dy(d),
+                 (VALUES (-1), (0), (1)) dx(d)),
+        pairs AS (
+            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                   CAST(floor(a.plat / 4) AS BIGINT) AS cell_lat,
+                   CAST(floor((a.plon + 180.0) / 4) AS BIGINT) % 90
+                       AS cell_lon,
+                   a.plat AS lat1, a.plon AS lon1,
+                   b.plat AS lat2, b.plon AS lon2
+            FROM cb a JOIN cb b ON a.c_custkey < b.c_custkey
+            UNION ALL
+            SELECT a.c_custkey, b.c_custkey, a.cell_lat, a.cell_lon,
+                   a.plat, a.plon, b.plat, b.plon
+            FROM cg a JOIN r9 b
+              ON a.cell_lat = b.g_lat AND a.cell_lon = b.g_lon
+             AND a.c_custkey < b.c_custkey),
+        kept AS (
+            SELECT cust_a, cust_b, cell_lat, cell_lon,
+                   {_HAVERSINE} AS dist_km
+            FROM pairs WHERE {_HAVERSINE} <= 200.0)
+        SELECT cell_lat, cell_lon,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST((cust_a + 13) * (cust_b + 7)
+                        + CAST(round(dist_km * 1000.0, 0) AS BIGINT) * 31
+                        AS HUGEINT)) AS VARCHAR) AS pair_fold
+        FROM kept GROUP BY cell_lat, cell_lon
+    """,
+    tags=("J7", "J5"),
+)
+def q_geo_neighbor_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT TWIN of :func:`q_geo_neighbor_pairs_salted` (r13 verdict
+    #3): the identical salted cell-blocked pair stream, collapsed per
+    cell-of-the-smaller-endpoint into ``(n_pairs, pair_fold)`` where
+    ``pair_fold = Σ (cust_a+13)·(cust_b+7) + round(dist·1000)·31`` as an
+    exact DECIMAL(38,0)/HUGEINT sum.  The full-pair query remains the
+    correctness contract (hash-proven vs brute force at
+    sf0.001/0.01/0.1); THIS row is what the sf1 sweep runs — the whole
+    317M-pair multiset still flows through both engines' joins and
+    haversine filters, but lands in a partial aggregation instead of a
+    317M-row materialization + per-row md5, cutting the sweep's cost to
+    the join itself.  Any lost, duplicated, or perturbed pair moves
+    ``n_pairs`` or ``pair_fold`` (multiplicative key mixing makes
+    compensating errors require solving a quadratic constraint inside
+    one cell).  At 100 TB the aggregate IS the deliverable shape for
+    pair-audit jobs: per-cell partial sums combine map-side, no pair
+    row ever crosses the shuffle.
+    """
+    pts = _points(
+        datasets.load(spark, sf_dir, "customer"),
+        "c_custkey",
+        _CITY_LAT,
+        _CITY_LON,
+        cell_deg=4,
+    )
+    left = pts.withColumnsRenamed(
+        {"c_custkey": "cust_a", "lat": "lat1", "lon": "lon1"}
+    )
+    right = _replicate_neighbors(
+        pts.withColumnsRenamed(
+            {"c_custkey": "cust_b", "lat": "lat2", "lon": "lon2"}
+        ),
+        cell_deg=4,
+    )
+    joined = hot_key_salted_join(
+        left,
+        right,
+        ["cell_lat", "cell_lon"],
+        F.xxhash64("cust_a"),
+        n_salts=8,
+        hot_factor=8.0,
+    )
+    pairs = (
+        joined.filter(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .filter(F.col("dist_km") <= 200.0)
+    )
+    fp = (
+        (F.col("cust_a") + F.lit(13)) * (F.col("cust_b") + F.lit(7))
+        + F.round(F.col("dist_km") * 1000.0, 0).cast("long") * F.lit(31)
+    )
+    return pairs.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        # exact 38-digit integer sum, emitted as STRING: pandas renders
+        # both engines' >int64 decimals as lossy float64 otherwise
+        F.sum(fp.cast("decimal(38,0)")).cast("string").alias("pair_fold"),
+    )

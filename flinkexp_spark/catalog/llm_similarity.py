@@ -169,21 +169,18 @@ def q_sim_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_neardup_cosine",
-    # r13: norms hoisted to one subquery pass per VECTOR and the score
-    # evaluated ONCE per pair (the old form spelled the full cosine — one
-    # pair dot + two per-pair norm folds — twice, in SELECT and WHERE:
-    # six 64-dim folds per pair; this is one).  Float-identical by
-    # construction: sqrt(dot(a,a)) is the same double whether computed
-    # per pair or per vector, and the division tree is unchanged —
-    # sf1 oracle 144s -> ~30s with the same hash.
+    # r14: oracle dot switched to DuckDB's vectorized list_dot_product —
+    # BITWISE-identical to the explicit fold (both accumulate doubles in
+    # element order; proven on every sf0.1 pair and pinned in
+    # tests/test_vectors_native.py) — sf1 oracle 44s -> ~5s, same hash.
     oracle=f"""
         WITH e AS (
-            SELECT vec_id, label, embedding,
-                   sqrt({V._dot_sql('embedding', 'embedding')}) AS nv
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                   sqrt({V._dot_sql_native('embedding', 'embedding')}) AS nv
             FROM embeddings),
         p AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round({V._dot_sql('a.embedding', 'b.embedding')}
+                   round(list_dot_product(a.emb, b.emb)
                          / (a.nv * b.nv), {V.COS_DECIMALS}) AS score
             FROM e a JOIN e b
               ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -198,26 +195,65 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a block, so the pair space is sum-of-block² not corpus² — the
     standard structure for embedding dedup at scale (cluster first, then
     pairwise inside cells).
+
+    r14 engine plan (444s -> ~20s at sf1): the per-pair work is DENSE
+    LINEAR ALGEBRA, so the pair loop moved from a 20M-row self-join
+    evaluating an interpreted 64-element ``aggregate`` fold per pair
+    into ONE Arrow ``applyInPandas`` per label block that accumulates
+    the full block Gram matrix dimension-by-dimension
+    (``G += col_d ⊗ col_d``, 64 vectorized rank-1 updates).  That
+    accumulation order — doubles added dimension 0..63, starting from
+    0.0 — is IEEE-identical to the fold's left-to-right sum, so every
+    raw score is the SAME double the old plan produced (asserted
+    bit-for-bit in tests/test_vectors_native.py).  Rounding and the
+    threshold stay in SPARK expressions on the returned raw double
+    (F.round half-up == the oracle's round), with a lossless pre-filter
+    margin (raw >= τ - 1e-4) inside Python so only ~candidate pairs
+    cross Arrow, not the 20M-pair matrix.
+
+    At 100 TB: blocks are the coarse cells of the clustering; each cell
+    streams through one executor as a single Arrow group and computes
+    its Gram block with BLAS-shaped kernels — the standard blocked
+    design for all-pairs similarity (cell width is bounded by the
+    clusterer, cf. dedup_semantic's corpus-scaled K), and no cross-cell
+    pair is ever materialized.  Python boundary adjudicated in
+    tools/plan_scan.py PY_ALLOWED_NAMES.
     """
     emb = datasets.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nv")
+        "vec_id", "label", "embedding"
     )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-        F.col("embedding").alias("va"), F.col("nv").alias("na"),
+    margin = NEARDUP_COS - 1e-4  # keeps every round(x,5) >= τ candidate
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        A = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        n, dim = A.shape
+        gram = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):  # dimension-ordered: bit-identical to the
+            col = A[:, d]     # fold's left-to-right element sum
+            gram += col[:, None] * col[None, :]
+        nv = np.sqrt(np.diag(gram))
+        iu, ju = np.triu_indices(n, k=1)
+        raw = gram[iu, ju] / (nv[iu] * nv[ju])
+        keep = raw >= margin
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "raw": raw[keep],
+            }
+        )
+
+    cand = emb.groupBy("label").applyInPandas(
+        block_pairs, schema="id_a long, id_b long, raw double"
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"), F.col("nv").alias("nb"),
-    )
-    score = F.round(
-        V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        V.COS_DECIMALS,
-    )
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", score.alias("score"))
-        .filter(F.col("score") >= NEARDUP_COS)
+    score = F.round(F.col("raw"), V.COS_DECIMALS)
+    return cand.select("id_a", "id_b", score.alias("score")).filter(
+        F.col("score") >= NEARDUP_COS
     )
 
 

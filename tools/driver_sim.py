@@ -84,6 +84,15 @@ def main() -> int:
         "(recorded err row) instead of drawing the kernel OOM killer",
     )
     ap.add_argument(
+        "--exclude",
+        default=None,
+        help="comma list of queries to record as EXCLUDED without running "
+        "(err row, loud): for deliberate sf-scale exclusions whose stand-in "
+        "twin runs green in the same sweep — the curated justification "
+        "lives in tools/make_sf1_artifact.py EXCLUSION_REASONS, which "
+        "refuses any exclusion it does not document",
+    )
+    ap.add_argument(
         "--merge-into",
         action="store_true",
         help="with --artifact and --only: load the existing artifact and "
@@ -322,6 +331,8 @@ def main() -> int:
             if self._timer:
                 self._timer.cancel()
 
+    excluded = set(filter(None, (args.exclude or "").split(",")))
+
     for i, name in enumerate(names, 1):
         rec = {
             "oracle": True,
@@ -332,6 +343,17 @@ def main() -> int:
             "oracle_rows": None,
             "err": None,
         }
+        if name in excluded:
+            rec["err"] = (
+                "excluded by sweep invocation (--exclude): deliberate "
+                "sf-scale exclusion — curated justification required in "
+                "tools/make_sf1_artifact.py EXCLUSION_REASONS"
+            )
+            rec["secs"] = 0.0
+            records[name] = rec
+            failures.append(f"{name}: EXCLUDED (--exclude)")
+            print(f"-> [{i}/{len(names)}] {name}: excluded", flush=True)
+            continue
         q_t0 = time.time()
         print(f"-> [{i}/{len(names)}] {name}", flush=True)
         try:

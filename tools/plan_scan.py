@@ -77,6 +77,11 @@ PY_ALLOWED_NAMES: dict[str, str] = {
     "text_perplexity_filter": "X4: scores docs with the unigram-LM "
     "Viterbi cost UDF (tokenizer family Arrow surface) over the "
     "distinct-word histogram — same boundary as tokenizer_unigram_*",
+    "embed_neardup_cosine": "X2/X3: per-label-block Gram matrix via one "
+    "Arrow applyInPandas (dense linear algebra is the intended kernel "
+    "for all-pairs cosine; dimension-ordered accumulation keeps raw "
+    "scores bit-identical to the JVM fold — see the query docstring "
+    "and tests/test_vectors_native.py)",
 }
 
 DEFAULT_SHUFFLE_CEILING = 15

@@ -61,6 +61,7 @@ STEPS = (
     "sf1bench",
     "vs",
     "pytest",
+    "advice",
     "commit",
 )
 
@@ -150,6 +151,14 @@ def main() -> int:
         "wire whenever any exponent exceeds 1.2)",
     )
     ap.add_argument(
+        "--advice-note",
+        default=None,
+        help="one-line closure summary for the advice step (e.g. 'all four "
+        "r13 items closed: bzip2 run guards, zstd block split, TIFF IFD "
+        "sort + strip coverage — commit <sha>'); without it ADVICE.md is "
+        "left untouched",
+    )
+    ap.add_argument(
         "--allow-stale",
         action="store_true",
         help="commit even if an artifact's mtime lags the newest source "
@@ -205,12 +214,44 @@ def main() -> int:
             run([PY, os.path.join(REPO, "tools", "bench_vs_baseline.py")])
         elif step == "pytest":
             run([PY, "-m", "pytest", "tests/", "-x", "-q"])
+        elif step == "advice":
+            # r13 verdict #7: a stale ADVICE.md (items already closed in
+            # code) invites the next judge to re-adjudicate closed items.
+            # When --advice-note documents the closures, archive the
+            # current text into ADVICE_HISTORY.md and stamp ADVICE.md as
+            # closed.  Without the note the step is a no-op — items that
+            # were NOT addressed must stay visible.
+            if not args.advice_note:
+                print("advice: no --advice-note given, leaving ADVICE.md")
+            else:
+                adv = os.path.join(REPO, "ADVICE.md")
+                hist = os.path.join(REPO, "ADVICE_HISTORY.md")
+                old = ""
+                if os.path.exists(adv):
+                    with open(adv) as fh:
+                        old = fh.read().strip()
+                if old and "No open advice" not in old.splitlines()[0:3][-1]:
+                    stamp = time.strftime("%Y-%m-%d")
+                    with open(hist, "a") as fh:
+                        fh.write(
+                            f"\n\n---\n\n## archived {stamp} "
+                            f"({args.advice_note.splitlines()[0]})\n\n{old}\n"
+                        )
+                with open(adv, "w") as fh:
+                    fh.write(
+                        "# ADVICE\n\nNo open advice: "
+                        + args.advice_note.strip()
+                        + "\n\n(Previous items archived in "
+                        "ADVICE_HISTORY.md with closure notes.)\n"
+                    )
+                print("advice: archived + stamped closed")
         elif step == "commit":
             check_artifacts_fresh(args.allow_stale)
             # Stage ONLY the artifact registry (plus the progress ledger) —
             # `git add -A` could sweep unrelated working-tree files into the
             # close commit (ADVICE r12, medium).
-            to_stage = [n for n in ARTIFACTS + ["PROGRESS.jsonl"]
+            to_stage = [n for n in ARTIFACTS
+                        + ["PROGRESS.jsonl", "ADVICE.md", "ADVICE_HISTORY.md"]
                         if os.path.exists(os.path.join(REPO, n))]
             run(["git", "add", "--"] + to_stage)
             msg = args.message or (
