@@ -86,15 +86,62 @@ _CITY_LON = (
     f"ELSE {_CUST_LON} END)"
 )
 
-# Haversine great-circle distance in km — one expression string shared by
-# both engines (sin^2 is 360-periodic in the raw coordinate difference, so
-# no explicit antimeridian handling is needed here).
+# Haversine great-circle distance in km, quantized to 3 decimals — one
+# expression string shared by both engines (sin^2 is 360-periodic in the
+# raw coordinate difference, so no explicit antimeridian handling is
+# needed here).  r14 hot-path form: the old round(x, 3) allocates a java
+# BigDecimal PER CALL on the Spark side — evaluated in the join condition
+# AND the projection of the 10^8-pair sf1 joins, that was an allocation/GC
+# storm (geo_neighbor_pairs_salted: 401 s of mostly GC).  floor(x*1000 +
+# 0.5)/1000.0 is pure double arithmetic; m/1000.0 is the correctly-rounded
+# double of m*10^-3, so the result is bitwise what BigDecimal produced
+# whenever the integer m agrees (they can differ only when x*1000 sits
+# within one ulp of a .5 boundary — and both engines share this exact
+# tree, so cross-engine hashes are identical regardless).  pow(s, 2)
+# likewise became s*s: Math.pow is ~100 ns against a 1 ns multiply.
+# NB the CAST(... AS DOUBLE) around floor(): Spark parses the literal
+# 1000.0 as DECIMAL and floor() returns LONG, so a bare m / 1000.0 would
+# be a DECIMAL division on the Spark side (DuckDB's stays DOUBLE) — the
+# cast pins both engines to the same double division.
 _HAVERSINE = (
-    "round(2.0 * 6371.0088 * asin(sqrt("
-    "pow(sin(radians(lat2 - lat1) / 2), 2)"
+    "(CAST(floor((2.0 * 6371.0088 * asin(sqrt("
+    "sin(radians(lat2 - lat1) / 2) * sin(radians(lat2 - lat1) / 2)"
     " + cos(radians(lat1)) * cos(radians(lat2))"
-    " * pow(sin(radians(lon2 - lon1) / 2), 2))), 3)"
+    " * (sin(radians(lon2 - lon1) / 2) * sin(radians(lon2 - lon1) / 2))"
+    "))) * 1000.0 + 0.5) AS DOUBLE) / 1000.0)"
 )
+
+# Chord (unit-sphere 3D) form of the same great-circle distance:
+# dist = 2R * asin(|p1 - p2| / 2) over precomputed per-point unit vectors
+# (px, py, pz).  Mathematically equal to _HAVERSINE; floating-point
+# consistent across engines because BOTH evaluate this exact expression
+# tree (the proof pattern every geo query here relies on).  Per pair it
+# costs one asin + one sqrt instead of haversine's two sins, two coss and
+# two pows — the right trade when the pair stream is 10^8 rows and the
+# trig-heavy per-point prep is only 10^5.  Deliberately UNROUNDED:
+# Spark's round(double, s) allocates a java BigDecimal PER CALL, which at
+# 3 calls x 345M pairs turns the whole join stage into an allocation/GC
+# storm (measured 693s -> 30s-class at sf1 when the rounds left the pair
+# path); quantization for folds uses _QUANT_MM below instead.
+_CHORD_DIST = (
+    "2.0 * 6371.0088 * asin(sqrt("
+    "(px1 - px2) * (px1 - px2) + (py1 - py2) * (py1 - py2)"
+    " + (pz1 - pz2) * (pz1 - pz2)) * 0.5)"
+)
+
+# Allocation-free half-up quantization of a nonnegative double distance to
+# integer millimeters-of-km (1e-3 km): floor(x*1000 + 0.5) is pure double
+# arithmetic + one floor; the result is an integral double < 2^53, so the
+# BIGINT cast is exact in both engines (DuckDB's CAST(double AS BIGINT)
+# rounds while Spark's truncates — irrelevant here because floor() already
+# made the value integral).
+_QUANT_MM = "CAST(floor(({dist}) * 1000.0 + 0.5) AS BIGINT)"
+
+# Per-point unit-vector components, evaluated on a `lat`/`lon` pair of
+# columns — one string per component so engine and oracle share the tree.
+_UNIT_PX = "cos(radians({lat})) * cos(radians({lon}))"
+_UNIT_PY = "cos(radians({lat})) * sin(radians({lon}))"
+_UNIT_PZ = "sin(radians({lat}))"
 
 
 def _points(
@@ -621,6 +668,91 @@ def q_geo_neighbor_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fold_oracle_sql(n_slices: int = 32) -> str:
+    """Oracle SQL for ``geo_neighbor_pairs_fold``, sliced for parallelism.
+
+    DuckDB's parallelism is SOURCE-driven: the cell-blocked pair pipeline
+    hangs off one CTE scan and ran single-threaded regardless of the
+    thread count (measured 123.7 s at 1 thread vs 137.2 s at 32 — no
+    speedup at all).  Slicing the probe side into ``n_slices`` hash
+    buckets (``a.c_custkey % n = k``) and UNION ALLing one
+    partially-aggregated branch per bucket gives DuckDB independent
+    pipelines it schedules concurrently; the outer GROUP BY sums the
+    per-cell partials (exactly Spark's partial/final aggregate split,
+    spelled in SQL).  The union of the slice predicates is the whole
+    probe side, so the pair multiset is unchanged."""
+    chord_ab = (
+        "2.0 * 6371.0088 * asin(sqrt("
+        "(a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)"
+        " + (a.pz - b.pz) * (a.pz - b.pz)) * 0.5)"
+    )
+    fp = (
+        "(cust_a + 13) * (cust_b + 7) + "
+        + _QUANT_MM.format(dist="dist_km")
+        + " * 31"
+    )
+    agg = """
+            SELECT cell_lat, cell_lon,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(fp % 2147483648) AS BIGINT) AS fold_lo,
+                   CAST(SUM(fp // 2147483648) AS BIGINT) AS fold_hi
+            FROM (SELECT cell_lat, cell_lon, {fp} AS fp
+                  FROM ({pairs}) p
+                  WHERE dist_km <= 200.0) f
+            GROUP BY cell_lat, cell_lon"""
+    brute_pairs = f"""
+                SELECT CAST(a.c_custkey AS BIGINT) AS cust_a,
+                       CAST(b.c_custkey AS BIGINT) AS cust_b,
+                       CAST(floor(a.plat / 4) AS BIGINT) AS cell_lat,
+                       CAST(floor((a.plon + 180.0) / 4) AS BIGINT) % 90
+                           AS cell_lon,
+                       {chord_ab} AS dist_km
+                FROM cb a JOIN cb b ON a.c_custkey < b.c_custkey"""
+    slice_pairs = [
+        f"""
+                SELECT CAST(a.c_custkey AS BIGINT) AS cust_a,
+                       CAST(b.c_custkey AS BIGINT) AS cust_b,
+                       a.cell_lat, a.cell_lon,
+                       {chord_ab} AS dist_km
+                FROM cg a JOIN r9 b
+                  ON a.cell_lat = b.g_lat AND a.cell_lon = b.g_lon
+                 AND a.c_custkey < b.c_custkey
+                WHERE a.c_custkey % {n_slices} = {k}"""
+        for k in range(n_slices)
+    ]
+    branches = "\n            UNION ALL\n".join(
+        agg.format(fp=fp, pairs=p) for p in [brute_pairs, *slice_pairs]
+    )
+    return f"""
+        WITH c AS MATERIALIZED (
+            SELECT c_custkey, plat, plon,
+                   {_UNIT_PX.format(lat='plat', lon='plon')} AS px,
+                   {_UNIT_PY.format(lat='plat', lon='plon')} AS py,
+                   {_UNIT_PZ.format(lat='plat')} AS pz
+            FROM (SELECT c_custkey, {_CITY_LAT} AS plat, {_CITY_LON} AS plon
+                  FROM customer) c0),
+        gate AS (SELECT COUNT(*) <= {SALTED_BRUTE_MAX} AS small FROM c),
+        cb AS (SELECT * FROM c WHERE (SELECT small FROM gate)),
+        cg AS MATERIALIZED (
+            SELECT c_custkey, px, py, pz,
+                   CAST(floor(plat / 4) AS BIGINT) AS cell_lat,
+                   CAST(floor((plon + 180.0) / 4) AS BIGINT) % 90 AS cell_lon
+            FROM c WHERE NOT (SELECT small FROM gate)),
+        r9 AS (
+            SELECT c_custkey, px, py, pz,
+                   cell_lat + dy.d AS g_lat,
+                   (cell_lon + dx.d + 90) % 90 AS g_lon
+            FROM cg, (VALUES (-1), (0), (1)) dy(d),
+                 (VALUES (-1), (0), (1)) dx(d)),
+        parts AS ({branches})
+        SELECT cell_lat, cell_lon,
+               CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+               CAST(SUM(fold_lo) AS BIGINT) AS fold_lo,
+               CAST(SUM(fold_hi) AS BIGINT) AS fold_hi
+        FROM parts GROUP BY cell_lat, cell_lon
+    """
+
+
 @register(
     "geo_neighbor_pairs_fold",
     # Same gated dual-chain pair stream as geo_neighbor_pairs_salted's
@@ -630,70 +762,48 @@ def q_geo_neighbor_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys MULTIPLICATIVELY and the fixed-point distance additively, so a
     # dropped/duplicated/perturbed pair cannot cancel against another
     # without satisfying a quadratic constraint across the cell — the
-    # compact stand-in (r13 verdict #3) that re-verifies the identical
-    # 317M-pair multiset at sf1 WITHOUT 317M-row materialization or
-    # per-row md5 on either engine.
-    oracle=f"""
-        WITH c AS MATERIALIZED (
-            SELECT c_custkey, {_CITY_LAT} AS plat, {_CITY_LON} AS plon
-            FROM customer),
-        gate AS (SELECT COUNT(*) <= {SALTED_BRUTE_MAX} AS small FROM c),
-        cb AS (SELECT * FROM c WHERE (SELECT small FROM gate)),
-        cg AS MATERIALIZED (
-            SELECT c_custkey, plat, plon,
-                   CAST(floor(plat / 4) AS BIGINT) AS cell_lat,
-                   CAST(floor((plon + 180.0) / 4) AS BIGINT) % 90 AS cell_lon
-            FROM c WHERE NOT (SELECT small FROM gate)),
-        r9 AS (
-            SELECT c_custkey, plat, plon,
-                   cell_lat + dy.d AS g_lat,
-                   (cell_lon + dx.d + 90) % 90 AS g_lon
-            FROM cg, (VALUES (-1), (0), (1)) dy(d),
-                 (VALUES (-1), (0), (1)) dx(d)),
-        pairs AS (
-            SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-                   CAST(floor(a.plat / 4) AS BIGINT) AS cell_lat,
-                   CAST(floor((a.plon + 180.0) / 4) AS BIGINT) % 90
-                       AS cell_lon,
-                   a.plat AS lat1, a.plon AS lon1,
-                   b.plat AS lat2, b.plon AS lon2
-            FROM cb a JOIN cb b ON a.c_custkey < b.c_custkey
-            UNION ALL
-            SELECT a.c_custkey, b.c_custkey, a.cell_lat, a.cell_lon,
-                   a.plat, a.plon, b.plat, b.plon
-            FROM cg a JOIN r9 b
-              ON a.cell_lat = b.g_lat AND a.cell_lon = b.g_lon
-             AND a.c_custkey < b.c_custkey),
-        kept AS (
-            SELECT cust_a, cust_b, cell_lat, cell_lon,
-                   {_HAVERSINE} AS dist_km
-            FROM pairs WHERE {_HAVERSINE} <= 200.0)
-        SELECT cell_lat, cell_lon,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(CAST((cust_a + 13) * (cust_b + 7)
-                        + CAST(round(dist_km * 1000.0, 0) AS BIGINT) * 31
-                        AS HUGEINT)) AS VARCHAR) AS pair_fold
-        FROM kept GROUP BY cell_lat, cell_lon
-    """,
+    # compact stand-in (r13 verdict #3) that re-verifies the 317M-pair
+    # multiset at sf1 WITHOUT 317M-row materialization or per-row md5 on
+    # either engine.  Distance is the chord form (_CHORD_DIST, shared
+    # expression tree both engines); the fold is an exact 2^31 lo/hi
+    # split into two BIGINT sums; the oracle is hash-bucket-sliced for
+    # DuckDB pipeline parallelism (see _fold_oracle_sql).
+    oracle=_fold_oracle_sql(),
     tags=("J7", "J5"),
 )
 def q_geo_neighbor_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPACT TWIN of :func:`q_geo_neighbor_pairs_salted` (r13 verdict
-    #3): the identical salted cell-blocked pair stream, collapsed per
-    cell-of-the-smaller-endpoint into ``(n_pairs, pair_fold)`` where
-    ``pair_fold = Σ (cust_a+13)·(cust_b+7) + round(dist·1000)·31`` as an
-    exact DECIMAL(38,0)/HUGEINT sum.  The full-pair query remains the
-    correctness contract (hash-proven vs brute force at
-    sf0.001/0.01/0.1); THIS row is what the sf1 sweep runs — the whole
-    317M-pair multiset still flows through both engines' joins and
-    haversine filters, but lands in a partial aggregation instead of a
-    317M-row materialization + per-row md5, cutting the sweep's cost to
-    the join itself.  Any lost, duplicated, or perturbed pair moves
-    ``n_pairs`` or ``pair_fold`` (multiplicative key mixing makes
-    compensating errors require solving a quadratic constraint inside
-    one cell).  At 100 TB the aggregate IS the deliverable shape for
-    pair-audit jobs: per-cell partial sums combine map-side, no pair
-    row ever crosses the shuffle.
+    #3): the same salted cell-blocked pair stream, collapsed per
+    cell-of-the-smaller-endpoint into ``(n_pairs, fold_lo, fold_hi)``
+    where ``fp = (cust_a+13)·(cust_b+7) + round(dist·1000)·31`` and the
+    two folds are its exact Σ split at 2^31 (fp < 2^35, so two plain
+    long sums encode the exact integer total with full codegen and
+    map-side combine — no per-row BigDecimal).  The full-pair haversine
+    query remains the correctness contract (hash-proven vs brute force
+    at sf0.001/0.01/0.1); THIS row is what the sf1 sweep runs — the
+    whole 317M-pair multiset still flows through both engines' joins
+    and distance filters, but lands in a partial aggregation instead of
+    a 317M-row materialization + per-row md5.  Any lost, duplicated, or
+    perturbed pair moves ``n_pairs`` or a fold (multiplicative key
+    mixing makes compensating errors require solving a quadratic
+    constraint inside one cell).
+
+    Distance here is the UNROUNDED chord form (``_CHORD_DIST``):
+    mathematically the same great-circle distance as ``_HAVERSINE``, but
+    evaluated from per-point unit vectors so the 10^8-row pair stream
+    pays one asin + one sqrt per pair instead of six trig calls, and
+    with NO ``round()`` in the pair path — Spark's round(double, s)
+    allocates a BigDecimal per call, and three of them per pair turned
+    the sf1 join stage into a 693 s allocation/GC storm; the fold's
+    distance term quantizes with ``_QUANT_MM`` (floor(x*1000+0.5), pure
+    double arithmetic) instead.  Both engines evaluate the identical
+    expression tree, so the twin is exactly self-consistent; pairs
+    within float-ulp of the 200 km boundary could in principle classify
+    differently than under the rounded-haversine tree, which is why the
+    haversine full-pair query (not this twin) stays the boundary-exact
+    contract at ≤sf0.1.  At 100 TB the aggregate IS the deliverable
+    shape for pair-audit jobs: per-cell partial sums combine map-side,
+    no pair row ever crosses the shuffle.
     """
     pts = _points(
         datasets.load(spark, sf_dir, "customer"),
@@ -701,13 +811,22 @@ def q_geo_neighbor_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CITY_LAT,
         _CITY_LON,
         cell_deg=4,
+    ).select(
+        "c_custkey",
+        "cell_lat",
+        "cell_lon",
+        # per-point unit vector: the 10^5-row trig prep that makes the
+        # 10^8-row pair stream trig-free except for one asin each
+        F.expr(_UNIT_PX.format(lat="lat", lon="lon")).alias("px"),
+        F.expr(_UNIT_PY.format(lat="lat", lon="lon")).alias("py"),
+        F.expr(_UNIT_PZ.format(lat="lat")).alias("pz"),
     )
     left = pts.withColumnsRenamed(
-        {"c_custkey": "cust_a", "lat": "lat1", "lon": "lon1"}
+        {"c_custkey": "cust_a", "px": "px1", "py": "py1", "pz": "pz1"}
     )
     right = _replicate_neighbors(
         pts.withColumnsRenamed(
-            {"c_custkey": "cust_b", "lat": "lat2", "lon": "lon2"}
+            {"c_custkey": "cust_b", "px": "px2", "py": "py2", "pz": "pz2"}
         ),
         cell_deg=4,
     )
@@ -721,16 +840,24 @@ def q_geo_neighbor_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         joined.filter(F.col("cust_a") < F.col("cust_b"))
-        .withColumn("dist_km", F.expr(_HAVERSINE))
+        .withColumn("dist_km", F.expr(_CHORD_DIST))
         .filter(F.col("dist_km") <= 200.0)
     )
     fp = (
-        (F.col("cust_a") + F.lit(13)) * (F.col("cust_b") + F.lit(7))
-        + F.round(F.col("dist_km") * 1000.0, 0).cast("long") * F.lit(31)
+        (F.col("cust_a").cast("long") + F.lit(13))
+        * (F.col("cust_b").cast("long") + F.lit(7))
+        + F.expr(_QUANT_MM.format(dist="dist_km")) * F.lit(31)
     )
-    return pairs.groupBy("cell_lat", "cell_lon").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        # exact 38-digit integer sum, emitted as STRING: pandas renders
-        # both engines' >int64 decimals as lossy float64 otherwise
-        F.sum(fp.cast("decimal(38,0)")).cast("string").alias("pair_fold"),
+    # exact >64-bit sum without per-row BigDecimal: fp < 2^35, so the
+    # lo/hi 2^31 split gives two plain long sums (codegen + map-side
+    # combine) that together encode the exact integer total — any pair
+    # perturbation moves at least one of them
+    return (
+        pairs.withColumn("fp", fp)
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("fp") % F.lit(2147483648)).alias("fold_lo"),
+            F.sum(F.expr("fp div 2147483648")).alias("fold_hi"),
+        )
     )
