@@ -967,6 +967,10 @@ _R14_NEW: tuple[str, ...] = (
     # #3): per-cell pair count + exact multiplicative-mix fold — the sf1
     # sweep's stand-in for the 317M-row materialization (catalog/geo.py)
     "geo_neighbor_pairs_fold",
+    # from-spec LZMA/LZMA2 range decoder (functions/lzma2.py) behind the
+    # .xz container walk — real liblzma-compressed payloads, arithmetic
+    # oracle (catalog/llm_multimodal.py)
+    "multimodal_decode_lzma2",
 )
 
 _R14_REVERIFY: tuple[str, ...] = (
@@ -1024,8 +1028,8 @@ _R14_REVERIFY: tuple[str, ...] = (
     "graph_pagerank",
 )
 
-# 2 new + 49 pads = 51: the newest r08 pad overflows into the carry.
-_R14_CARRY_TO_R15: tuple[str, ...] = ("graph_pagerank",)
+# 3 new + 49 pads = 52: the two newest r08 pads overflow into the carry.
+_R14_CARRY_TO_R15: tuple[str, ...] = ("graph_triangle_count", "graph_pagerank")
 
 
 def _r14_window() -> tuple[str, ...]:

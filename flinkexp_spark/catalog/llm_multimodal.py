@@ -1484,3 +1484,63 @@ def q_multimodal_decode_xz_frames(spark: SparkSession, sf_dir: str) -> DataFrame
     independent work: no shuffle, linear in the corpus."""
     docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return M.xz_stats(M.with_xz_payload(docs))
+
+
+@register(
+    "multimodal_decode_lzma2",
+    # Same arithmetic-oracle construction as multimodal_decode_xz_frames,
+    # but the payloads are REAL liblzma-compressed .xz (range-coded LZMA2
+    # chunks): the engine's from-spec LZMA range decoder
+    # (functions/lzma2.py — adaptive bit probabilities, pos-slot/align
+    # trees, the 12-state machine with rep distances, matched literals,
+    # LZMA2 chunk resets) must reproduce the plaintext byte-exactly for
+    # the stats to land.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   strlen(text) AS len,
+                   CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS s
+            FROM documents WHERE doc_id < 100),
+        d AS (
+            SELECT doc_id, s,
+                   (len * 4 + doc_id) % {M.LZMA2_LEN_MOD}
+                       + {M.LZMA2_LEN_MIN} AS n
+            FROM m),
+        b AS (
+            SELECT doc_id, n,
+                   (s * 11 + 23 * ((i // {M.XZ_RUN})
+                                   % {M.XZ_PERIOD})) % 256 AS v,
+                   i + 1 AS pos
+            FROM (SELECT *, unnest(range(n)) AS i FROM d))
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(SUM(v) AS BIGINT) AS byte_sum,
+               CAST(MIN(v) AS BIGINT) AS byte_min,
+               CAST(MAX(v) AS BIGINT) AS byte_max,
+               CAST(SUM(pos * v) AS BIGINT) AS pos_checksum
+        FROM b GROUP BY doc_id, n
+    """,
+    tags=("X5", "U2"),
+)
+def q_multimodal_decode_lzma2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (r14): from-spec LZMA / LZMA2 RANGE DECODER (Igor Pavlov's
+    public lzma-specification + xz file-format §5.3.1;
+    functions/lzma2.py) — the fifth entropy lane after DEFLATE, bzip2,
+    GIF/TIFF-LZW and the FLAC rice codes: 11-bit adaptive bit
+    probabilities with shift-5 updates, 6-bit pos-slot trees + reverse
+    SpecPos/align trees, choice-split length coders (2..273), the
+    0x300-entry literal tables keyed by lc/lp with the matched-literal
+    path, the 12-state literal/match/rep machine with rep0..rep3 recent
+    distances and short-rep, and LZMA2's chunk control layer (state /
+    props / dictionary resets; dictionary-relative positions; matches
+    reaching across chunk boundaries).  Payloads are compressed by
+    stdlib liblzma — a conformant REFERENCE ENCODER pinning the decoder,
+    the executor-side analog of tests/test_lzma2.py's preset sweep and
+    tests/test_xz.py's real-binary round-trips — cycling presets
+    0/6/9e + a custom lc=0,lp=2,pb=1 filter chain and all four container
+    check types via ``doc_id % 4``.  The DuckDB oracle recomputes the
+    plaintext arithmetically, so the green hash certifies byte-exact
+    decompression end-to-end through the .xz container walk.  Per-row
+    independent Arrow mapInPandas: no shuffle, linear in the corpus."""
+    docs = datasets.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return M.xz_stats(M.with_lzma2_payload(docs))

@@ -2986,21 +2986,23 @@ XZ_PERIOD = 47
 
 
 def _ship_xz_by_value() -> None:
-    """Register functions/xz.py AND its crc32 dependency
-    (functions/inflate.py) for by-value pickling — executors can't
-    import the repo (same rule as _ship_inflate_by_value)."""
+    """Register functions/xz.py AND its dependencies — crc32 from
+    functions/inflate.py and the r14 LZMA2 range decoder
+    (functions/lzma2.py, imported lazily inside the chunk walk) — for
+    by-value pickling: executors can't import the repo (same rule as
+    _ship_inflate_by_value)."""
     import sys
 
     from pyspark import cloudpickle
 
-    from flinkexp_spark.functions import inflate, xz  # noqa: F401
+    from flinkexp_spark.functions import inflate, lzma2, xz  # noqa: F401
 
-    cloudpickle.register_pickle_by_value(
-        sys.modules["flinkexp_spark.functions.inflate"]
-    )
-    cloudpickle.register_pickle_by_value(
-        sys.modules["flinkexp_spark.functions.xz"]
-    )
+    for mod in (
+        "flinkexp_spark.functions.inflate",
+        "flinkexp_spark.functions.lzma2",
+        "flinkexp_spark.functions.xz",
+    ):
+        cloudpickle.register_pickle_by_value(sys.modules[mod])
 
 
 def with_xz_payload(
@@ -3059,6 +3061,85 @@ def with_xz_payload(
                     + xz_compress_stored(plain[half:], check="none")
                 )
             return xz_compress_stored(plain, check="none", block_bytes=900)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [
+                        one(int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(encode, schema=f"{id_col} long, payload binary")
+
+
+LZMA2_LEN_MOD = 3000
+LZMA2_LEN_MIN = 2000
+
+
+def with_lzma2_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL-COMPRESSED .xz payload (range-coded LZMA2 chunks)
+    carrying the deterministic plaintext byte[i] = (s*11 + 23*((i // 170)
+    % 47)) % 256 of length len(text)*4 + doc_id mod 3000 + 2000.
+
+    The COMPRESSOR is stdlib liblzma — deliberately: the from-spec side
+    under test is the DECODER (functions/lzma2.py range decoder +
+    functions/xz.py container walk), and a conformant reference encoder
+    is exactly what pins it, the executor-side analog of test_xz.py's
+    real-binary round-trips.  ``doc_id % 4`` cycles encoder shapes:
+
+    * 0 — preset 6, CRC-64 check (the xz default)
+    * 1 — preset 0 (fast mode's different match emission), CRC-32
+    * 2 — preset 9|EXTREME, SHA-256
+    * 3 — custom filter chain (64 KiB dict, lc=0 lp=2 pb=1: exercises
+      the non-default literal-context split), no check
+    """
+    _ship_xz_by_value()
+
+    lmod, lmin = LZMA2_LEN_MOD, LZMA2_LEN_MIN
+    run, per = XZ_RUN, XZ_PERIOD
+
+    def encode(batches):
+        import hashlib
+        import lzma
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            raw = text.encode("utf-8")
+            s = hashlib.md5(raw).digest()[0]
+            n = (len(raw) * 4 + doc_id) % lmod + lmin
+            plain = bytes(
+                (s * 11 + 23 * ((i // run) % per)) % 256 for i in range(n)
+            )
+            var = doc_id % 4
+            if var == 0:
+                return lzma.compress(
+                    plain, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64,
+                    preset=6,
+                )
+            if var == 1:
+                return lzma.compress(
+                    plain, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC32,
+                    preset=0,
+                )
+            if var == 2:
+                return lzma.compress(
+                    plain, format=lzma.FORMAT_XZ, check=lzma.CHECK_SHA256,
+                    preset=9 | lzma.PRESET_EXTREME,
+                )
+            return lzma.compress(
+                plain, format=lzma.FORMAT_XZ, check=lzma.CHECK_NONE,
+                filters=[{
+                    "id": lzma.FILTER_LZMA2, "dict_size": 1 << 16,
+                    "lc": 0, "lp": 2, "pb": 1,
+                }],
+            )
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -1,4 +1,4 @@
-"""From-spec .xz container walker — LZMA2 uncompressed-chunk scope.
+"""From-spec .xz container walker with full LZMA2 decode.
 
 Derived entirely from the public xz file-format specification (the
 Tukaani project's ``xz-file-format.txt``, v1.2.1) and, for CRC-64, the
@@ -26,16 +26,15 @@ ECMA-182 polynomial:
   the header's, ``YZ`` magic
 * multi-stream concatenation with 4-byte-aligned zero Stream Padding
 
-LZMA2 COMPRESSED chunks (control >= 0x80: the range-coded LZMA payload)
-are OUT OF SCOPE and rejected with an explicit error — this module is
-the container walker, the exact analog of functions/zstd.py's
-``Compressed_Block`` boundary; the from-spec entropy lanes live in
-functions/inflate.py and functions/bzip2.py.  The stored encoder here
-emits spec-valid .xz files any conformant decoder accepts —
-tests/test_xz.py round-trips them through the system's REAL ``xz``
-binary and stdlib ``lzma`` in BOTH directions (the real tools verify our
-CRC-64/SHA-256 checks; our walker decodes their uncompressed-chunk
-output for incompressible data).  ``import lzma`` lives ONLY in tests.
+LZMA2 COMPRESSED chunks (control >= 0x80) decode through the from-spec
+LZMA range decoder in functions/lzma2.py (r14 — the walker's original
+uncompressed-chunk scope boundary is retired), so ``xz_decompress``
+handles arbitrary conformant .xz files.  The stored ENCODER here still
+emits uncompressed chunks only (a from-spec LZMA encoder is an
+optimization search, not a format requirement) — tests/test_xz.py
+round-trips through the system's REAL ``xz`` binary and stdlib ``lzma``
+in BOTH directions across presets and multi-chunk payloads.  ``import
+lzma`` lives ONLY in tests.
 """
 
 from __future__ import annotations
@@ -44,6 +43,7 @@ import hashlib
 import struct
 
 from flinkexp_spark.functions.inflate import crc32
+from flinkexp_spark.functions.lzma2 import Lzma2Error, lzma2_decode_chunks
 
 _MAGIC = b"\xfd7zXZ\x00"
 _FOOTER_MAGIC = b"YZ"
@@ -139,41 +139,21 @@ def _check_of(check_id: int, plain: bytes) -> bytes:
     raise XzError(f"check id {check_id:#04x} unsupported")
 
 
-def _decode_lzma2_stored(data: bytes, pos: int, end: int | None) -> tuple[bytes, int]:
-    """Walk LZMA2 chunks from ``pos``; uncompressed chunks only.
+def _decode_lzma2(data: bytes, pos: int, end: int | None) -> tuple[bytes, int]:
+    """Walk LZMA2 chunks from ``pos`` — stored AND compressed (r14: the
+    range-coded lane lives in functions/lzma2.py, pinned byte-exact
+    against stdlib lzma and the real ``xz`` binary).
 
     ``end`` (when the block header declared Compressed Size) bounds the
-    walk; the 0x00 end-of-stream control terminates it either way."""
-    out = bytearray()
-    first = True
-    while True:
-        if pos >= len(data) or (end is not None and pos >= end):
-            raise XzError("LZMA2 stream missing its end marker")
-        ctrl = data[pos]
-        pos += 1
-        if ctrl == 0x00:
-            return bytes(out), pos
-        if ctrl in (0x01, 0x02):
-            if first and ctrl != 0x01:
-                raise XzError(
-                    "first LZMA2 chunk of a block must reset the dictionary"
-                )
-            if pos + 2 > len(data):
-                raise XzError("truncated LZMA2 chunk size")
-            size = struct.unpack_from(">H", data, pos)[0] + 1
-            pos += 2
-            if pos + size > len(data) or (end is not None and pos + size > end):
-                raise XzError("LZMA2 uncompressed chunk overruns the block")
-            out += data[pos : pos + size]
-            pos += size
-            first = False
-            continue
-        if ctrl >= 0x80:
-            raise XzError(
-                "compressed LZMA2 chunk (range-coded payload) outside this "
-                "walker's scope (uncompressed chunks only — see module doc)"
-            )
-        raise XzError(f"invalid LZMA2 control byte {ctrl:#04x}")
+    walk; the 0x00 end-of-stream control terminates it either way.
+
+    NB the lzma2 import is MODULE-LEVEL: executors receive this module
+    pickled by value and a call-time import would try (and fail) to
+    import the repo on the worker."""
+    try:
+        return lzma2_decode_chunks(data, pos, end)
+    except Lzma2Error as ex:
+        raise XzError(str(ex)) from ex
 
 
 def _decode_block(data: bytes, pos: int, check_id: int) -> tuple[bytes, int, int]:
@@ -214,7 +194,7 @@ def _decode_block(data: bytes, pos: int, check_id: int) -> tuple[bytes, int, int
     pos += hdr_size
     data_start = pos
     end = None if comp_size is None else data_start + comp_size
-    plain, pos = _decode_lzma2_stored(data, pos, end)
+    plain, pos = _decode_lzma2(data, pos, end)
     used = pos - data_start
     if comp_size is not None and used != comp_size:
         raise XzError(f"compressed size {comp_size} != walked {used}")

@@ -258,3 +258,33 @@ def test_salted_oracle_dual_chains_agree():
     ).fetchdf()
     assert len(brute) > 0
     assert brute.equals(blocked)
+
+
+def test_fold_twin_pair_count_collapses_to_salted_contract(spark):
+    """The compact sf1 twin (geo_neighbor_pairs_fold) must count EXACTLY
+    the pairs the full salted contract query emits — at fixture scale
+    where the full query is cheap, sum(n_pairs) over the twin's cells
+    equals the salted row count.  This is the collapse property that
+    lets the twin stand in for the salted row in the sf1 sweep
+    (make_sf1_artifact EXCLUSION_REASONS): same join, same salting, same
+    radius — only the materialization differs.  (The twin quantizes with
+    the unrounded chord tree; a divergence here would mean a boundary
+    pair classifies differently, which the deterministic fixtures do not
+    contain.)"""
+    import os
+
+    from flinkexp_spark.registry import queries  # noqa: PLC0415
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.exists(sf_dir):
+            pytest.skip(f"{sf_dir} fixture not present on this machine")
+        qs = queries()
+        n_full = qs["geo_neighbor_pairs_salted"](spark, sf_dir).count()
+        fold = qs["geo_neighbor_pairs_fold"](spark, sf_dir).agg(
+            F.sum("n_pairs").alias("n")
+        ).collect()[0]["n"]
+        assert n_full > 0, f"vacuous fixture at {sf_dir}"
+        assert fold == n_full, (
+            f"{sf_dir}: fold twin counts {fold} pairs, salted contract "
+            f"emits {n_full}"
+        )

@@ -9,11 +9,13 @@ against both:
   CRC-32/CRC-64/SHA-256 block checks and all the header CRCs;
 * the real binary's output for INCOMPRESSIBLE data consists of LZMA2
   uncompressed chunks, which our walker must decode byte-identical —
-  across every check type and the multithreaded with-sizes block layout.
+  across every check type and the multithreaded with-sizes block layout;
+* r14: the real binary's COMPRESSED output (range-coded LZMA2 chunks,
+  functions/lzma2.py) must decode byte-identical across presets,
+  extreme mode, threading and block splits (the raw-chunk-layer tests
+  live in tests/test_lzma2.py).
 
-LZMA2 compressed chunks (the range-coded payload) are out of the
-walker's documented scope and must fail with the explicit scope error,
-never a wrong answer.  ``import lzma`` lives ONLY here.
+``import lzma`` lives ONLY here and in tests/test_lzma2.py.
 """
 
 from __future__ import annotations
@@ -131,10 +133,43 @@ def test_multi_stream_concatenation_and_padding() -> None:
 
 
 @needs_xz
-def test_compressed_chunk_is_a_scope_error_not_a_wrong_answer() -> None:
-    blob = _real_encode(b"a" * 100_000, "-9")
-    with pytest.raises(XzError, match="outside this walker's scope"):
-        xz_decompress(blob)
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ("-0",),
+        ("-6",),
+        ("-9", "-e"),
+        ("-6", "--threads=4", "--block-size=262144"),  # multi-block
+        ("-6", "--check=sha256"),
+    ],
+)
+def test_walker_decodes_real_xz_compressed(flags: tuple[str, ...]) -> None:
+    """r14: LZMA2 compressed chunks decode through functions/lzma2.py —
+    the former scope boundary is retired.  Compressible payloads force
+    range-coded chunks; the multithreaded flags force block splits."""
+    rng = random.Random(14)
+    data = (
+        b"header: spark graft xz pin\n" * 2000
+        + bytes(rng.randrange(256) for _ in range(50_000))
+        + b"trailer repeats " * 5000
+    )
+    blob = _real_encode(data, *flags)
+    assert xz_decompress(blob) == data
+
+
+@needs_xz
+def test_walker_decodes_real_xz_large_multichunk() -> None:
+    """> 2 MiB of compressible data spans multiple LZMA2 compressed
+    chunks inside one block — match distances legally reach across the
+    chunk boundary (shared dictionary)."""
+    rng = random.Random(1414)
+    words = [b"alpha", b"beta", b"gamma", b"delta12345", b"\x00\xff"]
+    data = b"".join(
+        rng.choice(words) * rng.randrange(1, 9) for _ in range(400_000)
+    )
+    assert len(data) > 4 * 1024 * 1024
+    blob = _real_encode(data, "-6")
+    assert xz_decompress(blob) == data
 
 
 def test_error_paths() -> None:

@@ -56,6 +56,21 @@ EXCLUSION_REASONS: dict[str, str] = {
         "floor is pinned in tests/test_llm_ops.py."
         "r11: `sim_search_graph_beam_sf_audit` (green row in this artifact) runs the identical graph-ANN pipeline on a stride+renumber sample of the sf1 corpus where the exhaustive oracle is feasible."
     ),
+    "geo_neighbor_pairs_salted": (
+        "excluded from the sf1 sweep by invocation (r14, via driver_sim "
+        "--exclude): the row is OUTPUT-BOUND, not plan-bound — the salted "
+        "join itself is sf1-fast (the identical join/salting machinery "
+        "completes inside `geo_neighbor_pairs_fold` in ~20s engine-side "
+        "at 32 threads), but this row's contract materializes and "
+        "value-hashes all 317,372,856 result rows on BOTH engines, which "
+        "is sweep cost with no added signal.  `geo_neighbor_pairs_fold` "
+        "(green row in this artifact) runs the SAME salted cell-blocked "
+        "pair stream and collapses it per cell into an exact "
+        "count + 2^31-split multiplicative fold that any lost, duplicated "
+        "or perturbed pair must move — the pair-multiset check without "
+        "the materialization.  Full-pair contract stays hash-proven at "
+        "sf0.001/0.01/0.1 (brute-force oracle)."
+    ),
     "sim_search_recall_graph": (
         "oracle timeout (600s watchdog; the uncapped r10 run instead OOMed "
         "DuckDB at ~100 GiB): nests the full "
