@@ -268,22 +268,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+def _simhash_oracle_sql(n_slices: int = 24) -> str:
+    """Sliced oracle for ``dedup_simhash`` (the r14 DuckDB-parallelism
+    lesson from geo's ``_fold_oracle_sql``): the band self-join hangs off
+    one in-memory pipeline and runs effectively single-threaded, so the
+    pair space is partitioned into ``n_slices`` UNION ALL branches on
+    ``a.doc_id % n`` that DuckDB schedules concurrently.  Each branch is
+    DISTINCT-ed independently — correct globally because a pair's id_a
+    lives in exactly one slice — and the hamming cutoff moves BEFORE the
+    DISTINCT (a pure function of the pair commutes with dedup), so each
+    branch dedups ~hamming-survivors, not the full candidate stream."""
+    branch = f"""
+            SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                   bit_count(xor(a.sim, c.sim)) AS hamming
+            FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+                             AND a.doc_id < c.doc_id
+            WHERE a.doc_id % {n_slices} = {{k}}
+              AND bit_count(xor(a.sim, c.sim)) <= {HAMMING_MAX}"""
+    branches = "\n            UNION ALL\n".join(
+        branch.format(k=k) for k in range(n_slices)
+    )
+    return f"""
         WITH t AS (SELECT doc_id, {T.tokens_sql('text')} AS toks FROM documents),
         -- zero-token docs carry no signature on either engine (the Spark
         -- side's explode drops them; mirror with the len() guard)
-        m AS (SELECT doc_id, {T.simhash_sql('toks')} AS sim FROM t
+        m AS MATERIALIZED (SELECT doc_id, {T.simhash_sql('toks')} AS sim FROM t
               WHERE len(toks) > 0),
-        b AS (SELECT doc_id, sim, band, (sim >> (8 * band)) & 255 AS key
-              FROM m, (SELECT unnest(range(4)) AS band)),
-        p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-                     bit_count(xor(a.sim, c.sim)) AS hamming
-              FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
-                               AND a.doc_id < c.doc_id)
-        SELECT id_a, id_b, hamming FROM p WHERE hamming <= {HAMMING_MAX}
-    """,
+        b AS MATERIALIZED (
+              SELECT doc_id, sim, band, (sim >> (8 * band)) & 255 AS key
+              FROM m, (SELECT unnest(range(4)) AS band))
+        {branches}
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle_sql(),
     tags=("X2",),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +313,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from equality on any of the 4 signature bytes (the
     pigeonhole guarantee: hamming <= 2 over 4 bands forces >= 1 identical
     band), so no O(n²) pass exists even at full scale.
+
+    r14 plan: a hamming<=2 pair matches in AT LEAST TWO bands (at most 2
+    differing bits touch at most 2 bands), so the old emit-per-band +
+    ``.distinct()`` shuffled every candidate pair 2-4 times — billions of
+    rows at sf1 just to dedup them again.  Each pair now emits EXACTLY
+    once: the join condition additionally requires the band to be the
+    pair's FIRST equal band (computable inline from sim XOR sim — both
+    signatures are in scope at the join) and applies the hamming cutoff
+    in the same condition.  The join output IS the result: no distinct,
+    no re-shuffle of the candidate stream, and the per-candidate work is
+    three mask tests + a popcount in codegen.  At 100 TB the candidate
+    stream never materializes anywhere — it exists only as the join's
+    condition evaluations.
     """
     docs = datasets.load(spark, sf_dir, "documents")
     sig = T.simhash_table(docs)
@@ -302,20 +335,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
     ).withColumn("key", F.expr("shiftrightunsigned(sim, 8 * band) & 255"))
     a, c = bands.alias("a"), bands.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.key") == F.col("c.key"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("c.doc_id").alias("id_b"),
-            T.hamming(F.col("a.sim"), F.col("c.sim")).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= HAMMING_MAX)
+    xor = F.col("a.sim").bitwiseXOR(F.col("c.sim"))
+    first_band = (
+        F.when(xor.bitwiseAND(F.lit(0xFF)) == 0, 0)
+        .when(xor.bitwiseAND(F.lit(0xFF00)) == 0, 1)
+        .when(xor.bitwiseAND(F.lit(0xFF0000)) == 0, 2)
+        .otherwise(3)
+    )
+    return a.join(
+        c,
+        (F.col("a.band") == F.col("c.band"))
+        & (F.col("a.key") == F.col("c.key"))
+        & (F.col("a.doc_id") < F.col("c.doc_id"))
+        & (F.col("a.band") == first_band)
+        & (T.hamming(F.col("a.sim"), F.col("c.sim")) <= HAMMING_MAX),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("c.doc_id").alias("id_b"),
+        T.hamming(F.col("a.sim"), F.col("c.sim")).alias("hamming"),
     )
 
 

@@ -204,6 +204,12 @@ def main() -> int:
                  # geo_neighbor_pairs_fold twin in the same sweep — see
                  # make_sf1_artifact.EXCLUSION_REASONS
                  "--exclude", "geo_neighbor_pairs_salted",
+                 # r14: 9.97M result rows — the un-Arrow'd toPandas +
+                 # full-frame str() canonicalization is minutes of
+                 # single-threaded driver time; the executor-side
+                 # multiset hash checks the same contract with one row
+                 # crossing the driver
+                 "--engine-hash", "dedup_simhash",
                  "--artifact", raw],
                 cwd=REPO,
             ).returncode
