@@ -176,6 +176,11 @@ HEADLINE = [
     "multimodal_decode_tiff_lzw",
     "multimodal_decode_zstd_frames",
     "stat_kruskal_wallis",
+    # round-14 additions: .xz container walk + full LZMA2 range decode,
+    # compact salted-geo fold twin (the sf1 sweep's pair-multiset check)
+    "multimodal_decode_xz_frames",
+    "multimodal_decode_lzma2",
+    "geo_neighbor_pairs_fold",
     # composite: quality gate -> exact dedup -> near-dup drop -> stats
     "pipeline_training_data",
 ]

@@ -129,9 +129,6 @@ class _RangeDecoder:
             sym |= b << i
         return sym
 
-    def finished(self) -> bool:
-        return self.code == 0
-
 
 class _LenDecoder:
     """Length coder: 2..9 / 10..17 / 18..273 via choice bits + trees."""
