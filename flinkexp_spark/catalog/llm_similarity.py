@@ -800,7 +800,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = datasets.load(spark, sf_dir, "embeddings")
     # K scales with the corpus (cell width ~IVF_TARGET_CELL): fixed K made
     # pair work quadratic under growth — sf1 stress exponent 1.35, now the
-    # assignment pays N*K dots and the pair join stays linear.  The DuckDB
+    # assignment pays N*K dots and the pair work stays linear.  The DuckDB
     # oracle mirrors the same formula via a COUNT(*) scalar subquery in its
     # seed CTE (r10), so it tracks this K at every fixture scale — verified
     # green at sf1 (K=80) in CORRECTNESS_SF1.json.  The fixed-K oracles
@@ -809,16 +809,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_scaled_ivf_k_agrees_with_unrolled_oracles_at_fixture_scale.
     k = scaled_ivf_k(emb.count())
     cent = _ivf_centroids_df(spark, emb, cache_key=sf_dir, k=k)
-    # Per-vector norm computed BEFORE the pair join: each of the
-    # sum-of-cell² pairs then pays one dot product instead of three
-    # (dot/(na*nb) is float-identical to V.cosine — same fold, same sqrt).
-    # No localCheckpoint even though `cells` feeds three consumers: AQE's
-    # ReusedExchange already dedupes the N*K assignment subtree (A/B at
-    # sf1: checkpointed 24.5/25.2 s vs plain 24.3/21.2 s warm).
     # Assignment branches on K (r10 verdict #6): flat N*K below
     # IVF2_SWITCH_K, two-level sqrt-K descent above — the oracle's
     # _aff_scaled_ctes mirrors the same branch, so the sf1 sweep
     # hash-verifies the descent path (K=80 > 32 there).
+    # localCheckpoint: `cells` feeds the pair kernel AND the final keep
+    # join; materializing ~N small rows once replaces two executions of
+    # the scan+broadcast-join+window assignment subtree (r14: the explain
+    # showed THREE copies of that subtree in the old self-join plan).
     cells = (
         _ivf_assign_scaled_df(emb, cent, k)
         .filter(F.col("crnk") == 1)
@@ -826,26 +824,47 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("embedding").alias("cv"),
             F.col("cent_id").alias("cell"),
-            V.norm(F.col("embedding")).alias("nv"),
         )
+        .localCheckpoint()
     )
-    a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("cv").alias("va"),
-        F.col("cell").alias("ca"), F.col("nv").alias("na"),
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("cv").alias("vb"),
-        F.col("cell").alias("cb"), F.col("nv").alias("nb"),
-    )
+    # r14 (guide §4.2, the embed_neardup_cosine recipe): the within-cell
+    # pair scoring is dense linear algebra, so the sum-of-cell² self-join —
+    # which evaluated an interpreted 64-element `aggregate` fold per pair —
+    # became ONE Arrow applyInPandas per cell accumulating the cell's Gram
+    # matrix dimension-by-dimension (G += col_d ⊗ col_d).  That accumulation
+    # order (doubles added dimension 0..63 from 0.0) is IEEE-identical to
+    # the fold's left-to-right sum, and nv = sqrt(diag(G)) is the same
+    # double as V.norm's sqrt-of-fold (both pinned bit-for-bit in
+    # tests/test_vectors_native.py), so raw = G[i,j]/(nv_i*nv_j) is the
+    # exact double the old join produced.  Rounding and the threshold stay
+    # in SPARK expressions on the returned raw double; the Python-side
+    # margin (raw >= τ - 1e-4) is lossless for round(x,5) >= τ.
+    # At 100 TB: cells are the partition key — each cell streams through
+    # one executor as one Arrow group, no cross-cell pair materializes.
+    margin = SEMDEDUP_COS - 1e-4
+
+    def cell_dropped(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        A = np.stack(pdf["cv"].to_numpy()[order]).astype(np.float64)
+        n, dim = A.shape
+        gram = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):  # dimension-ordered: bit-identical to the
+            col = A[:, d]     # fold's left-to-right element sum
+            gram += col[:, None] * col[None, :]
+        nv = np.sqrt(np.diag(gram))
+        iu, ju = np.triu_indices(n, k=1)
+        raw = gram[iu, ju] / (nv[iu] * nv[ju])
+        keep = raw >= margin
+        return pd.DataFrame({"id_b": ids[ju[keep]], "raw": raw[keep]})
+
     dropped = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(
-            F.round(
-                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                V.COS_DECIMALS,
-            )
-            >= SEMDEDUP_COS
-        )
+        cells.groupBy("cell")
+        .applyInPandas(cell_dropped, schema="id_b long, raw double")
+        .filter(F.round(F.col("raw"), V.COS_DECIMALS) >= SEMDEDUP_COS)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))

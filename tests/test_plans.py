@@ -388,15 +388,20 @@ def test_pattern_funnel_is_not_cartesian(spark, sf_dir):
 
 
 def test_semantic_dedup_pairs_only_within_cells(spark, sf_dir):
-    """SemDeDup pair scoring must stay inside cells: the corpus x corpus
-    pairing is an EQUI-join on the cell id (SortMergeJoin), never a
-    cartesian.  (The one BroadcastNestedLoopJoin in the plan is the
-    K-centroid scoring pass — an intentional broadcast of K=8 rows against
-    the corpus, the distributed k-means assignment shape.)"""
-    plan = plan_of(queries()["dedup_semantic"](spark, sf_dir), "simple")
+    """SemDeDup pair scoring must stay inside cells.  Since r14 the
+    within-cell scoring is ONE Arrow FlatMapGroupsInPandas grouped on the
+    cell id (the per-cell Gram kernel — same pattern as
+    embed_neardup_cosine), so no pair row ever materializes in the plan:
+    no self-join, no cartesian, and the only exchange feeding the kernel
+    hashes on the cell id."""
+    plan = plan_of(queries()["dedup_semantic"](spark, sf_dir), "formatted")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin [ca" in plan or "ShuffledHashJoin [ca" in plan, (
-        "within-cell pair join must be an equi-join on the cell id"
+    assert "FlatMapGroupsInPandas" in plan, (
+        "within-cell pair scoring must be the per-cell Arrow Gram kernel"
+    )
+    assert "cell_dropped" in plan
+    assert "hashpartitioning(cell#" in plan, (
+        "the Gram kernel's input exchange must partition by the cell id"
     )
 
 

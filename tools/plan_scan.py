@@ -82,6 +82,10 @@ PY_ALLOWED_NAMES: dict[str, str] = {
     "for all-pairs cosine; dimension-ordered accumulation keeps raw "
     "scores bit-identical to the JVM fold — see the query docstring "
     "and tests/test_vectors_native.py)",
+    "dedup_semantic": "X2/X3: same per-cell Gram kernel as "
+    "embed_neardup_cosine (r14) — the learned k-means cell replaces the "
+    "label as the block key; raw scores bit-identical to the old "
+    "self-join fold (tests/test_vectors_native.py)",
 }
 
 DEFAULT_SHUFFLE_CEILING = 15
