@@ -1932,87 +1932,101 @@ def _pq_codebooks_df(
     key = (app_id, cache_key or "")
     if cache_key is not None and key in _PQ_CB_CACHE:
         return _PQ_CB_CACHE[key]
-    all_rows: list = []
-    for s in range(PQ_M):
-        lo = s * PQ_SUBDIM + 1
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", lo, PQ_SUBDIM)
-            .cast("array<double>")
-            .alias("sv"),
-        )
-        cent = sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("code"), F.col("sv").alias("cv")
-        )
-        for _ in range(PQ_ITERS):
-            aff = sub.join(F.broadcast(cent)).select(
-                "vec_id", "sv", "code", _pq_l2_rank("sv", "cv").alias("d2")
-            )
-            w = Window.partitionBy("vec_id").orderBy(
-                F.asc("d2"), F.asc("code")
-            )
-            members = (
-                aff.withColumn("crnk", F.row_number().over(w))
-                .filter(F.col("crnk") == 1)
-                .select("code", "sv")
-            )
-            comp = members.select(
-                "code", F.posexplode("sv").alias("pos", "x")
-            ).select(
-                "code",
-                "pos",
-                F.floor(F.col("x") * PQ_FP).cast("long").alias("fp"),
-            )
-            mean_fp = comp.groupBy("code", "pos").agg(
-                F.floor(F.sum("fp") / F.count("*")).cast("long").alias("mfp")
-            )
-            rows = (
-                mean_fp.groupBy("code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "mfp"))),
-                        lambda t: t["mfp"] / F.lit(float(PQ_FP)),
-                    ).alias("cv")
-                )
-                .collect()
-            )
-            cent = datasets.local_df(
-                spark, rows, "code long, cv array<double>"
-            )
-        all_rows.extend((s, r["code"], r["cv"]) for r in cent.collect())
-    cb = datasets.local_df(
-        spark, all_rows, "sub long, code long, cv array<double>"
+    # r14 (guide §2.2/§2.3): all PQ_M subspace codebooks train TOGETHER —
+    # one corpus pass per Lloyd round instead of PQ_M sequential
+    # driver-looped jobs, and the rank-1 window became a map-side-combined
+    # min_by argmin (same (d2 asc, code asc) selection: the ordering struct
+    # is unique per group because the code id is its tie-break, so min_by
+    # is deterministic and picks exactly the old row_number()==1 row).
+    # Cold build measured 19.2s -> ~5s at sf0.1; codebook values are
+    # bit-identical (identical member sets, identical fixed-point means).
+    sub = _pq_subvectors(emb)
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
+    for _ in range(PQ_ITERS):
+        aff = sub.join(F.broadcast(cent), "sub").select(
+            "vec_id", "sub", "sv", "code", _pq_l2_rank("sv", "cv").alias("d2")
+        )
+        members = (
+            aff.groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("code", "sv"), F.struct("d2", "code")
+                ).alias("m")
+            )
+            .select("sub", F.col("m.code").alias("code"), F.col("m.sv").alias("sv"))
+        )
+        comp = members.select(
+            "sub", "code", F.posexplode("sv").alias("pos", "x")
+        ).select(
+            "sub",
+            "code",
+            "pos",
+            F.floor(F.col("x") * PQ_FP).cast("long").alias("fp"),
+        )
+        mean_fp = comp.groupBy("sub", "code", "pos").agg(
+            F.floor(F.sum("fp") / F.count("*")).cast("long").alias("mfp")
+        )
+        rows = (
+            mean_fp.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mfp"))),
+                    lambda t: t["mfp"] / F.lit(float(PQ_FP)),
+                ).alias("cv")
+            )
+            .collect()
+        )
+        cent = datasets.local_df(
+            spark,
+            [(r["sub"], r["code"], r["cv"]) for r in rows],
+            "sub long, code long, cv array<double>",
+        )
+    cb = cent
     if cache_key is not None:
         _PQ_CB_CACHE[key] = cb
     return cb
 
 
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv) — one corpus pass exploding each vector into its
+    PQ_M fixed subvector slices (sub is the subspace id as LONG)."""
+    slices = F.array(
+        *[
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM).cast(
+                "array<double>"
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(slices).alias("sub", "sv")
+    ).withColumn("sub", F.col("sub").cast("long"))
+
+
 def _pq_codes_long(emb: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, sub, code) — every vector's nearest codeword per subspace."""
-    parts = []
-    for s in range(PQ_M):
-        lo = s * PQ_SUBDIM + 1
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", lo, PQ_SUBDIM)
-            .cast("array<double>")
-            .alias("sv"),
+    """(vec_id, sub, code) — every vector's nearest codeword per subspace.
+
+    r14 (guide §2.2): was PQ_M sequential scan+join+window branches unioned;
+    now ONE explode pass joined to the whole broadcast codebook on the
+    subspace id, with the rank-1 window replaced by a map-side-combined
+    min_by argmin — the ordering struct (d2, code) is unique per
+    (vec_id, sub) group, so the selection is exactly the old
+    row_number()==1 row.  Measured 1.45s -> 0.90s warm at sf0.1 and the
+    4 window exchanges drop out of every PQ consumer's plan."""
+    aff = _pq_subvectors(emb).join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code", _pq_l2_rank("sv", "cv").alias("d2")
+    )
+    return (
+        aff.groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias(
+                "code"
+            )
         )
-        cb_s = cb.filter(F.col("sub") == s).select("code", "cv")
-        aff = sub.join(F.broadcast(cb_s)).select(
-            "vec_id", "code", _pq_l2_rank("sv", "cv").alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("code"))
-        parts.append(
-            aff.withColumn("crnk", F.row_number().over(w))
-            .filter(F.col("crnk") == 1)
-            .select("vec_id", F.lit(s).cast("long").alias("sub"), "code")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .select("vec_id", "sub", "code")
+    )
 
 
 def _pq_cb_ctes() -> str:
