@@ -68,6 +68,9 @@ def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
         # the executor-side parquet sink, not the driver-side memory sink —
         # the same rule that took stream_session_window 6.6s -> 1.35s (r12)
         sink="files",
+        # dedup emits each first-seen row in its arrival batch; the trailing
+        # no-data batch only evicts state and appends nothing
+        no_data_batches=False,
     )
 
 

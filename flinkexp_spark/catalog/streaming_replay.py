@@ -164,7 +164,7 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _win_cols(replay(spark, events, transform, output_mode="complete"))
+    return _win_cols(replay(spark, events, transform, output_mode="complete", no_data_batches=False))
 
 
 @register(
@@ -203,7 +203,7 @@ def q_stream_union_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
-    out = replay(spark, events, transform, output_mode="complete")
+    out = replay(spark, events, transform, output_mode="complete", no_data_batches=False)
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
@@ -237,7 +237,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n")
         )
 
-    return _win_cols(replay(spark, events, transform, output_mode="complete"))
+    return _win_cols(replay(spark, events, transform, output_mode="complete", no_data_batches=False))
 
 
 @register(
@@ -283,7 +283,7 @@ def q_stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n")
         )
 
-    sink = replay(spark, events, transform, output_mode="complete")
+    sink = replay(spark, events, transform, output_mode="complete", no_data_batches=False)
     w = Window.partitionBy("window").orderBy(F.desc("n"), F.asc("event_type"))
     return _win_cols(
         sink.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
@@ -497,7 +497,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["user_id", "event_type"]
         )
 
-    return replay(spark, events, transform, output_mode="append")
+    return replay(
+        spark, events, transform, output_mode="append",
+        no_data_batches=False,
+    )
 
 
 @register(
@@ -527,6 +530,7 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_totals_transform,
         output_mode="update",
         use_checkpoint=True,
+        no_data_batches=False,
     )
 
 
@@ -582,7 +586,8 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         ).select(F.col("a.event_id").alias("click_id"))
 
-    pairs = replay(spark, events, transform, output_mode="append")
+    pairs = replay(spark, events, transform, output_mode="append",
+                   no_data_batches=False)
     return pairs.groupBy("click_id").agg(F.count("*").alias("n_views"))
 
 
@@ -611,7 +616,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
         )
 
-    return replay(spark, events, transform, output_mode="complete")
+    return replay(spark, events, transform, output_mode="complete", no_data_batches=False)
 
 
 @register(
@@ -691,7 +696,8 @@ def q_stream_tumbling_checkpointed(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     out = replay(
-        spark, events, transform, output_mode="complete", use_checkpoint=True
+        spark, events, transform, output_mode="complete",
+        use_checkpoint=True, no_data_batches=False,
     )
     return _win_cols(out).select("window_start", "n")
 
@@ -987,7 +993,7 @@ def q_stream_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return hits.groupBy("day_start", "win_end").agg(F.count("*").alias("n"))
 
-    out = replay(spark, events, transform, output_mode="complete")
+    out = replay(spark, events, transform, output_mode="complete", no_data_batches=False)
     return out.select(
         F.date_format(
             F.timestamp_seconds("day_start"), "yyyy-MM-dd HH:mm:ss"
@@ -1065,7 +1071,10 @@ def q_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
         )
 
-    return replay(spark, events, transform, output_mode="append")
+    return replay(
+        spark, events, transform, output_mode="append",
+        no_data_batches=False,
+    )
 
 
 @register(
@@ -1163,6 +1172,7 @@ def q_stream_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_transform,
         output_mode="update",
         use_checkpoint=True,
+        no_data_batches=False,
     )
 
 
@@ -1214,7 +1224,7 @@ def q_stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("c"))
         )
 
-    hist = _win_cols(replay(spark, events, transform, output_mode="complete"))
+    hist = _win_cols(replay(spark, events, transform, output_mode="complete", no_data_batches=False))
     wcum = (
         Window.partitionBy("window_start")
         .orderBy("bin")
@@ -1291,7 +1301,7 @@ def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"))
         )
 
-    out = replay(spark, events, transform, output_mode="complete")
+    out = replay(spark, events, transform, output_mode="complete", no_data_batches=False)
     return out.select(
         "user_id",
         F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -1476,5 +1486,6 @@ def q_stream_wordcount_per_record(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="update",
         extra_files=parts[1:],
         use_checkpoint=True,
+        no_data_batches=False,
         sink="files",  # input-sized emission: keep rows executor-side
     )

@@ -94,6 +94,7 @@ def q_stream_map_state_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame
         transform,
         output_mode="update",
         use_checkpoint=True,
+        no_data_batches=False,
         state_provider="rocksdb" if use_tws else None,
     )
 
@@ -154,6 +155,7 @@ def q_stream_list_state_recent_tws(spark: SparkSession, sf_dir: str) -> DataFram
         transform,
         output_mode="update",
         use_checkpoint=True,
+        no_data_batches=False,
         state_provider="rocksdb" if use_tws else None,
     )
 
@@ -245,6 +247,7 @@ def q_stream_stateful_bootstrap_tws(spark: SparkSession, sf_dir: str) -> DataFra
         transform,
         output_mode="update",
         use_checkpoint=True,
+        no_data_batches=False,
         state_provider="rocksdb" if use_tws else None,
     )
 
@@ -357,6 +360,7 @@ def q_stream_stateful_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_totals_tws_transform if use_tws else running_totals_transform,
         output_mode="update",
         use_checkpoint=True,
+        no_data_batches=False,
         # multi-column-family state (tws) exists only on RocksDB
         state_provider="rocksdb" if use_tws else None,
     )

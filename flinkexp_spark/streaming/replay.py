@@ -33,7 +33,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+def _scratch_root() -> str:
+    """Scratch filesystem for replay inputs/checkpoints/sinks.
+
+    Everything written here is throwaway (created and deleted within one
+    query call), but the streaming checkpoint's offset/commit logs are
+    fsync'd once per micro-batch and the input files are written + read
+    back per replay — on a spinning/virtual disk that I/O is a fixed tax
+    on every bounded replay (guide §6).  Prefer a tmpfs when the host has
+    one; `SPARK_GRAFT_SCRATCH` overrides (point it at a real disk if the
+    fixtures outgrow RAM — replay scratch is fixture-sized, MBs).
+    """
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "flinkexp_scratch")
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+    )
+
+
+SCRATCH_ROOT = _scratch_root()
 
 # Stateful-operator parallelism for bounded replays.  The shuffle-partition
 # count is baked into a streaming checkpoint at first start and fixes the
@@ -80,7 +103,12 @@ class _stream_partitions:
         "spark.sql.streaming.stateStore.providerClass": REPLAY_STATE_PROVIDER,
     }
 
-    def __init__(self, spark: SparkSession, state_provider: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_provider: str | None = None,
+        no_data_batches: bool = True,
+    ):
         self.spark = spark
         self.keys = dict(self._KEYS)
         if state_provider is not None:
@@ -88,6 +116,22 @@ class _stream_partitions:
             # state column families, which only RocksDB supports.
             self.keys["spark.sql.streaming.stateStore.providerClass"] = (
                 _PROVIDERS[state_provider]
+            )
+        if not no_data_batches:
+            # Skip the trailing zero-row micro-batch.  Only set by replays
+            # whose OUTPUT cannot depend on it: complete mode (last data
+            # batch already re-emitted the whole table), update mode (a
+            # no-data batch has no changed keys to emit), and eager
+            # append operators (inner stream-stream joins, dropDuplicates)
+            # that emit on arrival.  Append windowed aggregates, outer
+            # joins, and timer-based emission NEED the no-data batch — the
+            # watermark from the last data file only takes effect after
+            # that batch — and must keep the default.  The batch is pure
+            # overhead for the safe classes: its state-eviction commit
+            # rewrites every buffered row into a state-store delta
+            # (measured 2.4 s of the 3.5 s stream_window_join replay).
+            self.keys["spark.sql.streaming.noDataMicroBatches.enabled"] = (
+                "false"
             )
 
     def __enter__(self):
@@ -130,6 +174,7 @@ def replay(
     extra_files: list[DataFrame] | None = None,
     state_provider: str | None = None,
     sink: str = "memory",
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Replay ``source_df`` through Structured Streaming; return the sink table.
 
@@ -152,11 +197,26 @@ def replay(
         if sentinel_df is not None:
             parts.append(sentinel_df)
 
-        for i, p in enumerate(parts):
+        # The per-part writes are independent single-task jobs; submit them
+        # concurrently so the next part's write back-fills the scheduler
+        # while the previous one commits (guide §2.6 — overlap independent
+        # jobs).  Contents and per-file row order are untouched: each part
+        # still runs its own coalesce(1) plan exactly as before.
+        def _write_part(i: int, p: DataFrame) -> None:
             fdir = os.path.join(input_dir, f"f{i:04d}")
             p.coalesce(1).write.mode("overwrite").parquet(fdir)
+
+        if len(parts) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(parts))) as pool:
+                list(pool.map(lambda ip: _write_part(*ip), enumerate(parts)))
+        else:
+            _write_part(0, parts[0])
+        for i in range(len(parts)):
             # one data file per dir; pin mtimes so the file source replays
             # oldest-first in our intended order
+            fdir = os.path.join(input_dir, f"f{i:04d}")
             ts = time.time() - (len(parts) - i) * 10
             for root, _, files in os.walk(fdir):
                 for f in files:
@@ -168,7 +228,11 @@ def replay(
             .parquet(os.path.join(input_dir, "f*"))
         )
         out = transform(reader)
-        with _stream_partitions(spark, state_provider=state_provider):
+        with _stream_partitions(
+            spark,
+            state_provider=state_provider,
+            no_data_batches=no_data_batches,
+        ):
             drain = drain_file_sink if sink == "files" else drain_memory_sink
             return drain(
                 spark,
