@@ -62,28 +62,62 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
 
-    # X4 quality gate
+    # X4 quality gate — tokenize ONCE and carry the token array forward;
+    # re-deriving it from text for the signature pass was a second full
+    # regex-split over every survivor (guide §1.2 per-task work).
     q = docs.select(
-        "doc_id", "lang", "text", F.size(toks).alias("n_tokens"),
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("__h"),
+        F.size(toks).alias("n_tokens"),
         _marker_count(toks, LANG_MARKERS["en"]).alias("n_stop"),
+        toks.alias("toks"),
     ).filter(
         F.col("n_tokens").between(20, 1000)
         & (F.round(F.col("n_stop") / F.col("n_tokens"), 4) >= 0.01)
     )
 
-    # X1 exact dedup: keep the min doc_id per content hash.  The survivor
-    # table feeds TWO branches (signature build + the anti-join left side);
-    # materialize it once so scan+tokenize+window don't run twice.
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    # X1 exact dedup: keep the min doc_id per content hash — min_by as a
+    # map-side-combinable aggregate instead of the old row_number window
+    # (guide §2.3 aggregate-before-shuffle: no sort, duplicates collapse
+    # per map partition before the exchange, and `text` never crosses a
+    # shuffle at all).  doc_id is unique, so min_by picks exactly the old
+    # rn=1 row.  The checkpointed survivor row carries the PRE-HASHED
+    # shingle array (one h64 per shingle, longs) — the md5 work happens
+    # once, 32-way parallel after the dedup exchange, and the signature
+    # pass downstream never touches strings again.  The survivor table
+    # feeds the signature build + the anti-join left side; materialize it
+    # once so scan+tokenize can't run twice.
     x = (
-        q.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        q.groupBy("__h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_tokens", "toks"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.lang").alias("lang"),
+            F.col("r.n_tokens").alias("n_tokens"),
+            F.transform(T.shingles(F.col("r.toks")), T.h64).alias("hs"),
+        )
         .localCheckpoint()
     )
 
-    # X2 near-dup drop over survivors (greedy keep-lowest-id)
-    sig = T.minhash_signatures(x).localCheckpoint()
+    # X2 near-dup drop over survivors (greedy keep-lowest-id): minhash
+    # signatures from the stored shingle hashes — explode longs, 16 cheap
+    # integer min-aggregates (partial map-side), restore empty-shingle
+    # docs via the left join exactly like T.minhash_signatures.
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % T.P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(T.MINHASH_A, T.MINHASH_B))
+    ]
+    sig0 = (
+        x.select("doc_id", F.explode("hs").alias("h"))
+        .groupBy("doc_id")
+        .agg(*aggs)
+    )
+    sig = x.select("doc_id").join(sig0, "doc_id", "left").localCheckpoint()
     cand = T.lsh_candidate_pairs(sig)
     sx, sy = sig.alias("x"), sig.alias("y")
     agree = sum(
