@@ -459,9 +459,18 @@ def q_stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("v"),
         F.col("event_type").alias("grp"),
     )
-    d = s.groupBy("v").agg(F.count("*").cast("long").alias("t"))
+    # ONE scan (guide §2.3): the (value, group) contingency table is the
+    # finest aggregate; the per-value histogram d folds out of it (sum of
+    # the k group counts per v == count per v), so events is read and
+    # rounded once.  cg is domain-sized (|values| x k) — checkpoint it so
+    # the d branch and the rank join reuse the materialized table.
+    cg = (
+        s.groupBy("v", "grp")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    d = cg.groupBy("v").agg(F.sum("cnt").cast("long").alias("t"))
     c = running_sums(d, "v", ["t"], prefix="f")
-    cg = s.groupBy("v", "grp").agg(F.count("*").cast("long").alias("cnt"))
     r = (
         cg.join(c, "v")
         .groupBy("grp")

@@ -525,12 +525,24 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined), the sketch is O(d·w) regardless of corpus size,
     and any token's frequency estimate costs d lookups.  The one-sided
     error guarantee (never underestimates) is emitted as a checked column.
+
+    Both the sketch and the probes' true counts derive from ONE word-count
+    histogram (guide §2.3 aggregate-before-shuffle / §2.4): the corpus is
+    tokenized once, collapsed map-side to per-word counts, and the d
+    bucket hashes run per DISTINCT word (weight = its count) instead of
+    per token — cell totals are identical (sum of per-word counts per
+    cell == count of tokens per cell), and the true-count branch is a
+    filter on the same histogram rather than a second full tokenize scan.
     """
     docs = datasets.load(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(T.tokens(F.col("text"))).alias("word")
     )
-    cells = toks.select(
+    # one tokenize pass -> per-word counts (map-side combined); feeds both
+    # the sketch build and the probes' exact counts
+    hist = toks.groupBy("word").agg(F.count("*").alias("n")).localCheckpoint()
+    cells = hist.select(
+        "n",
         F.explode(
             F.array(
                 *[
@@ -540,9 +552,9 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for r in range(CMS_D)
                 ]
             )
-        ).alias("cell")
-    ).select("cell.r", "cell.bucket")
-    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+        ).alias("cell"),
+    ).select("cell.r", "cell.bucket", "n")
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("n").alias("c"))
     probes = datasets.local_df(
         spark, [(w,) for w in CMS_PROBES], "word string"
     )
@@ -565,9 +577,8 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
     tru = (
-        toks.filter(F.col("word").isin(*CMS_PROBES))
-        .groupBy("word")
-        .agg(F.count("*").alias("true_count"))
+        hist.filter(F.col("word").isin(*CMS_PROBES))
+        .select("word", F.col("n").alias("true_count"))
     )
     return est.join(tru, "word", "left").select(
         "word",
