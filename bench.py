@@ -278,9 +278,27 @@ def main() -> None:
     # mostly WARN spam and nearly pushed the JSON line out.  ERROR only.
     spark.sparkContext.setLogLevel("ERROR")
     # Warm up the JVM / codegen / parquet footer+page caches so per-query
-    # timings measure the engine, not first-touch session costs.
+    # timings measure the engine, not first-touch session costs.  count()
+    # alone reads only footers and never runs codegen, an exchange, or the
+    # noop sink, so the FIRST timed query still absorbed ~2.5s of
+    # first-touch session cost (r14: wordcount_batch ran first and timed
+    # 3.15s cold vs 0.49s warm).  Drain each table through the same noop
+    # sink the timed loop uses (full column read, vectorized reader, page
+    # cache) plus one tiny groupBy so whole-stage codegen, the shuffle
+    # machinery, and the noop commit path are all JIT-warm before timing
+    # starts.  Measurement-methodology fix only: the timed region and the
+    # per-query drain are unchanged (OPTIMIZATION_r14.md).
     for t in ("nation", "documents", "events", "lineitem", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.write.format("noop").mode("overwrite").save()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        .groupBy("n_regionkey")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     qs = queries()
     suite = [n for n in HEADLINE if n in qs]
     missing = [n for n in HEADLINE if n not in qs]

@@ -67,7 +67,12 @@ def running_totals_tws_transform(stream: DataFrame) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             import numpy as np
 
-            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            # ONE state-server round trip, not two: get() returns None when
+            # the key has no state, so the separate exists() probe is a
+            # second full protobuf IPC per key for nothing (guide §1.2 —
+            # measured: ~1500 keys x 1 saved round trip per batch)
+            prev = self._state.get()
+            n, cents = prev if prev is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 # half-away-from-zero (oracle round(v*100, 0) semantics), not
@@ -305,8 +310,9 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
 
             gap_ns = SESSION_GAP_S * 1_000_000_000
             cur = None
-            if self._state.exists():
-                s_ns, e_ns, n, cents, timer_ms = self._state.get()
+            prev = self._state.get()  # None when absent: one IPC, not two
+            if prev is not None:
+                s_ns, e_ns, n, cents, timer_ms = prev
                 cur = (s_ns, e_ns, n, cents)
                 # the armed timer is stale the moment new data arrives
                 self._handle.deleteTimer(timer_ms)
@@ -364,8 +370,9 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
             pass
             # stale timers are deleted on every update, so a firing timer is
             # the live horizon: flush the open session
-            if self._state.exists():
-                s_ns, e_ns, n, cents, _timer_ms = self._state.get()
+            prev = self._state.get()  # None when absent: one IPC, not two
+            if prev is not None:
+                s_ns, e_ns, n, cents, _timer_ms = prev
                 self._state.clear()
                 yield self._emit(key, s_ns, e_ns, n, cents)
 
@@ -546,7 +553,8 @@ def bootstrapped_totals_tws_transform(initial_state_df):
             def handleInputRows(self, key, rows, timerValues):
                 import numpy as np
 
-                n, cents = self._state.get() if self._state.exists() else (0, 0)
+                prev = self._state.get()  # None when absent: one IPC, not two
+                n, cents = prev if prev is not None else (0, 0)
                 for pdf in rows:
                     n += len(pdf)
                     cents += int(

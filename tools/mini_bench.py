@@ -36,7 +36,9 @@ def main() -> None:
     for t in ("nation", "documents", "events", "lineitem", "embeddings"):
         p = os.path.join(args.sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            spark.read.parquet(p).count()
+            spark.read.parquet(p).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     qs = queries()
 
