@@ -334,6 +334,36 @@ def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return aff.withColumn("crnk", F.row_number().over(w_assign))
 
 
+def _ivf_assign_top1_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """``_ivf_assign_df(...).filter(crnk == 1)`` minus the ranking window:
+    per-vector argmax cell via map-side-combined ``min_by`` keyed
+    (-cscore, cent_id) — selects exactly the rn=1 row (highest rounded
+    cosine, ties to the smallest cent_id; the rounded score negates
+    exactly, and -0.0 == 0.0 under Spark's normalized comparison) with no
+    Exchange+Sort+Window per pass (guide §2.3/§2.4; the r14 PQ min_by
+    recipe).  Used by the Lloyd training loop, where each of IVF_ITERS
+    rounds paid that window over the N*K affinity table."""
+    aff = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(V.cosine(F.col("embedding"), F.col("centv")), V.COS_DECIMALS).alias(
+            "cscore"
+        ),
+    )
+    best = aff.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("cent_id", "embedding"),
+            F.struct((-F.col("cscore")).alias("ncs"), F.col("cent_id")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cent_id").alias("cent_id"),
+        F.col("best.embedding").alias("embedding"),
+    )
+
+
 _CENT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
@@ -448,10 +478,8 @@ def _ivf_centroids_df(
         F.col("embedding").cast("array<double>").alias("centv"),
     )
     for _ in range(IVF_ITERS):
-        members = (
-            _ivf_assign_df(emb, cent)
-            .filter(F.col("crnk") == 1)
-            .select("cent_id", "embedding")
+        members = _ivf_assign_top1_df(emb, cent).select(
+            "cent_id", "embedding"
         )
         comp = members.select(
             "cent_id", F.posexplode("embedding").alias("pos", "x")
