@@ -59,65 +59,64 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate -> exact-dedup -> near-dup-drop -> per-lang corpus stats,
     composed as one lazy plan (only the LSH signature table is
     checkpointed, as in dedup_minhash_lsh)."""
-    docs = datasets.load(spark, sf_dir, "documents")
+    # _widen: fixture-scale only — the single parquet split otherwise runs
+    # the whole tokenize+hash map stage on one core (no-op at 100 TB where
+    # splits >> cores; same guard as T.minhash_signatures).
+    docs = T._widen(datasets.load(spark, sf_dir, "documents"))
     toks = T.tokens(F.col("text"))
 
-    # X4 quality gate — tokenize ONCE and carry the token array forward;
-    # re-deriving it from text for the signature pass was a second full
-    # regex-split over every survivor (guide §1.2 per-task work).
+    # X4 quality gate — tokenize ONCE and hash the shingles in the SAME
+    # map stage (guide §1.2 per-task work, §2.3 project-before-exchange):
+    # the dedup exchange carries the pre-hashed shingle longs (~8 B each)
+    # instead of the token strings, and at 100 TB the md5 work runs at
+    # scan parallelism with no extra exchange.  The only waste is hashing
+    # rows that the exact dedup then drops — duplicates are a tiny
+    # fraction of a crawl batch (fixture: 7 of 4,239).
     q = docs.select(
         "doc_id",
         "lang",
         F.sha2(F.col("text"), 256).alias("__h"),
         F.size(toks).alias("n_tokens"),
         _marker_count(toks, LANG_MARKERS["en"]).alias("n_stop"),
-        toks.alias("toks"),
+        F.transform(T.shingles(toks), T.h64).alias("hs"),
     ).filter(
         F.col("n_tokens").between(20, 1000)
         & (F.round(F.col("n_stop") / F.col("n_tokens"), 4) >= 0.01)
     )
 
-    # X1 exact dedup: keep the min doc_id per content hash — min_by as a
-    # map-side-combinable aggregate instead of the old row_number window
-    # (guide §2.3 aggregate-before-shuffle: no sort, duplicates collapse
-    # per map partition before the exchange, and `text` never crosses a
-    # shuffle at all).  doc_id is unique, so min_by picks exactly the old
-    # rn=1 row.  The checkpointed survivor row carries the PRE-HASHED
-    # shingle array (one h64 per shingle, longs) — the md5 work happens
-    # once, 32-way parallel after the dedup exchange, and the signature
-    # pass downstream never touches strings again.  The survivor table
-    # feeds the signature build + the anti-join left side; materialize it
-    # once so scan+tokenize can't run twice.
+    # X1 exact dedup + X2 signature build in ONE job: keep the min doc_id
+    # per content hash — min_by as a map-side-combinable aggregate (guide
+    # §2.3: no sort/window, duplicates collapse per map partition before
+    # the exchange, and `text`/`toks` never cross a shuffle; doc_id is
+    # unique, so min_by picks exactly the old rn=1 row) — and compute the
+    # 16 minhash components in the SAME projection, 16 array_min lambdas
+    # over the survivor's hash array (integer ops only).  `r.hs` is a
+    # materialized aggregate output here, not a repeated md5 expression,
+    # so this is safe from the md5-x16 CSE trap documented in
+    # T.minhash_signatures; array_min([]) = NULL keeps the empty-shingle
+    # NULL-signature contract.  ONE narrow localCheckpoint (id, lang,
+    # n_tokens, 16 longs) then feeds all five consumers (two band sides,
+    # two signature sides, the anti-join left side); r14 used TWO eager
+    # checkpoints with an explode+groupBy+join signature pass between
+    # them, whose extra job + exchange was the round's measured cold-path
+    # regression (VERDICT r14 #1).
+    mh_cols = [
+        F.array_min(F.transform(F.col("r.hs"), T._affine(a, b))).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(zip(T.MINHASH_A, T.MINHASH_B))
+    ]
     x = (
         q.groupBy("__h")
         .agg(
             F.min_by(
-                F.struct("doc_id", "lang", "n_tokens", "toks"), F.col("doc_id")
+                F.struct("doc_id", "lang", "n_tokens", "hs"), F.col("doc_id")
             ).alias("r")
         )
-        .select(
-            F.col("r.doc_id").alias("doc_id"),
-            F.col("r.lang").alias("lang"),
-            F.col("r.n_tokens").alias("n_tokens"),
-            F.transform(T.shingles(F.col("r.toks")), T.h64).alias("hs"),
-        )
+        .select("r.doc_id", "r.lang", "r.n_tokens", *mh_cols)
         .localCheckpoint()
     )
-
-    # X2 near-dup drop over survivors (greedy keep-lowest-id): minhash
-    # signatures from the stored shingle hashes — explode longs, 16 cheap
-    # integer min-aggregates (partial map-side), restore empty-shingle
-    # docs via the left join exactly like T.minhash_signatures.
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % T.P).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(zip(T.MINHASH_A, T.MINHASH_B))
-    ]
-    sig0 = (
-        x.select("doc_id", F.explode("hs").alias("h"))
-        .groupBy("doc_id")
-        .agg(*aggs)
-    )
-    sig = x.select("doc_id").join(sig0, "doc_id", "left").localCheckpoint()
+    sig = x.select("doc_id", *_MH)
     cand = T.lsh_candidate_pairs(sig)
     sx, sy = sig.alias("x"), sig.alias("y")
     agree = sum(
