@@ -18,12 +18,28 @@ queries that never converge land in ``noisy_queries``.  The headline value
 is the sum of medians; per-query min/median/max/attempts are all emitted.
 Every query is drained with a noop write so the full result is computed
 but rows never collect to the driver.
+
+EPISODE CONTROL (r14 VERDICT #3): this family of hosts shows multi-minute
+co-tenant contention episodes that inflate one contiguous suite segment
+3-16x while the per-query convergence loop happily converges on the
+inflated level (every repeat inside the episode is equally slow), so the
+suite-level medians alone produce phantom regressions.  Defense: (a) load1
+is stamped per query (``queries_load1``), and (b) after the suite — in a
+FRESH process via tools/mini_bench.py, same drain/median/convergence
+methodology — every query whose suite median exceeds 2x its own history
+(the previous ``BENCH_LOCAL.json`` at the same sf) is re-measured.  BOTH
+numbers are recorded under ``remeasured``; the fresh median replaces the
+suite slot only when the fresh run CONFIRMS the inflation (fresh <
+suite/1.5).  A genuine regression re-measures at the suite level and is
+kept + recorded; a uniform slow host re-measures slow and is kept.
+Disable with SPARK_GRAFT_BENCH_REMEASURE=0.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -243,6 +259,67 @@ def load_gate(
     return "refused", load1
 
 
+def episode_outliers(
+    medians: dict[str, float],
+    hist: dict[str, float],
+    factor: float = 2.0,
+) -> list[str]:
+    """Queries whose suite median exceeds ``factor`` x their history —
+    the episode suspects that earn a fresh-session re-measure (pure
+    function; unit-tested in tests/test_api.py)."""
+    return sorted(
+        n
+        for n, med in medians.items()
+        if hist.get(n) and med > factor * hist[n]
+    )
+
+
+def fold_remeasure(
+    medians: dict[str, float],
+    fresh: dict[str, float],
+    outliers: list[str],
+    hist: dict[str, float],
+    confirm: float = 1.5,
+) -> dict[str, dict]:
+    """Record suite/fresh/history per outlier and REPLACE the suite median
+    only when the fresh run confirms the inflation (fresh < suite/confirm).
+    Mutates ``medians``; returns the ``remeasured`` audit map.  A missing
+    fresh number (subprocess failure) keeps the suite value and says so."""
+    remeasured: dict[str, dict] = {}
+    for n in outliers:
+        info: dict = {
+            "suite": medians[n],
+            "hist": hist.get(n),
+            "fresh": fresh.get(n),
+        }
+        if fresh.get(n) is not None and fresh[n] < medians[n] / confirm:
+            info["kept"] = "fresh"
+            medians[n] = round(fresh[n], 3)
+        else:
+            info["kept"] = "suite"
+        remeasured[n] = info
+    return remeasured
+
+
+def _fresh_session_medians(names: list[str]) -> dict[str, float]:
+    """Run tools/mini_bench.py (same methodology) in a fresh process for
+    ``names``; parse '# name: median=X.XXs ...' lines."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "mini_bench.py"),
+             ",".join(names)],
+            capture_output=True, text=True, timeout=1200,
+        ).stdout
+    except Exception as exc:
+        print(f"# bench: re-measure subprocess failed: {exc}", file=sys.stderr)
+        return {}
+    fresh: dict[str, float] = {}
+    for m in re.finditer(r"^# (\S+): median=([0-9.]+)s", out, re.M):
+        fresh[m.group(1)] = float(m.group(2))
+    return fresh
+
+
 def main() -> None:
     verdict, load1 = load_gate()
     if verdict == "refused":
@@ -271,6 +348,23 @@ def main() -> None:
         sf = float(base.replace("sf", ""))
     except ValueError:
         sf = -1.0
+
+    # Episode-control history: the previous full per-query map at the same
+    # sf (read BEFORE this run overwrites it at the end).
+    hist: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            )
+        ) as f:
+            _prev = json.load(f)
+        if _prev.get("sf") == sf:
+            hist = {
+                k: float(v) for k, v in (_prev.get("queries") or {}).items()
+            }
+    except Exception:
+        pass
 
     spark = get_session(app_name="flinkexp_spark_bench")
     # Runtime WARNs (e.g. WindowExec single-partition notes from bounded
@@ -328,6 +422,7 @@ def main() -> None:
     mins: dict[str, float] = {}
     maxes: dict[str, float] = {}
     attempts: dict[str, int] = {}
+    q_load1: dict[str, float] = {}
     noisy: list[str] = []
 
     def _window_stats(window: list[float]) -> tuple[float, float, float, bool]:
@@ -358,6 +453,9 @@ def main() -> None:
         mins[name] = round(mn, 3)
         maxes[name] = round(mx, 3)
         attempts[name] = len(runs)
+        # per-query load stamp (r14 VERDICT #3: the suite-level load gate
+        # cannot see an episode that starts mid-suite)
+        q_load1[name] = round(os.getloadavg()[0], 2)
         if not converged:
             noisy.append(name)
         retry = f" attempts={len(runs)}" if len(runs) > base else ""
@@ -367,6 +465,27 @@ def main() -> None:
             + (" NOISY" if not converged else ""),
             file=sys.stderr,
         )
+
+    # Stop Spark before the re-measure subprocess (so two 32-thread JVMs
+    # never compute at once) and BEFORE the final print — nothing
+    # (shutdown logs, late executor stderr) may land after the JSON line
+    # in the merged capture.
+    spark.stop()
+
+    # Episode control: fresh-session re-measure of >2x-history outliers
+    # (module docstring; decision logic unit-tested).
+    outliers = episode_outliers(medians, hist)
+    remeasured: dict[str, dict] = {}
+    if outliers and os.environ.get("SPARK_GRAFT_BENCH_REMEASURE", "1") == "1":
+        print(
+            "# bench: suite medians >2x history — fresh-session "
+            f"re-measure: {outliers}",
+            file=sys.stderr,
+        )
+        fresh = _fresh_session_medians(outliers)
+        remeasured = fold_remeasure(medians, fresh, outliers, hist)
+        for n, info in remeasured.items():
+            print(f"# bench: remeasured {n}: {info}", file=sys.stderr)
 
     total = round(sum(medians.values()), 3)
     # Spread of the reported window (the machine-noise fingerprint):
@@ -385,6 +504,8 @@ def main() -> None:
             "queries_min": mins,
             "queries_max": maxes,
             "queries_spread": spread,
+            "queries_load1": q_load1,
+            "remeasured": remeasured,
             "noisy_queries": noisy,
             "attempts": attempts,
             "max_attempts": max_attempts,
@@ -416,6 +537,11 @@ def main() -> None:
             "noisy_queries": noisy,
             "sf": sf,
         }
+        if remeasured:
+            payload["remeasured"] = {
+                n: [info["suite"], info["fresh"], info["kept"]]
+                for n, info in remeasured.items()
+            }
         if rest:
             payload["others"] = {
                 "n": len(rest),
@@ -436,9 +562,7 @@ def main() -> None:
             f.write(full_payload + "\n")
     except OSError as exc:  # never fail the bench over the backup copy
         print(f"# bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
-    # Stop Spark BEFORE the final print: nothing (shutdown logs, late
-    # executor stderr) may land after the JSON line in the merged capture.
-    spark.stop()
+    # Spark was stopped before the re-measure pass; the JSON line is last.
     print(compact, flush=True)
 
 

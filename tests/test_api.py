@@ -187,3 +187,37 @@ def test_bench_load_gate_verdicts():
     assert gate([9.0], {"SPARK_GRAFT_BENCH_FORCE": "1"}) == ("forced", 9.0)
     # guard disabled
     assert gate([9.0], {"SPARK_GRAFT_BENCH_MAX_LOAD": "0"}) == ("ok", 9.0)
+
+
+def test_bench_episode_remeasure_logic():
+    """Episode control (r14 VERDICT #3): >2x-history suite medians are
+    re-measured; the fresh number replaces the suite slot only when it
+    CONFIRMS the inflation (fresh < suite/1.5).  A genuine regression
+    (re-measures slow) and a uniform slow host keep the suite value; a
+    failed re-measure keeps the suite value and records fresh=None."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2",
+        _os.path.join(_os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    hist = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+    medians = {"a": 5.0, "b": 5.0, "c": 1.1, "d": 5.0, "new_q": 9.0}
+    # outliers: >2x history; new_q has no history -> never an outlier
+    out = bench.episode_outliers(medians, hist)
+    assert out == ["a", "b", "d"]
+
+    fresh = {"a": 1.2, "b": 4.8}  # a: episode confirmed; b: genuinely slow
+    rem = bench.fold_remeasure(medians, fresh, out, hist)
+    assert medians["a"] == 1.2 and rem["a"]["kept"] == "fresh"
+    assert rem["a"]["suite"] == 5.0 and rem["a"]["hist"] == 1.0
+    assert medians["b"] == 5.0 and rem["b"]["kept"] == "suite"
+    # d: subprocess gave nothing -> suite kept, fresh recorded as None
+    assert medians["d"] == 5.0 and rem["d"]["kept"] == "suite"
+    assert rem["d"]["fresh"] is None
+    # untouched entries
+    assert medians["c"] == 1.1 and "c" not in rem and "new_q" not in rem
