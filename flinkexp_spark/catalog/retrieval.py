@@ -276,16 +276,52 @@ def _jaccard_prefix_pairs(docs: DataFrame) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "g")
+        .select("doc_id", "g", "n", "rn")
     )
+    # Candidate pruning beyond the bare prefix collision — the r13 ORACLE
+    # optimizations (length filter + PPJoin positional bound, see the
+    # oracle comment above), now mirrored engine-side; at sf1 the bare
+    # DISTINCT join left 19.4M candidates for 250k true pairs and the
+    # exact-intersection verify dominated the whole query (~290 s of the
+    # sf1 row).  Both prunes are LOSSLESS, so the verified output is
+    # unchanged:
+    #   * length: J >= t forces t*nb <= na <= nb/t — exact in integers as
+    #     10*n >= 7*m both ways (t = 0.7, pinned above);
+    #   * positional (PPJoin, WWW'08): overlap <= matched + min(rest_a,
+    #     rest_b); at a true pair's first shared prefix token matched = 1,
+    #     and MAX over shared tokens of 1 + min(n - rn) only weakens the
+    #     bound.  The overlap threshold ceil(t/(1+t)*(na+nb)) is applied
+    #     in exact integers: v >= ceil(7*s/17)  <=>  17*v >= 7*s.
+    # The groupBy replaces the old .distinct() — same exchange, extra
+    # integer aggregates, ~10x fewer pairs into the verify join.
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "g")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * 10 >= F.col("b.n") * 7)
+            & (F.col("b.n") * 10 >= F.col("a.n") * 7),
         )
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.max(
+                F.least(
+                    F.col("a.n") - F.col("a.rn"),
+                    F.col("b.n") - F.col("b.rn"),
+                )
+            ).alias("ub"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
+        .filter(
+            F.lit(17) * (F.lit(1) + F.col("ub"))
+            >= F.lit(7) * (F.col("na") + F.col("nb"))
+        )
+        .select("id_a", "id_b")
     )
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
