@@ -166,42 +166,61 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
 
     def sessions(key, pdfs, state):
         # closure: pickled by value (see module doc)
-        import math
-
         import numpy as np
         import pandas as pd
 
-        def emit(s_ns, e_ns, n, cents):
-            start = pd.Timestamp(s_ns)
+        def frame(spans):
+            # ONE output frame per invocation (guide §4.2): the old 1-row
+            # pd.DataFrame + scalar strftime per closed session was the
+            # handler's dominant cost at sf1 (~15k keys x 3 batches of
+            # invocations).  np.floor(x/1e9) reproduces the old
+            # math.floor(ns/1e9) float64 semantics bit-for-bit.
+            s = np.array([x[0] for x in spans], dtype="int64")
+            e = np.array([x[1] for x in spans], dtype="int64")
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": [start.strftime("%Y-%m-%d %H:%M:%S")],
-                    "n_events": [n],
-                    "cents": [cents],
-                    "duration_s": [
-                        math.floor(e_ns / 1e9) - math.floor(s_ns / 1e9)
-                    ],
+                    "user_id": [key[0]] * len(spans),
+                    "session_start": pd.Series(
+                        s.astype("datetime64[ns]")
+                    ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_events": [x[2] for x in spans],
+                    "cents": [x[3] for x in spans],
+                    "duration_s": (
+                        np.floor(e / 1e9) - np.floor(s / 1e9)
+                    ).astype("int64"),
                 }
             )
 
         if state.hasTimedOut:
             s_ns, e_ns, n, cents = state.get
             state.remove()
-            yield emit(s_ns, e_ns, n, cents)
+            yield frame([(s_ns, e_ns, n, cents)])
             return
         cur = state.get if state.exists else None
-        out = []
+        closed = []
         gap_ns = SESSION_GAP_S * 1_000_000_000
         # One key's batch arrives as multiple Arrow chunks in ARRIVAL order,
-        # not time order — concat + one sort, else chunk boundaries split
-        # or merge sessions nondeterministically.  Memory = this key's rows
-        # in this batch (bounded by batch size, not stream length).
-        whole = pd.concat(list(pdfs), ignore_index=True)
-        for pdf in ([whole] if len(whole) else []):
-            pdf = pdf.sort_values(["ts", "event_id"])
-            t = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
-            c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        # not time order — one lexsort over the concatenated arrays, else
+        # chunk boundaries split or merge sessions nondeterministically.
+        # Memory = this key's rows in this batch (bounded by batch size,
+        # not stream length).  lexsort on the extracted columns replaces
+        # the old concat + DataFrame.sort_values (same (ts, event_id)
+        # order, no sorted-frame copy).
+        chunks = list(pdfs)
+        whole = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        if len(whole):
+            ts_np = (
+                whole["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            )
+            order = np.lexsort((whole["event_id"].to_numpy(), ts_np))
+            t = ts_np[order]
+            c = np.floor(
+                whole["value"].to_numpy()[order] * 100 + 0.5
+            ).astype("int64")
             # vectorized gaps-and-islands within the batch; the carried
             # state stitches across batches
             brk = np.empty(len(t), dtype=bool)
@@ -212,7 +231,7 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
             if brk[0] and cur is not None:
                 # batch's first row exceeds the gap: the carried session
                 # closes NOW (the row loop's "emit then open" first branch)
-                out.append(emit(*cur))
+                closed.append(cur)
                 cur = None
             if not brk[0]:
                 # rows [0, first break) continue the carried session
@@ -225,20 +244,20 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
                     cur[3] + int(c[:cont].sum()),
                 )
                 if len(starts):  # a later break closes the carried session
-                    out.append(emit(*cur))
+                    closed.append(cur)
                     cur = None
             for i, (s, e) in enumerate(zip(starts, ends)):
                 span = (int(t[s]), int(t[e - 1]), int(e - s), int(c[s:e].sum()))
                 if i < len(starts) - 1:
-                    out.append(emit(*span))
+                    closed.append(span)
                 else:
                     cur = span  # last span stays open for the next batch
         state.update(cur)
         # re-arm the event-time timer: fire when the watermark passes the
         # session's gap horizon (ms epoch, per the GroupState API)
         state.setTimeoutTimestamp(cur[1] // 1_000_000 + SESSION_GAP_S * 1000)
-        for o in out:
-            yield o
+        if closed:
+            yield frame(closed)
 
     return (
         stream.withWatermark("ts", "1 second")
@@ -289,19 +308,25 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
             self._state = handle.getValueState("session", SESSION_TWS_STATE_SCHEMA)
 
         @staticmethod
-        def _emit(key, s_ns, e_ns, n, cents):
-            import math
+        def _frame(key, spans):
+            # ONE output frame per invocation — same vectorized emit as
+            # stateful_sessionize.frame (np.floor(x/1e9) == the old
+            # math.floor(ns/1e9) float64 semantics bit-for-bit).
+            import numpy as np
 
-            start = pd.Timestamp(s_ns)
+            s = np.array([x[0] for x in spans], dtype="int64")
+            e = np.array([x[1] for x in spans], dtype="int64")
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": [start.strftime("%Y-%m-%d %H:%M:%S")],
-                    "n_events": [n],
-                    "cents": [cents],
-                    "duration_s": [
-                        math.floor(e_ns / 1e9) - math.floor(s_ns / 1e9)
-                    ],
+                    "user_id": [key[0]] * len(spans),
+                    "session_start": pd.Series(
+                        s.astype("datetime64[ns]")
+                    ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                    "n_events": [x[2] for x in spans],
+                    "cents": [x[3] for x in spans],
+                    "duration_s": (
+                        np.floor(e / 1e9) - np.floor(s / 1e9)
+                    ).astype("int64"),
                 }
             )
 
@@ -316,22 +341,35 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
                 cur = (s_ns, e_ns, n, cents)
                 # the armed timer is stale the moment new data arrives
                 self._handle.deleteTimer(timer_ms)
-            out = []
-            whole = pd.concat(list(rows), ignore_index=True)
+            closed = []
+            chunks = list(rows)
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             if len(whole):
                 # same vectorized gaps-and-islands as stateful_sessionize:
-                # sort the batch, break where the gap exceeds, stitch the
-                # carried session across batches
-                pdf = whole.sort_values(["ts", "event_id"])
-                t = pdf["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
-                c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+                # lexsort the batch, break where the gap exceeds, stitch
+                # the carried session across batches
+                ts_np = (
+                    whole["ts"]
+                    .to_numpy()
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                )
+                order = np.lexsort((whole["event_id"].to_numpy(), ts_np))
+                t = ts_np[order]
+                c = np.floor(
+                    whole["value"].to_numpy()[order] * 100 + 0.5
+                ).astype("int64")
                 brk = np.empty(len(t), dtype=bool)
                 brk[0] = cur is None or (t[0] - cur[1]) > gap_ns
                 brk[1:] = (t[1:] - t[:-1]) > gap_ns
                 starts = np.flatnonzero(brk)
                 ends = np.append(starts[1:], len(t))
                 if brk[0] and cur is not None:
-                    out.append(self._emit(key, *cur))
+                    closed.append(cur)
                     cur = None
                 if not brk[0]:
                     cont = int(starts[0]) if len(starts) else len(t)
@@ -342,14 +380,14 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
                         cur[3] + int(c[:cont].sum()),
                     )
                     if len(starts):
-                        out.append(self._emit(key, *cur))
+                        closed.append(cur)
                         cur = None
                 for i, (s, e) in enumerate(zip(starts, ends)):
                     span = (
                         int(t[s]), int(t[e - 1]), int(e - s), int(c[s:e].sum())
                     )
                     if i < len(starts) - 1:
-                        out.append(self._emit(key, *span))
+                        closed.append(span)
                     else:
                         cur = span
             if cur is not None:
@@ -360,8 +398,8 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
             else:
                 # every session closed in-band; nothing to time out
                 self._state.clear()
-            for o in out:
-                yield o
+            if closed:
+                yield self._frame(key, closed)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # No deleteTimer here: PySpark 4.1 removes each expired timer
@@ -374,7 +412,7 @@ def sessionize_tws_transform(stream: DataFrame) -> DataFrame:
             if prev is not None:
                 s_ns, e_ns, n, cents, _timer_ms = prev
                 self._state.clear()
-                yield self._emit(key, s_ns, e_ns, n, cents)
+                yield self._frame(key, [(s_ns, e_ns, n, cents)])
 
         def close(self):
             pass
