@@ -335,33 +335,87 @@ def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivf_assign_top1_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """``_ivf_assign_df(...).filter(crnk == 1)`` minus the ranking window:
-    per-vector argmax cell via map-side-combined ``min_by`` keyed
-    (-cscore, cent_id) — selects exactly the rn=1 row (highest rounded
-    cosine, ties to the smallest cent_id; the rounded score negates
-    exactly, and -0.0 == 0.0 under Spark's normalized comparison) with no
-    Exchange+Sort+Window per pass (guide §2.3/§2.4; the r14 PQ min_by
-    recipe).  Used by the Lloyd training loop, where each of IVF_ITERS
-    rounds paid that window over the N*K affinity table."""
-    aff = emb.join(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(V.cosine(F.col("embedding"), F.col("centv")), V.COS_DECIMALS).alias(
-            "cscore"
-        ),
-    )
-    best = aff.groupBy("vec_id").agg(
-        F.min_by(
-            F.struct("cent_id", "embedding"),
-            F.struct((-F.col("cscore")).alias("ncs"), F.col("cent_id")),
-        ).alias("best")
-    )
-    return best.select(
-        "vec_id",
-        F.col("best.cent_id").alias("cent_id"),
-        F.col("best.embedding").alias("embedding"),
-    )
+    """``_ivf_assign_df(...).filter(crnk == 1)``: per-vector argmax cell
+    (highest ROUNDED cosine, ties to the smallest cent_id), as one Arrow
+    ``mapInPandas`` against the collected K x DIM centroid matrix (guide
+    §4.2 — the r14 Gram-kernel recipe applied to the N*K affinity).  Used
+    only by the Lloyd training loop, where each of IVF_ITERS rounds paid
+    N*K interpreted 64-element folds (r14's min_by shape; 31.5 s/round at
+    sf1's 20k x 80) — the kernel reproduces the folds bit-for-bit in
+    3.3 s/round:
+
+    * dots and self-dots accumulate DIMENSION-ORDERED from 0.0 (``S +=
+      col_d ⊗ C_d``), IEEE-identical to the fold's left-to-right sum (the
+      dedup_semantic proof, tests/test_vectors_native.py);
+    * the argmax compares ROUNDED scores exactly: the fast path takes the
+      raw argmax (rounding is monotone, so it attains the rounded max and
+      a unique near-max is the unique rounded max); rows whose runner-ups
+      sit within 2*10^-COS_DECIMALS of the max — the only ones whose
+      rounded values can tie — re-rank those few cells under the exact
+      Spark/Java semantics (Decimal(shortest-repr), HALF_UP, == java
+      BigDecimal.valueOf(x).setScale(d, HALF_UP)), lowest cent_id first.
+
+    Member sets verified identical to the min_by plan at sf0.1 (K=8) and
+    sf1 (K=80): exceptAll both ways = 0.  The kernel runs inside the
+    training collect() jobs only, so no Python node enters any declared
+    query's plan; centroids are driver-sized (K x DIM) by construction.
+    """
+    import numpy as np
+
+    src = emb.select("vec_id", "embedding")
+    crows = sorted(cent.collect(), key=lambda r: r["cent_id"])
+    ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+    C = np.array([list(r["centv"]) for r in crows], dtype=np.float64)
+    cn2 = np.zeros(len(C), dtype=np.float64)
+    for d in range(C.shape[1]):
+        cn2 += C[:, d] * C[:, d]
+    cn = np.sqrt(cn2)
+    emb_t = src.schema["embedding"].dataType.simpleString()
+    out_schema = f"vec_id long, cent_id long, embedding {emb_t}"
+    n_dec = V.COS_DECIMALS
+    band = 2.0 * (10.0 ** -n_dec)
+
+    def assign(batches):
+        # closure: pickled by value (ids/C/cn ride along; K x DIM small)
+        import numpy as _np
+        import pandas as _pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-n_dec)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]]
+            )
+            n, dim = A.shape
+            S = _np.zeros((n, len(ids)))
+            an2 = _np.zeros(n)
+            for d in range(dim):
+                col = A[:, d]
+                S += col[:, None] * C[:, d][None, :]
+                an2 += col * col
+            cos = S / (_np.sqrt(an2)[:, None] * cn[None, :])
+            mx = cos.max(axis=1)
+            close = cos >= (mx[:, None] - band)
+            win = cos.argmax(axis=1)
+            for i in _np.flatnonzero(close.sum(axis=1) > 1):
+                cand = _np.flatnonzero(close[i])
+                r = [
+                    Decimal(repr(float(cos[i, j]))).quantize(q, ROUND_HALF_UP)
+                    for j in cand
+                ]
+                best = max(r)
+                win[i] = cand[next(k2 for k2, rv in enumerate(r) if rv == best)]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cent_id": ids[win],
+                    "embedding": pdf["embedding"].values,
+                }
+            )
+
+    return src.mapInPandas(assign, out_schema)
 
 
 _CENT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
