@@ -47,7 +47,9 @@ _O_SHINGLED = f"""
 
 _O_SIG_BODY = f"""
     {_O_SHINGLED},
-    m AS (SELECT doc_id, {', '.join(T.minhash_cols_sql('sh'))} FROM s)
+    hs AS (SELECT doc_id, {T.hashed_shingles_sql('sh')} AS hsl FROM s),
+    m AS (SELECT doc_id,
+          {', '.join(T.minhash_cols_sql('sh', hashes_expr='hsl'))} FROM hs)
 """
 
 _O_SIG = "WITH " + _O_SIG_BODY

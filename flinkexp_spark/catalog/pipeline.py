@@ -37,7 +37,9 @@ _ORACLE = f"""
           WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY sha256(text))),
     -- X2 near-dup drop over the survivors
     s AS (SELECT doc_id, {T.shingles_sql('toks')} AS sh FROM x),
-    m AS (SELECT doc_id, {', '.join(T.minhash_cols_sql('sh'))} FROM s),
+    hs AS (SELECT doc_id, {T.hashed_shingles_sql('sh')} AS hsl FROM s),
+    m AS (SELECT doc_id,
+          {', '.join(T.minhash_cols_sql('sh', hashes_expr='hsl'))} FROM hs),
     b AS ({_BANDS}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
              FROM b a JOIN b c ON a.band = c.band AND a.key = c.key

@@ -137,8 +137,23 @@ def minhash_cols(shingle_col: Column) -> list[Column]:
     ]
 
 
-def minhash_cols_sql(shingles_expr: str) -> list[str]:
-    hs = f"list_transform({shingles_expr}, s -> {h64_sql('s')})"
+def hashed_shingles_sql(shingles_expr: str) -> str:
+    """The md5->int64 hash list over a shingle array — the shared inner
+    term of every ``minhash_cols_sql`` signature.  Hoist it into its own
+    CTE column once per document: inlined per-signature, DuckDB re-runs
+    the md5 pass N_MINHASH times per row (r15; the engine side has hashed
+    shingles exactly once since r14's pre-hashed ``hs`` projection)."""
+    return f"list_transform({shingles_expr}, s -> {h64_sql('s')})"
+
+
+def minhash_cols_sql(
+    shingles_expr: str, hashes_expr: str | None = None
+) -> list[str]:
+    """N_MINHASH signature expressions.  ``hashes_expr``: a column already
+    holding :func:`hashed_shingles_sql` of the shingles — same h64 values
+    through the same affine maps and ``list_min``, so signatures are
+    bit-identical to the inline form."""
+    hs = hashes_expr or hashed_shingles_sql(shingles_expr)
     return [
         f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {P})) AS mh_{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
