@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkexp_spark import datasets
+from flinkexp_spark.functions import text as T
 from flinkexp_spark.functions import vectors as V
 from flinkexp_spark.registry import register
 
@@ -319,7 +320,16 @@ def _int8_codes(vec: str = "embedding", scale: str = "scale"):
 
 
 def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Rank cells per vector by (rounded cosine DESC, cent_id ASC)."""
+    """Rank cells per vector by (rounded cosine DESC, cent_id ASC).
+
+    ``_widen`` first: the N*K interpreted cosine folds inherit the SCAN's
+    split count, and a small-but-expensive embedding file otherwise runs
+    the whole affinity on 1-2 cores (r15, guide §2.5 stragglers: the sf1
+    serve stage measured (1+1)/2 tasks, 3.1-3.6 s of a 4.4 s serve; no-op
+    once the corpus yields >= core-count splits).  Repartition is
+    value-neutral: every downstream rank is per-vector with full
+    deterministic tie-breaks."""
+    emb = T._widen(emb)
     aff = emb.join(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -1746,7 +1756,9 @@ def _ivf2_assign_df(
         .filter(F.col("grnk") == 1)
         .select("cent_id", "centv", "super_id")
     )
-    vs = emb.join(F.broadcast(supers)).select(
+    # same straggler fix as _ivf_assign_df: the N*(G + sprobe*K/G) descent
+    # folds otherwise run on the scan's 1-2 splits at audit/sf1 scale
+    vs = T._widen(emb).join(F.broadcast(supers)).select(
         "vec_id",
         "embedding",
         "super_id",
