@@ -326,10 +326,13 @@ def _ivf_assign_df(emb: DataFrame, cent: DataFrame) -> DataFrame:
     split count, and a small-but-expensive embedding file otherwise runs
     the whole affinity on 1-2 cores (r15, guide §2.5 stragglers: the sf1
     serve stage measured (1+1)/2 tasks, 3.1-3.6 s of a 4.4 s serve; no-op
-    once the corpus yields >= core-count splits).  Repartition is
-    value-neutral: every downstream rank is per-vector with full
-    deterministic tie-breaks."""
-    emb = T._widen(emb)
+    once the corpus yields >= core-count splits).  Gated on the plan-
+    estimated input size: below ~2 MB the added exchange + stage cost more
+    than the serialized fold (interleaved sf0.1 A/B: ungated widen cost
+    the family ~1.7 s/run; the gated form is a no-op there and keeps the
+    sf1 win).  Repartition is value-neutral: every downstream rank is
+    per-vector with full deterministic tie-breaks."""
+    emb = T._widen(emb, min_bytes=2 << 20)
     aff = emb.join(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -1758,7 +1761,8 @@ def _ivf2_assign_df(
     )
     # same straggler fix as _ivf_assign_df: the N*(G + sprobe*K/G) descent
     # folds otherwise run on the scan's 1-2 splits at audit/sf1 scale
-    vs = T._widen(emb).join(F.broadcast(supers)).select(
+    # (size-gated like _ivf_assign_df — no-op at shipped fixture sizes)
+    vs = T._widen(emb, min_bytes=2 << 20).join(F.broadcast(supers)).select(
         "vec_id",
         "embedding",
         "super_id",

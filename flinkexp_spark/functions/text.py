@@ -176,7 +176,7 @@ def band_key_sql(band: int) -> str:
     return f"md5(concat_ws('-', {parts}))"
 
 
-def _widen(df: DataFrame) -> DataFrame:
+def _widen(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Repartition up to the session's core count when the scan produced
     fewer splits than cores.
 
@@ -186,9 +186,21 @@ def _widen(df: DataFrame) -> DataFrame:
     moves raw rows once and is trivially cheaper than serializing the hash
     work (measured 4x at sf0.1).  At 100 TB the scan yields plenty of
     splits and this is a no-op.
+
+    ``min_bytes``: skip the widen when the plan-estimated input is smaller
+    — for per-row work light enough (e.g. one K-way cosine fold per row)
+    that below a few MB the extra exchange + stage costs more than the
+    serialized compute it saves (r15 interleaved A/B: widening the 0.5 MB
+    sf0.1 embedding scan cost the IVF family ~1.7 s/run, while the same
+    widen on the 5 MB sf1 corpus saved ~1 s/serve).  The estimate is the
+    optimizer's sizeInBytes — no job is triggered.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
+        if min_bytes:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            if int(stats.sizeInBytes()) < min_bytes:
+                return df
         if df.rdd.getNumPartitions() >= target:
             return df
     except Exception:
